@@ -12,6 +12,7 @@ object SparkEntry {
     * globally unique (asserted by GraftSpec). */
   def modules: Seq[QueryModule] = Seq(
     ops.Relational,
+    pii.PiiQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

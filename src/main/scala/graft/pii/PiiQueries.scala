@@ -1,0 +1,113 @@
+package graft.pii
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registered carpet-core queries: each exercises one Redact action over the
+  * `customer` table and emits a deterministic, oracle-checkable projection.
+  * All are map-only plans (no shuffle beyond the final order-by). */
+object PiiQueries extends QueryModule {
+
+  def dropColumns(s: SparkSession, d: String): DataFrame =
+    Redact(Tables.customer(s, d), Seq(Redact.Drop("c_name")))
+      .orderBy(col("c_custkey"))
+
+  def hashPseudonym(s: SparkSession, d: String): DataFrame =
+    Redact(Tables.customer(s, d),
+        Seq(Redact.HashPseudonym("c_name", salt = "pepper42")))
+      .select(col("c_custkey"), col("c_name").as("name_pseudo"))
+      .orderBy(col("c_custkey"))
+
+  def partialMask(s: SparkSession, d: String): DataFrame =
+    Redact(Tables.customer(s, d), Seq(Redact.PartialMask("c_name", keep = 4)))
+      .select(col("c_custkey"), col("c_name").as("name_masked"))
+      .orderBy(col("c_custkey"))
+
+  def nullifyAndConstant(s: SparkSession, d: String): DataFrame =
+    Redact(Tables.customer(s, d), Seq(
+        Redact.Nullify("c_acctbal"),
+        Redact.Constant("c_mktsegment", "[REDACTED]")))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  def conditionalRedact(s: SparkSession, d: String): DataFrame =
+    Redact(Tables.customer(s, d), Seq(
+        Redact.When("c_name", col("c_acctbal") < 0, lit("[DELINQUENT]"))))
+      .select(col("c_custkey"), col("c_name").as("name_checked"))
+      .orderBy(col("c_custkey"))
+
+  /** Nested-struct surgery: pack customer fields into a 2-level struct, then
+    * drop / hash / mask INSIDE the struct via recursive rebuild, then flatten
+    * for the oracle (structs don't hash-compare portably). */
+  def nestedRedact(s: SparkSession, d: String): DataFrame = {
+    val packed = Tables.customer(s, d).select(
+      col("c_custkey"),
+      struct(
+        col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"),
+        struct(col("c_mktsegment").as("segment"),
+               col("c_nationkey").as("nationkey")).as("seg")
+      ).as("profile"))
+    Redact(packed, Seq(
+        Redact.Drop("profile.name"),
+        Redact.HashPseudonym("profile.seg.segment", salt = "pepper42"),
+        Redact.Nullify("profile.acctbal")))
+      .select(
+        col("c_custkey"),
+        col("profile.acctbal").as("acctbal_redacted"),
+        col("profile.seg.segment").as("segment_pseudo"),
+        col("profile.seg.nationkey").as("nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** The carpet CLI's whole job as one pipeline: read → drop + mask + hash →
+    * schema-preserving write shape (the write itself happens in Verify). */
+  def sweepPipeline(s: SparkSession, d: String): DataFrame =
+    Redact(Tables.customer(s, d), Seq(
+        Redact.Drop("c_acctbal"),
+        Redact.HashPseudonym("c_name", salt = "pepper42"),
+        Redact.PartialMask("c_mktsegment", keep = 2)))
+      .orderBy(col("c_custkey"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_drop"        -> (dropColumns _),
+    "pii_hash"        -> (hashPseudonym _),
+    "pii_partial_mask" -> (partialMask _),
+    "pii_null_const"  -> (nullifyAndConstant _),
+    "pii_conditional" -> (conditionalRedact _),
+    "pii_nested"      -> (nestedRedact _),
+    "pii_sweep"       -> (sweepPipeline _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "pii_drop" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pii_hash" ->
+      """SELECT c_custkey, sha256(c_name || chr(31) || 'pepper42') AS name_pseudo
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pii_partial_mask" ->
+      """SELECT c_custkey,
+        |  repeat('*', greatest(length(c_name) - 4, 0)) || right(c_name, 4) AS name_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pii_null_const" ->
+      """SELECT c_custkey, CAST(NULL AS DOUBLE) AS c_acctbal,
+        |  '[REDACTED]' AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pii_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN '[DELINQUENT]' ELSE c_name END AS name_checked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pii_nested" ->
+      """SELECT c_custkey, CAST(NULL AS DOUBLE) AS acctbal_redacted,
+        |  sha256(c_mktsegment || chr(31) || 'pepper42') AS segment_pseudo,
+        |  c_nationkey AS nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pii_sweep" ->
+      """SELECT c_custkey, sha256(c_name || chr(31) || 'pepper42') AS c_name,
+        |  c_nationkey,
+        |  repeat('*', greatest(length(c_mktsegment) - 2, 0)) || right(c_mktsegment, 2) AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}
