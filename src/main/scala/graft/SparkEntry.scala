@@ -12,6 +12,10 @@ object SparkEntry {
     * globally unique (asserted by GraftSpec). */
   def modules: Seq[QueryModule] = Seq(
     ops.Relational,
+    ops.Joins,
+    ops.Aggs,
+    ops.Windows,
+    ops.SetOps,
     pii.PiiQueries,
   )
 

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.{OracleSafe, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation suite (SURVEY.md §2.5).
+  *
+  * All forms are `groupBy.agg` over built-ins: Catalyst plans a partial
+  * (map-side combine) + final hash aggregate, so shuffle volume is
+  * |groups| × partitions regardless of input size — the 100-TB-safe shape.
+  * `approx_*` sketches (HLL, KLL-style quantiles) are mergeable, so they
+  * scale identically; they're registered rows-only (sketch internals differ
+  * from DuckDB's, so no hash oracle — accuracy is property-tested). */
+object Aggs extends QueryModule {
+  import OracleSafe._
+
+  /** Classic multi-aggregate stats per group. min/max pass doubles through
+    * untouched (no arithmetic → bit-identical), sums/avgs use exact decimal. */
+  def stats(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        davg(col("o_totalprice")).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** ROLLUP with explicit NULLS FIRST ordering (Spark's ASC default) so the
+    * super-aggregate rows land deterministically on both engines. */
+  def rollupStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  def cubeFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** GROUPING SETS + grouping() flags (disambiguates real NULL keys from
+    * super-aggregate NULLs). */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** Filtered aggregation: FILTER (WHERE ...) twin via sum(CASE WHEN). */
+  def filteredAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(when(col("l_discount") > 0.05, col("l_quantity"))).as("qty_high_disc"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_high_disc"),
+        count(lit(1)).as("n_all"))
+      .orderBy(col("l_returnflag"))
+
+  /** Order-insensitive collect: sort_array(collect_list) → joined string
+    * (raw collect_list order is partition-dependent — never emit it). */
+  def collectSorted(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: both compute a + (b-a)*frac on doubles). */
+  def quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        percentile(col("o_totalprice"), lit(0.99)).as("p99"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Histogram via value bucketing (the scalable histogram: one groupBy,
+    * no sort, carries to 100 TB unchanged). */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(floor(col("value") / 20.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** HLL approx distinct — rows-only gate (sketches differ across engines);
+    * accuracy asserted in AggsSpec against exact counts. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats"         -> (stats _),
+    "agg_rollup"        -> (rollupStatus _),
+    "agg_cube"          -> (cubeFlags _),
+    "agg_grouping_sets" -> (groupingSets _),
+    "agg_filtered"      -> (filteredAgg _),
+    "agg_collect"       -> (collectSorted _),
+    "agg_quantiles"     -> (quantiles _),
+    "agg_histogram"     -> (histogram _),
+    "agg_approx_distinct" -> (approxDistinct _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "agg_stats" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         |  ${sqlDsum("CAST(o_totalprice AS DECIMAL(18,4))")} AS sum_price,
+         |  ${sqlDsum("CAST(o_totalprice AS DECIMAL(18,4))")} / COUNT(o_totalprice) AS avg_price
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${sqlDsum("CAST(o_totalprice AS DECIMAL(18,4))")} AS sum_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${sqlDsum("CAST(l_quantity AS DECIMAL(18,4))")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus) AS g_status,
+        |  GROUPING(o_orderpriority) AS g_priority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_filtered" ->
+      s"""SELECT l_returnflag,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_discount > 0.05) AS VARCHAR) AS DOUBLE) AS qty_high_disc,
+         |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+         |  COUNT(*) AS n_all
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_quantiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  quantile_cont(o_totalprice, 0.99) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(value / 20.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // agg_approx_distinct: intentionally no oracle (engine-specific sketch)
+  )
+}

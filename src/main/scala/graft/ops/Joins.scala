@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.{OracleSafe, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join variants (SURVEY.md §2.4).
+  *
+  * Scale posture: dimension chains (region/nation/supplier/part) are
+  * explicit `broadcast()` — at 100 TB the fact side streams through
+  * map-side hash joins with zero shuffle. Fact-fact joins (lineitem⋈orders)
+  * shuffle both sides on the join key once; AQE handles skew. The as-of
+  * join is a union + running-window — one shuffle on user_id, no join
+  * explosion, which is THE scalable as-of strategy (a range join would be
+  * quadratic per key). */
+object Joins extends QueryModule {
+  import OracleSafe._
+
+  /** Fact → 3-level broadcast dim chain: revenue by region/nation. */
+  def broadcastDimChain(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Left outer: every customer, with order count + exact total (0 for none). */
+  def leftJoinOrderCounts(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-semi (EXISTS): customers having a 2001 order. */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val o2001 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+    Tables.customer(s, d)
+      .join(o2001, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti (NOT EXISTS): customers who never emitted an event. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.events(s, d), col("c_custkey") === col("user_id"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Full outer on an aggregated key: nations' supplier vs customer counts
+    * (exercises null-filling on both sides). */
+  def fullOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk1"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val cus = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_customers"))
+    sup.join(cus, col("nk1") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk1"), col("nk2")).as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Theta/range join against a tiny literal band table (broadcast nested
+    * loop — build side is 5 rows, probe side streams). */
+  def rangeBandJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("B1", 0.0, 920.0), ("B2", 920.0, 940.0), ("B3", 940.0, 960.0),
+      ("B4", 960.0, 980.0), ("B5", 980.0, 1e18))
+      .toDF("band", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
+  /** Cross join (intentionally tiny): region × region pairs. */
+  def crossJoinRegions(s: SparkSession, d: String): DataFrame = {
+    val r1 = Tables.region(s, d).select(col("r_name").as("a"))
+    val r2 = Tables.region(s, d).select(col("r_name").as("b"))
+    r1.crossJoin(r2).filter(col("a") < col("b")).orderBy(col("a"), col("b"))
+  }
+
+  /** As-of join: for each purchase event, the latest 'view' event of the
+    * same user at-or-before its timestamp.
+    *
+    * Implemented as union + running window max — a single shuffle on
+    * (user_id), linear in events, no pair explosion: the canonical
+    * distributed as-of strategy. Views sort before purchases on equal ts
+    * ("at or before" includes equality; (user_id, ts) is unique per type in
+    * the fixtures so the tie-break is only across types). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("is_purchase"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("is_purchase"),
+        col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_purchase"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(purchases)
+      .withColumn("last_view_us",
+        max(when(col("is_purchase") === 0, unix_micros(col("ts")))).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("purchase_id").as("event_id"), col("user_id"),
+        col("last_view_us"))
+      .orderBy(col("event_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast_chain" -> (broadcastDimChain _),
+    "join_left_counts"     -> (leftJoinOrderCounts _),
+    "join_semi"            -> (semiJoin _),
+    "join_anti"            -> (antiJoin _),
+    "join_full_outer"      -> (fullOuterJoin _),
+    "join_range_bands"     -> (rangeBandJoin _),
+    "join_cross_regions"   -> (crossJoinRegions _),
+    "join_asof"            -> (asofJoin _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "join_broadcast_chain" ->
+      s"""SELECT r_name, n_name,
+         |  ${sqlDsum("CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_left_counts" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${sqlDsum("CAST(o_totalprice AS DECIMAL(18,4))")}, 0.0) AS total_spent
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(nk1, nk2) AS nationkey,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers,
+        |  COALESCE(n_customers, 0) AS n_customers
+        |FROM (SELECT s_nationkey AS nk1, COUNT(*) AS n_suppliers
+        |      FROM supplier GROUP BY s_nationkey) s
+        |FULL OUTER JOIN (SELECT c_nationkey AS nk2, COUNT(*) AS n_customers
+        |      FROM customer GROUP BY c_nationkey) c ON nk1 = nk2
+        |ORDER BY nationkey""".stripMargin,
+    "join_range_bands" ->
+      s"""SELECT band, COUNT(*) AS n_parts,
+         |  ${sqlDsum("CAST(p_retailprice AS DECIMAL(18,4))")} AS sum_price
+         |FROM part
+         |JOIN (VALUES ('B1', 0.0, 920.0), ('B2', 920.0, 940.0),
+         |             ('B3', 940.0, 960.0), ('B4', 960.0, 980.0),
+         |             ('B5', 980.0, 1e18)) AS bands(band, lo, hi)
+         |  ON p_retailprice >= lo AND p_retailprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+    "join_cross_regions" ->
+      """SELECT r1.r_name AS a, r2.r_name AS b
+        |FROM region r1 CROSS JOIN region r2
+        |WHERE r1.r_name < r2.r_name ORDER BY a, b""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |  (SELECT epoch_us(MAX(v.ts)) FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND v.ts <= p.ts) AS last_view_us
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sorts, limits, set operations, distinct (SURVEY.md §2.3/§2.7). */
+object SetOps extends QueryModule {
+
+  private def custkeysIn(s: SparkSession, d: String, year: Int): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(f"$year-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit(f"${year + 1}-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+
+  /** INTERSECT: customers ordering in both 1996 and 1997. */
+  def intersectYears(s: SparkSession, d: String): DataFrame =
+    custkeysIn(s, d, 1996).intersect(custkeysIn(s, d, 1997))
+      .orderBy(col("o_custkey"))
+
+  /** EXCEPT: 1996 customers who skipped 1997. */
+  def exceptYears(s: SparkSession, d: String): DataFrame =
+    custkeysIn(s, d, 1996).except(custkeysIn(s, d, 1997))
+      .orderBy(col("o_custkey"))
+
+  /** INTERSECT ALL (multiset semantics — preserves duplicate counts). */
+  def intersectAllYears(s: SparkSession, d: String): DataFrame =
+    custkeysIn(s, d, 1996).intersectAll(custkeysIn(s, d, 1997))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+
+  /** UNION (distinct) across differently-shaped inputs via unionByName. */
+  def unionNationKeys(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"),
+      lit("supplier").as("side"))
+    val b = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"),
+      lit("customer").as("side"))
+    a.unionByName(b).distinct().orderBy(col("nationkey"), col("side"))
+  }
+
+  /** Multi-key global sort + limit → TakeOrderedAndProject (no full sort at
+    * scale: each partition keeps k, merge at driver). */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** DISTINCT on a projection. */
+  def distinctFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Predicate battery: IN / BETWEEN / LIKE / null-safe equality — all
+    * pushed to the parquet scan. */
+  def predicateBattery(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(
+        col("p_size").isin(5, 10, 15, 20) &&
+        col("p_retailprice").between(901.0, 1e9) &&
+        col("p_name").like("%o%") &&
+        col("p_brand") <=> col("p_brand"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_intersect"     -> (intersectYears _),
+    "set_except"        -> (exceptYears _),
+    "set_intersect_all" -> (intersectAllYears _),
+    "set_union_by_name" -> (unionNationKeys _),
+    "sort_limit"        -> (sortLimit _),
+    "distinct_flags"    -> (distinctFlags _),
+    "filter_battery"    -> (predicateBattery _),
+  )
+
+  private val y96 =
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+  private val y97 =
+    "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
+
+  override def oracleSql: Map[String, String] = Map(
+    "set_intersect" ->
+      s"SELECT o_custkey FROM ($y96 INTERSECT $y97) ORDER BY o_custkey",
+    "set_except" ->
+      s"SELECT o_custkey FROM ($y96 EXCEPT $y97) ORDER BY o_custkey",
+    "set_intersect_all" ->
+      s"""SELECT o_custkey, COUNT(*) AS multiplicity
+         |FROM ($y96 INTERSECT ALL $y97)
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "set_union_by_name" ->
+      """SELECT nationkey, side FROM (
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+        |  UNION
+        |  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer)
+        |ORDER BY nationkey, side""".stripMargin,
+    "sort_limit" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "distinct_flags" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "filter_battery" ->
+      """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
+        |WHERE p_size IN (5, 10, 15, 20)
+        |  AND p_retailprice BETWEEN 901.0 AND 1e9
+        |  AND p_name LIKE '%o%'
+        |  AND p_brand IS NOT DISTINCT FROM p_brand
+        |ORDER BY p_partkey""".stripMargin,
+  )
+}

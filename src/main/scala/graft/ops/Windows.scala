@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.6).
+  *
+  * Scale posture: one shuffle on the partition key per window spec; frames
+  * are evaluated within sorted partitions (WindowExec). Running sums use
+  * exact decimal inside the frame so the cumulative value is add-order-free.
+  * Top-k-per-group filters rank ≤ k immediately after the window — the
+  * distributed alternative to a global sort. */
+object Windows extends QueryModule {
+
+  /** Top-3 orders per customer by price, deterministic tie-break on key. */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Running (cumulative) sum per customer in date order — exact decimal in
+    * the frame, string→double out (see OracleSafe). */
+  def runningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("string").cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("orderdate"), col("running_total"))
+      .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+  }
+
+  /** lag/lead: µs gap between consecutive events of a user. */
+  def lagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("gap_us"), col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** rank / dense_rank / ntile over parts within brand. */
+  def ranks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"), col("p_partkey"))
+    val wTile = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(s, d)
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(wTile))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("rk"), col("drk"), col("quartile"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  /** RANGE frame on a numeric day offset: count of the same customer's
+    * orders in the trailing 30 days. */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val days = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, d)
+      .withColumn("day_no", days)
+      .withColumn("n_last_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_no"), col("n_last_30d"))
+      .orderBy(col("o_custkey"), col("day_no"), col("o_orderkey"))
+  }
+
+  /** first/last over an unbounded frame: customer's first and latest order
+    * dates + span in days. */
+  def firstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_date", first(col("o_orderdate")).over(w).cast("date"))
+      .withColumn("last_date", last(col("o_orderdate")).over(w).cast("date"))
+      .select(col("o_custkey"), col("o_orderkey"), col("first_date"), col("last_date"),
+        datediff(col("last_date"), col("first_date")).as("span_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_per_group" -> (topKPerGroup _),
+    "win_running_sum"    -> (runningSum _),
+    "win_lag_lead"       -> (lagLead _),
+    "win_ranks"          -> (ranks _),
+    "win_range_frame"    -> (rangeFrame _),
+    "win_first_last"     -> (firstLast _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "win_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, orderdate, o_orderkey""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |ORDER BY event_id""".stripMargin,
+    "win_ranks" ->
+      """SELECT p_brand, p_partkey, p_size,
+        |  rank() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rk,
+        |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS drk,
+        |  ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS quartile
+        |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_no, COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY day_no
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_no
+        |      FROM orders) t
+        |ORDER BY o_custkey, day_no, o_orderkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(first_value(o_orderdate) OVER w AS DATE) AS first_date,
+        |  CAST(last_value(o_orderdate) OVER w AS DATE) AS last_date,
+        |  datediff('day', CAST(first_value(o_orderdate) OVER w AS DATE),
+        |    CAST(last_value(o_orderdate) OVER w AS DATE)) AS span_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+  )
+}
