@@ -16,6 +16,7 @@ object SparkEntry {
     ops.Aggs,
     ops.Windows,
     ops.SetOps,
+    ops.Scalars,
     pii.PiiQueries,
   )
 

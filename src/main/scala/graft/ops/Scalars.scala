@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function batteries (SURVEY.md §2.8–2.9): strings, dates, math,
+  * arrays / higher-order functions, JSON.
+  *
+  * All built-ins — fully codegen'd, no UDFs, so each query is a map-only
+  * stage whose cost at 100 TB is the parquet scan of the referenced columns.
+  * Oracle dialect hazards handled: DuckDB `dayofweek` is 0=Sunday vs Spark
+  * 1=Sunday; float math restricted to IEEE-correctly-rounded ops (sqrt) or
+  * exact-integer results; JSON emitted compact on both engines. */
+object Scalars extends QueryModule {
+
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lower_name"),
+        upper(col("p_brand")).as("upper_brand"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        trim(lit("  pad  ")).as("trimmed"),
+        lpad(col("p_brand"), 12, "0").as("padded"),
+        col("p_name").startsWith("small").cast("int").as("is_small"),
+        col("p_name").contains("bolt").cast("int").as("has_bolt"))
+      .orderBy(col("p_partkey"))
+
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow_spark"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .as("days_to_2002"),
+        ((year(lit("2002-01-01").cast("date")) - year(col("o_orderdate"))) * 12 +
+          (month(lit("2002-01-01").cast("date")) - month(col("o_orderdate"))))
+          .as("months_to_2002"),
+        date_add(col("o_orderdate").cast("date"), 90).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"))
+      .orderBy(col("o_orderkey"))
+
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("abs_off"),
+        ceil(col("p_retailprice")).as("ceil_price"),
+        floor(col("p_retailprice")).as("floor_price"),
+        round(col("p_retailprice"), 0).as("round_price"),
+        sqrt(col("p_size").cast("double")).as("sqrt_size"),
+        pow(col("p_size").cast("double"), 2).as("size_sq"),
+        greatest(col("p_size"), lit(10)).as("at_least_10"),
+        least(col("p_size"), lit(40)).as("at_most_40"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod7"),
+        sign(col("p_size") - 25).cast("int").as("size_sign"))
+      .orderBy(col("p_partkey"))
+
+  /** Higher-order array functions on constructed integer sequences (exact
+    * arithmetic → hash-safe; float vector math lives in the LLM module). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_size") <= 10)
+      .select(
+        col("p_partkey"),
+        col("p_size"),
+        size(sequence(lit(1), col("p_size"))).as("seq_len"),
+        aggregate(transform(sequence(lit(1), col("p_size")), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("sum_squares"),
+        aggregate(filter(sequence(lit(1), col("p_size")), x => x % 2 === 0),
+          lit(0L), (acc, x) => acc + x).as("sum_evens"),
+        array_contains(sequence(lit(1), col("p_size")), 5).cast("int").as("has_5"),
+        element_at(sequence(lit(1), col("p_size")), -1).as("last_elem"),
+        aggregate(slice(sequence(lit(1), col("p_size")), lit(1),
+            least(lit(3), col("p_size"))), lit(0L), (acc, x) => acc + x)
+          .as("sum_first3"),
+        array_join(transform(sequence(lit(1), least(col("p_size"), lit(4))),
+          x => x.cast("string")), "-").as("joined"))
+      .orderBy(col("p_partkey"))
+
+  def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k_struct"),
+        to_json(struct(col("event_type").as("t"),
+          col("user_id").as("u"))).as("packed"))
+      .orderBy(col("event_id"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_strings" -> (stringFuncs _),
+    "scalar_dates"   -> (dateFuncs _),
+    "scalar_math"    -> (mathFuncs _),
+    "scalar_arrays"  -> (arrayFuncs _),
+    "scalar_json"    -> (jsonFuncs _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "scalar_strings" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lower_name, upper(p_brand) AS upper_brand,
+        |  length(p_name) AS name_len, substring(p_name, 1, 5) AS name_head,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  trim('  pad  ') AS trimmed, lpad(p_brand, 12, '0') AS padded,
+        |  CAST(starts_with(p_name, 'small') AS INT) AS is_small,
+        |  CAST(contains(p_name, 'bolt') AS INT) AS has_bolt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_dates" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  dayofweek(o_orderdate) + 1 AS dow_spark,
+        |  quarter(o_orderdate) AS qtr,
+        |  CAST(datetrunc('month', o_orderdate) AS DATE) AS month_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+        |  (2002 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS months_to_2002,
+        |  CAST(o_orderdate AS DATE) + 90 AS due_date,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_math" ->
+      """SELECT p_partkey,
+        |  abs(p_size - 25) AS abs_off,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |  round(p_retailprice, 0) AS round_price,
+        |  sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
+        |  pow(CAST(p_size AS DOUBLE), 2) AS size_sq,
+        |  greatest(p_size, 10) AS at_least_10,
+        |  least(p_size, 40) AS at_most_40,
+        |  p_partkey % 7 AS key_mod7,
+        |  CAST(sign(p_size - 25) AS INT) AS size_sign
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_arrays" ->
+      """SELECT p_partkey, p_size,
+        |  len(generate_series(1, p_size)) AS seq_len,
+        |  list_sum(list_transform(generate_series(1, p_size), x -> x * x)) AS sum_squares,
+        |  COALESCE(list_sum(list_filter(generate_series(1, p_size), x -> x % 2 = 0)), 0) AS sum_evens,
+        |  CAST(list_contains(generate_series(1, p_size), 5) AS INT) AS has_5,
+        |  generate_series(1, p_size)[-1] AS last_elem,
+        |  list_sum(generate_series(1, p_size)[1:least(3, p_size)]) AS sum_first3,
+        |  array_to_string(list_transform(generate_series(1, least(p_size, 4)),
+        |    x -> CAST(x AS VARCHAR)), '-') AS joined
+        |FROM part WHERE p_size <= 10 ORDER BY p_partkey""".stripMargin,
+    "scalar_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct,
+        |  to_json(struct_pack(t := event_type, u := user_id)) AS packed
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}
