@@ -17,6 +17,7 @@ object SparkEntry {
     ops.Windows,
     ops.SetOps,
     ops.Scalars,
+    ops.Events,
     pii.PiiQueries,
   )
 

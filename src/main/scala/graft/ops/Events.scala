@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.{OracleSafe, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operator class, batch forms (SURVEY.md §2.10).
+  *
+  * Each windowing operator is registered as its oracle-checkable batch
+  * twin; the true Structured Streaming runs (same expressions over
+  * `readStream` + watermark) are demonstrated in StreamingSpec — DuckDB
+  * can't stream, so the driver gate sees the batch form.
+  *
+  * Scale posture: tumbling/sliding windows are pure groupBy on a derived
+  * key (map-side combine, one shuffle); sessionization is one shuffle on
+  * user_id + a sorted window pass — the gaps-and-islands plan that holds at
+  * any scale because state per key is a running counter, not a buffer. */
+object Events extends QueryModule {
+  import OracleSafe._
+
+  /** Tumbling 1-hour windows per event type. `window()` start is emitted as
+    * epoch µs (raw timestamps never survive the oracle, SURVEY §5.3). */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  /** Sliding windows: 1 hour every 15 minutes (each event in 4 windows). */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("n"))
+      .orderBy(col("window_start_us"))
+
+  /** Session windows (30-minute gap) per user via session_window. */
+  def sessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"))
+      .select(col("user_id"), col("first_us"), col("last_us"), col("n_events"))
+      .orderBy(col("user_id"), col("first_us"))
+
+  /** Deterministic dedup: first event per (user, type) by (ts, event_id) —
+    * the oracle-safe form of dropDuplicates (which keeps an arbitrary row). */
+  def dedupFirstPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Daily funnel: per-day event volume and purchase rate. */
+  def dailyFunnel(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"),
+        count(when(col("event_type") === "view", lit(1))).as("n_views"))
+      .withColumn("purchase_rate",
+        col("n_purchases").cast("double") / col("n_events"))
+      .orderBy(col("day"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling"  -> (tumbling _),
+    "ev_sliding"   -> (sliding _),
+    "ev_sessions"  -> (sessions _),
+    "ev_dedup"     -> (dedupFirstPerKey _),
+    "ev_daily_funnel" -> (dailyFunnel _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "ev_tumbling" ->
+      s"""SELECT epoch_us(datetrunc('hour', ts)) AS window_start_us, event_type,
+         |  COUNT(*) AS n, ${sqlDsum("CAST(value AS DECIMAL(18,4))")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+    "ev_sliding" ->
+      """SELECT ((epoch_us(ts) // 900000000) * 900000000 - k * 900000000) AS window_start_us,
+        |  COUNT(*) AS n
+        |FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)) AS offs(k)
+        |WHERE epoch_us(ts) < ((epoch_us(ts) // 900000000) * 900000000
+        |    - k * 900000000 + 3600000000)
+        |GROUP BY 1 ORDER BY window_start_us""".stripMargin,
+    "ev_sessions" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, first_us""".stripMargin,
+    "ev_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_daily_funnel" ->
+      """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+        |    / COUNT(*) AS purchase_rate
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+  )
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** True Structured Streaming runs of the §2.10 operator class — the batch
+  * twins are the oracle-gated `ev_*` queries; these prove the same
+  * expressions work over `readStream` with watermarks and state. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming source over the fixture dir (ts read as raw nanos → µs). */
+  private def streamEvents() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(TestSpark.sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming tumbling window agg matches batch twin") {
+    val q = streamEvents()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select(unix_micros($"window.start").as("w"), $"event_type", $"n")
+    val batch = Events.tumbling(spark, TestSpark.sf)
+      .select($"window_start_us".as("w"), $"event_type", $"n")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup within watermark keeps one row per event_id") {
+    val q = streamEvents()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    val exact = Tables.events(spark, TestSpark.sf).select("event_id").distinct().count()
+    assert(n == exact)
+  }
+
+  test("stateful per-user running count via mapGroupsWithState") {
+    val counts = streamEvents()
+      .select($"user_id", $"event_id")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.toDF("user_id", "n")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("state_out")
+      .groupBy($"user_id").agg(max($"n").as("n"))
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
