@@ -18,6 +18,10 @@ object SparkEntry {
     ops.SetOps,
     ops.Scalars,
     ops.Events,
+    ops.LlmText,
+    ops.LlmSimilarity,
+    ops.LlmDedup,
+    ops.Multimodal,
     pii.PiiQueries,
   )
 

@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.11):
+  * exact, MinHash signatures + banded LSH candidate pairs, SimHash,
+  * n-gram Jaccard.
+  *
+  * Scale posture: exact dedup and signatures are map + one groupBy
+  * (shuffle = |distinct hashes|). The MinHash LSH pair search never forms
+  * the quadratic pair space: it explodes b band-signatures per doc (linear),
+  * groups by band bucket, and only joins within buckets — the standard
+  * sub-quadratic near-dup plan that carries to 100 TB. N-gram Jaccard is
+  * blocked by (lang, source) so its pair space is per-bucket-quadratic only
+  * (a blocking key would be the scale knob in production). */
+object LlmDedup extends QueryModule {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Word 3-gram shingles (distinct). */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    array_distinct(transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws("_", element_at(t, i), element_at(t, i + 1),
+        element_at(t, i + 2))))
+  }
+
+  /** Portable 32-bit hash (shared with DuckDB): first 8 hex digits of md5,
+    * with a seed namespace. Used by the oracle-gated minhash/simhash; the
+    * scale path uses xxhash64 (cheaper, Spark-only). */
+  private def md5hash32(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: canonical content hash → representative (min doc_id) and
+    * multiplicity. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  /** MinHash signatures (16 md5-based hash functions over 3-gram shingles)
+    * + 4 banded LSH keys of 4 rows each — the per-doc map-only stage of
+    * near-dup detection, fully oracle-checkable. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(col("text"))
+    val mins = (0 until 16).map { i =>
+      array_min(transform(sh, x => md5hash32(x, i))).as(s"mh$i")
+    }
+    val withSig = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id") +: mins: _*)
+    val bands = (0 until 4).map { b =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
+        .as(s"band$b")
+    }
+    withSig.select(col("doc_id"),
+      md5(concat_ws(",", (0 until 16).map(i => col(s"mh$i")): _*)).as("sig_md5"),
+      bands(0), bands(1), bands(2), bands(3))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash LSH candidate pairs (scale path, xxhash64): explode 16 bands
+    * of 2 of a 32-hash signature (S-curve threshold (1/16)^(1/2) = 0.25 —
+    * pairs with Jaccard ≥ 0.4 are caught with probability > 0.99),
+    * bucket-join within bands, verify candidates with exact shingle
+    * Jaccard. Registered rows-only (not expressible as a sane single oracle
+    * SQL); the md5 variant above gates the signature math, and LlmSpec
+    * property-tests this pipeline. */
+  def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(col("text"))
+    val docs = Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id"), sh.as("sh"))
+    val sig = docs.select(col("doc_id"), col("sh"),
+      transform(sequence(lit(0), lit(31)),
+        i => array_min(transform(col("sh"),
+          x => xxhash64(concat(i.cast("string"), lit(":"), x))))).as("mh"))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => xxhash64(concat_ws(",",
+          slice(col("mh"), b * 2 + 1, lit(2)).cast("string"))))).as(Seq("band", "sig")))
+    val l = banded.select(col("band"), col("sig"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val r = banded.select(col("band"), col("sig"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    l.join(r, Seq("band", "sig")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+         size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+      .distinct()
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(100)
+  }
+
+  /** 32-bit SimHash over distinct tokens (md5-based bit hashes, shared with
+    * the oracle): bit b set iff the sum of ±1 votes from token-hash bit b
+    * is positive. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val dtoks = array_distinct(toks(col("text")))
+    val hashes = transform(dtoks, t => md5hash32(t, 99))
+    // bit b of h without shift-by-column (Spark's shiftright needs a literal
+    // count): floor(h / 2^b) % 2 — exact in double for h < 2^32, b ≤ 31.
+    def pow2(b: Column): Column = pow(lit(2.0), b).cast("long")
+    def bit(h: Column, b: Column): Column =
+      (h.cast("double") / pow(lit(2.0), b)).cast("long") % 2
+    val sim = aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hashes, lit(0L),
+          (a, h) => a + when(bit(h, b) === 1, 1L).otherwise(-1L)) > 0,
+        pow2(b)).otherwise(0L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), sim.as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-bigram Jaccard near-dup pairs, blocked by (lang, source). */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val bigrams = array_distinct(transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws("_", element_at(t, i), element_at(t, i + 1))))
+    val docs = Tables.documents(s, d)
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), col("lang"), col("source"), bigrams.as("bg"))
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("a_id"), col("bg").as("a_bg"))
+    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("b_id"), col("bg").as("b_bg"))
+    a.join(b, Seq("lang", "source")).filter(col("a_id") < col("b_id"))
+      .select(col("lang"), col("source"), col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_bg"), col("b_bg"))).cast("double") /
+         (size(col("a_bg")) + size(col("b_bg")) -
+          size(array_intersect(col("a_bg"), col("b_bg"))))).as("jaccard"))
+      .filter(col("jaccard") > 0)
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(200)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"          -> (exact _),
+    "dd_minhash_sig"    -> (minhashSignatures _),
+    "dd_minhash_pairs"  -> (minhashCandidatePairs _),
+    "dd_simhash"        -> (simhash _),
+    "dd_ngram_jaccard"  -> (ngramJaccardPairs _),
+  )
+
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+  private def sqlShingles(t: String): String =
+    s"list_distinct(list_transform(generate_series(1, len($t) - 2), " +
+      s"i -> $t[i] || '_' || $t[i+1] || '_' || $t[i+2]))"
+  private def sqlHash32(e: String, seed: Int): String =
+    s"CAST(('0x' || substring(md5('$seed:' || $e), 1, 8)) AS BIGINT)"
+
+  override def oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+    "dd_minhash_sig" -> {
+      val mh = (0 until 16).map { i =>
+        s"list_min(list_transform(sh, x -> ${sqlHash32("x", i)})) AS mh$i"
+      }.mkString(",\n  ")
+      val sig = (0 until 16).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
+      val bands = (0 until 4).map { b =>
+        val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(mh$i AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"md5($cols) AS band$b"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, md5($sig) AS sig_md5,
+         |  $bands
+         |FROM (
+         |  SELECT doc_id, $mh
+         |  FROM (SELECT doc_id, ${sqlShingles(sqlToks)} AS sh FROM documents
+         |        WHERE len($sqlToks) >= 3) s) m
+         |ORDER BY doc_id""".stripMargin
+    },
+    "dd_simhash" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_transform(generate_series(0, 31), b ->
+         |    CASE WHEN list_reduce(list_transform(hs, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END),
+         |        (a, x) -> a + x) > 0
+         |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END),
+         |    (a, x) -> a + x) AS simhash32
+         |FROM (SELECT doc_id,
+         |    list_transform(list_distinct($sqlToks), t -> ${sqlHash32("t", 99)}) AS hs
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" -> {
+      val bg = s"list_distinct(list_transform(generate_series(1, len($sqlToks) - 1), " +
+        s"i -> ($sqlToks)[i] || '_' || ($sqlToks)[i+1]))"
+      s"""SELECT lang, source, a_id, b_id, jaccard FROM (
+         |  SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+         |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) AS jaccard
+         |  FROM (SELECT doc_id, lang, source, $bg AS bg FROM documents
+         |        WHERE len($sqlToks) >= 2) a
+         |  JOIN (SELECT doc_id, lang, source, $bg AS bg FROM documents
+         |        WHERE len($sqlToks) >= 2) b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) p
+         |WHERE jaccard > 0
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 200""".stripMargin
+    },
+    // dd_minhash_pairs: rows-only (xxhash64 scale path; see Scaladoc)
+  )
+}

@@ -1,0 +1,165 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.11).
+  *
+  * Float determinism: every dot product is an explicit sequential left fold
+  * over element products cast to double (`aggregate`/`zip_with` in Spark,
+  * `list_reduce`/`list_transform` in DuckDB) — identical add order →
+  * bit-identical doubles, so cosine scores are hash-exact with no rounding.
+  *
+  * Scale posture: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one map-side join, a per-query top-k window, no
+  * quadratic blow-up. The global pair search is the one intentionally
+  * quadratic query (bounded corpus); the LSH bucketing is the 100-TB path:
+  * a map-only signature + one groupBy, after which candidate generation is
+  * a per-bucket join. */
+object LlmSimilarity extends QueryModule {
+
+  /** Sequential-fold dot product in double (see class doc). */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+
+  /** 16 fixed random hyperplanes (seeded — identical constants are embedded
+    * in the oracle SQL string below). */
+  private[ops] val hyperplanes: Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Brute-force cosine top-5 for each query vector (vec_id < 5). */
+  def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Global nearest pairs: top-20 by cosine over all (a < b) pairs —
+    * intentionally exhaustive (the correctness baseline for ANN). */
+  def topPairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("a_emb"), col("b_emb")).as("score"))
+      .orderBy(col("score").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** Sign-random-projection LSH: 16-bit bucket signature per vector →
+    * bucket histogram (the scale path for near-neighbor candidate
+    * generation: map-only signatures, one groupBy). */
+  def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val bucket = hyperplanes.zipWithIndex.map { case (p, i) =>
+      val lits = array(p.map(lit): _*)
+      when(dotd(col("embedding"), lits) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), bucket.as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Per-label centroids via posexplode + sorted-fold mean: per (label,
+    * dim) the values are collected, sorted, and summed in a left fold, so
+    * the float add order is identical on both engines (double→decimal casts
+    * are NOT portable — Spark and DuckDB round the 12th decimal
+    * differently). Group size is |vectors per label| — bounded, so the
+    * collect is safe at scale; an order-free exact alternative would be a
+    * Kahan-style custom Aggregator. */
+  def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        (aggregate(sort_array(collect_list(col("x").cast("double"))),
+          lit(0.0), (a, v) => a + v) / count(lit(1))).as("mean"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Vector norms + self-similarity sanity — map-only battery. */
+  def norms(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("l2_norm"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("vec_id"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (cosineTopK _),
+    "sim_top_pairs"   -> (topPairs _),
+    "sim_lsh_buckets" -> (lshBuckets _),
+    "vec_centroids"   -> (centroids _),
+    "vec_norms"       -> (norms _),
+  )
+
+  /** DuckDB twin of `dotd(a, b)` (same sequential fold). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  private def sqlPlane(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  private val sqlBucket: String = hyperplanes.zipWithIndex.map { case (p, i) =>
+    s"(CASE WHEN list_reduce(list_transform(generate_series(1, 64), " +
+      s"i -> CAST(embedding[i] AS DOUBLE) * (${sqlPlane(p)})[i]), " +
+      s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+
+  override def oracleSql: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""SELECT q_id, rank, c_id, score FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    ${sqlCos("q.embedding", "c.embedding")} AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "sim_top_pairs" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${sqlCos("a.embedding", "b.embedding")} AS score
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY score DESC, a_id, b_id LIMIT 20""".stripMargin,
+    "sim_lsh_buckets" ->
+      s"""SELECT bucket, COUNT(*) AS n FROM (
+         |  SELECT vec_id, $sqlBucket AS bucket FROM embeddings) t
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "vec_centroids" ->
+      """SELECT label, CAST(k - 1 AS INT) AS pos,
+        |  list_reduce(list_prepend(0.0, list_sort(
+        |    list(CAST(embedding[CAST(k AS INT)] AS DOUBLE)))),
+        |    (a, x) -> a + x) / COUNT(*) AS mean,
+        |  COUNT(*) AS n_vecs
+        |FROM embeddings CROSS JOIN range(1, 65) r(k)
+        |GROUP BY label, k ORDER BY label, pos""".stripMargin,
+    "vec_norms" ->
+      s"""SELECT vec_id, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,
+         |  len(embedding) AS dim
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+  )
+}

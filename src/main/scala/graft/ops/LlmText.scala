@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.11): language ID,
+  * quality scoring, token counting, word frequency, fingerprinting.
+  *
+  * All map-only over `documents` (plus one groupBy for word frequency) —
+  * no UDFs, so whole-stage codegen covers every expression and the plans
+  * are scan-bound at 100 TB. */
+object LlmText extends QueryModule {
+
+  /** Tokenize: lowercase, split on whitespace, drop empties. */
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** N-gram-heuristic language ID: stopword-hit scoring with a fixed
+    * preference order on ties (en > es > fr > de). */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val sc = stopwords.map { case (l, ws) => l -> hits(t, ws) }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        sc("en").as("s_en"), sc("es").as("s_es"),
+        sc("fr").as("s_fr"), sc("de").as("s_de"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+             col("s_en") >= col("s_de"), "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de"), "es")
+        .when(col("s_fr") >= col("s_de"), "fr")
+        .otherwise("de"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, token stats, punctuation/stopword ratios, and
+    * a keep/drop flag — the C4-style heuristic battery. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(t).as("n_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("chars_per_token"),
+        (size(filter(t, w => length(w) >= 6)).cast("double") / size(t))
+          .as("long_token_ratio"),
+        (length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("double")
+          / length(col("text"))).as("punct_ratio"),
+        (hits(t, stopwords("en")).cast("double") / size(t)).as("stopword_ratio"))
+      .withColumn("keep",
+        (col("n_tokens") >= 5 && col("chars_per_token") < 12).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens vs BPE-ish regex pieces. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpe_pieces"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-level word frequency: top 50 tokens (count desc, token asc).
+    * explode → groupBy: the one shuffling query here; partial aggregation
+    * keeps shuffle volume at |vocab|, not |tokens|. */
+  def wordFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  /** Document fingerprint: md5 over the sorted distinct token set (canonical
+    * bag-of-words identity — robust to word order), plus a 32-bit numeric
+    * fingerprint from its first 8 hex digits. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val canon = md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), canon.as("fp_md5"),
+        conv(substring(canon, 1, 8), 16, 10).cast("long").as("fp32"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id"     -> (langId _),
+    "text_quality"     -> (quality _),
+    "text_token_counts" -> (tokenCounts _),
+    "text_word_freq"   -> (wordFreq _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  private val sqlToks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter($sqlToks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  override def oracleSql: Map[String, String] = Map(
+    "text_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  ${sqlHits(stopwords("en"))} AS s_en, ${sqlHits(stopwords("es"))} AS s_es,
+         |  ${sqlHits(stopwords("fr"))} AS s_fr, ${sqlHits(stopwords("de"))} AS s_de,
+         |  CASE
+         |    WHEN ${sqlHits(stopwords("en"))} >= ${sqlHits(stopwords("es"))}
+         |     AND ${sqlHits(stopwords("en"))} >= ${sqlHits(stopwords("fr"))}
+         |     AND ${sqlHits(stopwords("en"))} >= ${sqlHits(stopwords("de"))} THEN 'en'
+         |    WHEN ${sqlHits(stopwords("es"))} >= ${sqlHits(stopwords("fr"))}
+         |     AND ${sqlHits(stopwords("es"))} >= ${sqlHits(stopwords("de"))} THEN 'es'
+         |    WHEN ${sqlHits(stopwords("fr"))} >= ${sqlHits(stopwords("de"))} THEN 'fr'
+         |    ELSE 'de' END AS predicted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars, len($sqlToks) AS n_tokens,
+         |  CAST(length(text) AS DOUBLE) / len($sqlToks) AS chars_per_token,
+         |  CAST(len(list_filter($sqlToks, w -> length(w) >= 6)) AS DOUBLE)
+         |    / len($sqlToks) AS long_token_ratio,
+         |  CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS punct_ratio,
+         |  CAST(${sqlHits(stopwords("en"))} AS DOUBLE) / len($sqlToks) AS stopword_ratio,
+         |  CAST(len($sqlToks) >= 5 AND CAST(length(text) AS DOUBLE) / len($sqlToks) < 12
+         |    AS INT) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_counts" ->
+      s"""SELECT doc_id, len($sqlToks) AS n_ws_tokens,
+         |  len(list_distinct($sqlToks)) AS n_distinct_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_word_freq" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+         |  SELECT unnest($sqlToks) AS token FROM documents) t
+         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp_md5,
+         |  CAST(('0x' || substring(md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')), 1, 8)) AS BIGINT) AS fp32
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2.11): media payloads as opaque `binary`
+  * columns + typed metadata structs, with decode / feature-extraction as
+  * per-partition batch processing.
+  *
+  * The fixtures carry no real media, so payloads are synthesized
+  * deterministically from document text (utf-8 bytes) and the DECODE STEP
+  * IS A STUB — `decodeBlockMeans` computes per-block byte means where a real
+  * pipeline would invoke an image/audio codec (no codec libs in this
+  * container). Everything around the stub is real and tested: BinaryType
+  * schema, metadata struct, partition-preserving batched iteration
+  * (`mapPartitions`, the Scala analog of `mapInPandas` batch shape), and
+  * fixed-width feature-vector output.
+  *
+  * Scale posture: assets are map-only; feature extraction is
+  * embarrassingly parallel per partition with zero shuffle; downstream
+  * similarity over features reuses the LlmSimilarity operators. */
+object Multimodal extends QueryModule {
+
+  /** Synthesized asset table: binary payload + metadata struct. */
+  def assets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("media_type"),
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("height"))
+        .as("meta"))
+
+  /** Oracle-gated metadata/bytes battery over the binary column. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    assets(s, d).select(
+      col("doc_id"),
+      octet_length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      ceil(octet_length(col("payload")) / lit(64.0)).cast("long").as("n_blocks"),
+      md5(substring(col("payload"), 1, 64)).as("head_block_md5"),
+      col("meta.media_type").as("media_type"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"))
+      .orderBy(col("doc_id"))
+
+  /** Feature extraction over binary payloads: 8 per-block byte means.
+    *
+    * STUB decode (see object doc): real codec would replace
+    * `blockMeans`. The mapPartitions shape — iterate rows, emit fixed-width
+    * Array[Double] — is the real contract a codec UDF would plug into.
+    * Registered rows-only (byte-level math is not reasonably expressible in
+    * the SQL oracle); MultimodalSpec pins exact feature values. */
+  def features(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val dim = 8
+    assets(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // batch the iterator like an Arrow-batched UDF would
+        rows.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
+          val block = math.max(1, math.ceil(bytes.length.toDouble / dim).toInt)
+          val feats = Array.tabulate(dim) { i =>
+            val seg = bytes.slice(i * block, math.min((i + 1) * block, bytes.length))
+            if (seg.isEmpty) 0.0
+            else seg.map(b => (b & 0xff).toDouble).sum / seg.length
+          }
+          (id, feats)
+        })
+      }
+      .toDF("doc_id", "features")
+      .select(col("doc_id"), col("features"),
+        aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feature_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_features"    -> (features _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  length(text) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_blocks,
+        |  md5(substring(text, 1, 64)) AS head_block_md5,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type,
+        |  CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
+        |  CAST((doc_id % 3) * 120 + 240 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_features: rows-only (stubbed byte-level decode; see Scaladoc)
+  )
+}

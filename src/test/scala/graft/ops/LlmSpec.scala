@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.TestSpark
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the LLM-pipeline operators on synthetic corpora
+  * (the oracle gate covers fixture correctness; these pin semantics). */
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Write a synthetic `documents` table and return its dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    rows.map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("minhash LSH finds identical and near-identical docs, skips unrelated") {
+    val d = docsDir(Seq(
+      1L -> base,
+      2L -> base,                                   // exact dup
+      3L -> base.replace("lazy", "sleepy"),         // near dup
+      4L -> "completely different words about spark query engines and columnar io"))
+    val pairs = LlmDedup.minhashCandidatePairs(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && j > 0.5 })
+    assert(!pairs.exists { case (a, b, _) => b == 4L })
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val d = docsDir(Seq(
+      1L -> base, 2L -> base,
+      3L -> base.replace("lazy", "sleepy"),
+      4L -> "totally unrelated content on partitioned parquet scans at scale"))
+    val m = LlmDedup.simhash(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L))
+    assert(hamming(m(1L), m(3L)) <= 8)
+    assert(hamming(m(1L), m(4L)) > 8)
+  }
+
+  test("ngram jaccard: dup pair scores 1.0 and ranks first") {
+    val d = docsDir(Seq(
+      1L -> base, 2L -> base,
+      3L -> "some other text entirely that shares nothing with the rest maybe"))
+    val rows = LlmDedup.ngramJaccardPairs(spark, d).collect()
+    assert(rows.head.getLong(2) == 1L && rows.head.getLong(3) == 2L &&
+      rows.head.getDouble(4) == 1.0)
+  }
+
+  test("exact dedup groups identical texts under one representative") {
+    val d = docsDir(Seq(1L -> base, 2L -> base, 3L -> "unique text here now ok"))
+    val rows = LlmDedup.exact(spark, d)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.contains((1L, 2L)))   // keep doc 1, multiplicity 2
+    assert(rows.contains((3L, 1L)))
+  }
+
+  test("cosine top-k: every query gets k rows, scores in [-1,1] descending") {
+    val rows = LlmSimilarity.cosineTopK(spark, TestSpark.sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rs =>
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact at sf0.001") {
+    val approx = Aggs.approxDistinct(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.lineitem(spark, TestSpark.sf)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("p"), countDistinct($"l_orderkey").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (p, o)) =>
+      assert(math.abs(approx(k)._1 - p).toDouble / p < 0.05)
+      assert(math.abs(approx(k)._2 - o).toDouble / o < 0.05)
+    }
+  }
+
+  test("multimodal features: pinned byte means and fixed width") {
+    val d = docsDir(Seq(1L -> ("A" * 80)))   // byte 65 everywhere
+    val row = Multimodal.features(spark, d).collect().head
+    val feats = row.getSeq[Double](1)
+    assert(feats.length == 8 && feats.forall(_ == 65.0))
+    assert(row.getDouble(2) == 8 * 65.0)
+  }
+}
