@@ -71,27 +71,38 @@ object LlmDedup extends QueryModule {
     * SQL); the md5 variant above gates the signature math, and LlmSpec
     * property-tests this pipeline. */
   def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(col("text"))
-    val docs = Tables.documents(s, d)
-      .filter(size(toks(col("text"))) >= 3)
-      .select(col("doc_id"), sh.as("sh"))
-    val sig = docs.select(col("doc_id"), col("sh"),
-      transform(sequence(lit(0), lit(31)),
-        i => array_min(transform(col("sh"),
-          x => xxhash64(concat(i.cast("string"), lit(":"), x))))).as("mh"))
-    val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(15)),
-        b => xxhash64(concat_ws(",",
-          slice(col("mh"), b * 2 + 1, lit(2)).cast("string"))))).as(Seq("band", "sig")))
-    val l = banded.select(col("band"), col("sig"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val r = banded.select(col("band"), col("sig"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    l.join(r, Seq("band", "sig")).filter(col("a_id") < col("b_id"))
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
+    // Whole tokenize→shingle→hash pipeline runs as ONE per-row kernel
+    // (graft_shingles3), the 32-function signature as another
+    // (graft_minhash32) — interpreted per-element HOF lambdas were the
+    // bottleneck here. Jaccard verification is a codegen'd linear merge
+    // over the sorted hash sets.
+    import graft.functions.TextFunctions._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), shingles3(col("text")).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    val banded = hashed.select(col("doc_id"),
+      minhash32(col("hs")).as("mh"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(15)), b =>
+          xxhash64(element_at(col("mh"), b * 2 + 1),
+            element_at(col("mh"), b * 2 + 2)))).as(Seq("band", "sig")))
+    // Dedupe candidate PAIRS before fetching shingle sets — a pair matching
+    // in k bands must verify once, not k times.
+    val cand = banded.select(col("band"), col("sig"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("sig"), col("doc_id").as("b_id")),
+        Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersect(col("a_hs"), col("b_hs"))
+    cand
+      .join(hashed.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(hashed.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-         size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
-      .distinct()
+        (inter.cast("double") /
+         (size(col("a_hs")) + size(col("b_hs")) - inter)).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(100)
   }
@@ -119,23 +130,31 @@ object LlmDedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** Word-bigram Jaccard near-dup pairs, blocked by (lang, source). */
+  /** Word-bigram Jaccard near-dup pairs, blocked by (lang, source).
+    *
+    * Hot-loop design: bigrams are xxhash64-hashed, deduped, and sorted ONCE
+    * per document (map side, before the shuffle join); the per-pair work is
+    * a codegen'd linear merge over sorted longs (graft_sorted_intersect) —
+    * O(|A|+|B|) with no per-pair hashing or set building. Set sizes are
+    * identical to the string-set sizes barring a 64-bit hash collision
+    * inside one document pair (~2⁻⁶⁴·|A|·|B| — negligible). */
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val bigrams = array_distinct(transform(sequence(lit(1), size(t) - 1),
-      i => concat_ws("_", element_at(t, i), element_at(t, i + 1))))
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
     val docs = Tables.documents(s, d)
-      .filter(size(t) >= 2)
-      .select(col("doc_id"), col("lang"), col("source"), bigrams.as("bg"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.TextFunctions.shingles2(col("text")).as("bg"))
+      .filter(size(col("bg")) >= 1)
     val a = docs.select(col("lang"), col("source"),
       col("doc_id").as("a_id"), col("bg").as("a_bg"))
     val b = docs.select(col("lang"), col("source"),
       col("doc_id").as("b_id"), col("bg").as("b_bg"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersect(col("a_bg"), col("b_bg"))
     a.join(b, Seq("lang", "source")).filter(col("a_id") < col("b_id"))
       .select(col("lang"), col("source"), col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_bg"), col("b_bg"))).cast("double") /
-         (size(col("a_bg")) + size(col("b_bg")) -
-          size(array_intersect(col("a_bg"), col("b_bg"))))).as("jaccard"))
+        (inter.cast("double") /
+         (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
       .filter(col("jaccard") > 0)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(200)
