@@ -23,6 +23,7 @@ object SparkEntry {
     ops.LlmDedup,
     ops.Multimodal,
     pii.PiiQueries,
+    sources.Sources,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -107,7 +107,21 @@ object Aggs extends QueryModule {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Typed-Aggregator UDAF: per customer, the orderkey of the priciest
+    * order (deterministic tie-break in the aggregator itself). */
+  def argMaxOrder(s: SparkSession, d: String): DataFrame = {
+    val am = udaf(graft.functions.ArgMaxLong,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(am(col("o_orderkey"), col("o_totalprice")).as("best_order"))
+      .orderBy(col("o_custkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_argmax_udaf"   -> (argMaxOrder _),
     "agg_stats"         -> (stats _),
     "agg_rollup"        -> (rollupStatus _),
     "agg_cube"          -> (cubeFlags _),
@@ -120,6 +134,12 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_argmax_udaf" ->
+      """SELECT o_custkey, o_orderkey AS best_order FROM (
+        |  SELECT o_custkey, o_orderkey, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "agg_stats" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n,
          |  COUNT(DISTINCT o_custkey) AS n_customers,

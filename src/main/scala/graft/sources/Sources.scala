@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.{QueryModule, Tables}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Secondary sources & sinks (SURVEY.md §2.1): CSV and JSON with explicit
+  * schemas (never inference — nondeterministic and a full extra scan), and
+  * partitioned parquet writes (the 100-TB layout tool: partition pruning
+  * turns full scans into directory-level skips).
+  *
+  * Round-trip pattern: fixture parquet → write alt format to a temp dir →
+  * read back with explicit schema → aggregate. The oracle runs the same
+  * aggregate on the original parquet, so the gate proves the format
+  * round-trip is lossless. Temp dirs are content-keyed so re-runs reuse. */
+object Sources extends QueryModule {
+
+  private def tmp(tag: String, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_$tag$key")
+    p.toString
+  }
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType), StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+
+  /** parquet → CSV → read (explicit schema) → join + count. */
+  def csvRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("csv_nation", d)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").csv(dir)
+    s.read.schema(nationSchema).option("header", "true").csv(dir)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(sort_array(collect_set(col("n_name"))), ",").as("names"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** parquet → JSON lines → read (explicit schema) → aggregate. Doubles
+    * survive the JSON round-trip bit-exactly (shortest-repr print + correct
+    * parse on both write and read). */
+  def jsonRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("json_supplier", d)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      Tables.supplier(s, d).write.mode("overwrite").json(dir)
+    s.read.schema(supplierSchema).json(dir)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        min(col("s_acctbal")).as("min_bal"),
+        max(col("s_acctbal")).as("max_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Partitioned parquet write (partitionBy) → read back → per-partition
+    * counts; proves the hive-style layout round-trips values + partition
+    * column. */
+  def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("part_orders", d)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip"  -> (csvRoundTrip _),
+    "src_json_roundtrip" -> (jsonRoundTrip _),
+    "sink_partitioned"   -> (partitionedWrite _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "src_json_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |  MIN(s_acctbal) AS min_bal, MAX(s_acctbal) AS max_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}
