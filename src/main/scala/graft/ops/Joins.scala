@@ -119,7 +119,25 @@ object Joins extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Same as-of semantics via the NATIVE custom operator (logical node +
+    * strategy + sort-merge SparkPlan, graft.plans.AsOfJoin) — gated by the
+    * identical DuckDB oracle as `join_asof`, so the custom execution path
+    * is hash-checked against both DuckDB and the window formulation. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    graft.plans.AsOfJoin(s, purchases, views,
+        purchases("user_id"), views("v_user"),
+        purchases("p_us"), views("v_us"))
+      .select(col("event_id"), col("user_id"), col("v_us").as("last_view_us"))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_native"     -> (asofJoinNative _),
     "join_broadcast_chain" -> (broadcastDimChain _),
     "join_left_counts"     -> (leftJoinOrderCounts _),
     "join_semi"            -> (semiJoin _),
@@ -130,7 +148,16 @@ object Joins extends QueryModule {
     "join_asof"            -> (asofJoin _),
   )
 
+  private val asofOracle =
+    """SELECT p.event_id, p.user_id,
+      |  (SELECT epoch_us(MAX(v.ts)) FROM events v
+      |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |     AND v.ts <= p.ts) AS last_view_us
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "join_asof_native" -> asofOracle,
     "join_broadcast_chain" ->
       s"""SELECT r_name, n_name,
          |  ${sqlDsum("CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))")} AS revenue,
