@@ -136,8 +136,32 @@ object Joins extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Skew-handling pattern: salted shuffle join. `event_type` has only 5
+    * values, so a plain shuffle join on it sends 1/5 of the fact table to
+    * one reducer; salting the fact key with pmod(hash, 8) and exploding
+    * the dim side ×8 spreads each hot key over 8 reducers. (For a 5-row
+    * dim the REAL answer is broadcast — this query demonstrates the
+    * technique used when the dim side is too big to broadcast; the plain
+    * join is the oracle.) */
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val weights = Seq(("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("w_type", "weight")
+    val salted = weights.withColumn("salt",
+      explode(sequence(lit(0), lit(7))))
+    val fact = Tables.events(s, d)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)).cast("int"))
+    fact.join(salted.hint("shuffle_hash"),
+        col("event_type") === col("w_type") && fact("salt") === salted("salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("weight")).as("total_weight"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_native"     -> (asofJoinNative _),
+    "join_salted_skew"     -> (saltedSkewJoin _),
     "join_broadcast_chain" -> (broadcastDimChain _),
     "join_left_counts"     -> (leftJoinOrderCounts _),
     "join_semi"            -> (semiJoin _),
@@ -158,6 +182,14 @@ object Joins extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "join_asof_native" -> asofOracle,
+    "join_salted_skew" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(weight AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_weight
+        |FROM events
+        |JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+        |             ('signup', 5.0), ('error', 0.0)) AS w(w_type, weight)
+        |  ON event_type = w_type
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "join_broadcast_chain" ->
       s"""SELECT r_name, n_name,
          |  ${sqlDsum("CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(8,4))")} AS revenue,

@@ -124,7 +124,55 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF-style ANN (the other scale path besides LSH): a deterministic
+    * coarse codebook (vectors with vec_id < 8 — k-means centroids in a real
+    * pipeline; data-seeded here so the oracle can derive the identical
+    * codebook), every vector assigned to its best cell by dot product, each
+    * query probing its nprobe=2 best cells and ranking only those
+    * candidates. Cells ≈ |corpus|/8, so probe cost is ~1/4 of brute force
+    * at nprobe=2 and the assignment is one broadcast join — the inverted-
+    * file layout that carries to 100 TB (cells become partitions). */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    def bestCells(src: DataFrame, idCol: String, embCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cdot").desc, col("cid"))
+      src.join(broadcast(cent), col(idCol) =!= lit(-1))
+        .withColumn("cdot", dotd(col(embCol), col("c_emb")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("c_emb", "cdot")
+    }
+    val assign = bestCells(
+      e.select(col("vec_id"), col("embedding"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("nrm")),
+      "vec_id", "embedding", 1)
+      .select(col("cid").as("cell"), col("vec_id").as("c_id"),
+        col("embedding").as("c_emb2"), col("nrm").as("c_norm"))
+    val probes = bestCells(
+      e.filter(col("vec_id").between(10, 14))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          sqrt(dotd(col("embedding"), col("embedding"))).as("q_norm")),
+      "q_id", "q_emb", 2)
+      .select(col("cid").as("cell"), col("q_id"), col("q_emb"), col("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    probes.join(assign, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score",
+        dotd(col("q_emb"), col("c_emb2")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_topk"    -> (ivfTopK _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_top_pairs"   -> (topPairs _),
     "sim_lsh_buckets" -> (lshBuckets _),
@@ -150,6 +198,38 @@ object LlmSimilarity extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "sim_ivf_topk" -> {
+      val dotQC = sqlDot("q.embedding", "c.embedding")
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT cell, vec_id AS c_id, embedding AS c_emb,
+         |    sqrt(${sqlDot("e2.embedding", "e2.embedding")}) AS c_norm
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.embedding", "c.embedding")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) e2
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT cell, vec_id AS q_id, embedding AS q_emb,
+         |    sqrt(${sqlDot("e2.embedding", "e2.embedding")}) AS q_norm
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${sqlDot("e.embedding", "c.embedding")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.vec_id BETWEEN 10 AND 14) e2
+         |  WHERE rn <= 2)
+         |SELECT q_id, rank, c_id, score FROM (
+         |  SELECT p.q_id, a.c_id,
+         |    ${sqlDot("p.q_emb", "a.c_emb")} / (p.q_norm * a.c_norm) AS score,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${sqlDot("p.q_emb", "a.c_emb")} / (p.q_norm * a.c_norm) DESC,
+         |        a.c_id) AS rank
+         |  FROM probes p JOIN assign a ON p.cell = a.cell
+         |  WHERE p.q_id <> a.c_id) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
     "sim_cosine_topk" ->
       s"""SELECT q_id, rank, c_id, score FROM (
          |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
