@@ -102,7 +102,55 @@ object Scalars extends QueryModule {
           col("user_id").as("u"))).as("packed"))
       .orderBy(col("event_id"))
 
+  /** Map-typed column battery (§2.8): build, inspect, transform. Only
+    * map-derived scalars are emitted (MAP columns themselves don't
+    * hash-compare portably across parquet/pandas representations). */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    val m = map_from_entries(array(
+      struct(lit("brand").as("k"), col("p_brand").as("v")),
+      struct(lit("type").as("k"), col("p_type").as("v"))))
+    Tables.part(s, d)
+      .select(col("p_partkey"), m.as("m"))
+      .select(
+        col("p_partkey"),
+        map_entries(col("m")).getItem(0).getField("value").as("first_entry_value"),
+        size(col("m")).as("m_size"),
+        element_at(col("m"), "brand").as("brand_val"),
+        array_join(map_keys(col("m")), ",").as("keys_joined"),
+        element_at(transform_values(col("m"), (_, v) => upper(v)), "type")
+          .as("type_upper"),
+        map_contains_key(col("m"), "brand").cast("int").as("has_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** The SQL entry path (`spark.sql` over temp views) with a TPC-H Q5
+    * shape — customer and supplier in the same nation, revenue per nation
+    * in one region/year. Exercises Catalyst's SQL parser + join reorder on
+    * a 6-table join. */
+  def sqlQ5Shape(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS STRING) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_maps"   -> (mapFuncs _),
+    "sql_q5_shape"  -> (sqlQ5Shape _),
     "scalar_strings" -> (stringFuncs _),
     "scalar_dates"   -> (dateFuncs _),
     "scalar_math"    -> (mathFuncs _),
@@ -111,6 +159,31 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "scalar_maps" ->
+      """SELECT p_partkey,
+        |  p_brand AS first_entry_value,
+        |  2 AS m_size,
+        |  p_brand AS brand_val,
+        |  'brand,type' AS keys_joined,
+        |  upper(p_type) AS type_upper,
+        |  1 AS has_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sql_q5_shape" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |    * CAST(1.0 - l_discount AS DECIMAL(8,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "scalar_strings" ->
       """SELECT p_partkey,
         |  lower(p_name) AS lower_name, upper(p_brand) AS upper_brand,

@@ -30,4 +30,24 @@ class ContractSpec extends AnyFunSuite {
       assert(n1 > 0, s"$name returned no rows at sf0.001")
     }
   }
+
+  test("results are stable under shuffle.partitions ∈ {1, 7} (SURVEY §5.2)") {
+    // rows-only queries excluded: dd_minhash_pairs emits candidate pairs
+    // whose jaccard ties make the top-100 cut partition-order-sensitive
+    // at the margin; the oracle-gated set must be bitwise stable.
+    val gated = SparkEntry.oracleSql.keySet
+    def runAll(parts: String): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries.filter(q => gated(q._1)).map { case (name, fn) =>
+        name -> fn(spark, TestSpark.sf).collect()
+          .map(_.toString).toSeq
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    val a = runAll("1")
+    val b = runAll("7")
+    a.keys.foreach { k =>
+      assert(a(k) == b(k), s"$k differs across shuffle partition counts")
+    }
+  }
 }
