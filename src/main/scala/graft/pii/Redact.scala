@@ -78,6 +78,7 @@ object Redact {
             if (rest.isEmpty) true
             else f.dataType match {
               case st: StructType => hasPath(st, rest)
+              case ArrayType(st: StructType, _) => hasPath(st, rest)
               case _ => false
             }
         }
@@ -101,20 +102,40 @@ object Redact {
         field.dataType match {
           case st: StructType
               if byPath.keys.exists(_.startsWith(path + ".")) =>
-            val kids = st.fields.toSeq.flatMap { kf =>
-              rewrite(c.getField(kf.name), kf, prefix :+ field.name, byPath)
-            }
-            require(kids.nonEmpty, s"all fields of struct $path dropped")
-            // preserve outer nullability: a null struct stays null
-            Some(when(c.isNull, lit(null).cast(StructType(
-                st.fields.filter(kf => !byPath.get(path + "." + kf.name)
-                  .exists(_.isInstanceOf[Drop]))
-                  .map(kf => rewriteType(kf, path, byPath)))))
-              .otherwise(struct(kids: _*)).as(field.name))
+            Some(rebuildStruct(c, st, path, byPath).as(field.name))
+          case ArrayType(st: StructType, containsNull)
+              if byPath.keys.exists(_.startsWith(path + ".")) =>
+            // PII inside an array of structs: rebuild every element
+            // (path addresses the element field, e.g. "contacts.email")
+            Some(when(c.isNull, lit(null).cast(ArrayType(
+                droppedType(st, path, byPath), containsNull)))
+              .otherwise(transform(c, elem =>
+                when(elem.isNull, lit(null).cast(droppedType(st, path, byPath)))
+                  .otherwise(rebuildStruct(elem, st, path, byPath))))
+              .as(field.name))
           case _ => Some(c.as(field.name))
         }
     }
   }
+
+  /** Rebuild a struct value applying nested actions below `path`. */
+  private def rebuildStruct(c: Column, st: StructType, path: String,
+      byPath: Map[String, Action]): Column = {
+    val kids = st.fields.toSeq.flatMap { kf =>
+      rewrite(c.getField(kf.name), kf, path.split('.').toSeq, byPath)
+    }
+    require(kids.nonEmpty, s"all fields of struct $path dropped")
+    // preserve outer nullability: a null struct stays null
+    when(c.isNull, lit(null).cast(droppedType(st, path, byPath)))
+      .otherwise(struct(kids: _*))
+  }
+
+  /** The struct type after Drop actions below `path` are applied. */
+  private def droppedType(st: StructType, path: String,
+      byPath: Map[String, Action]): StructType =
+    StructType(st.fields
+      .filter(kf => !byPath.get(path + "." + kf.name).exists(_.isInstanceOf[Drop]))
+      .map(kf => rewriteType(kf, path, byPath)))
 
   private def rewriteType(f: StructField, parent: String,
       byPath: Map[String, Action]): StructField =
@@ -125,6 +146,12 @@ object Redact {
           st.fields.filter(kf => !byPath.get(p + "." + kf.name)
             .exists(_.isInstanceOf[Drop]))
             .map(kf => rewriteType(kf, p, byPath))))
+      case ArrayType(st: StructType, cn) =>
+        val p = parent + "." + f.name
+        f.copy(dataType = ArrayType(StructType(
+          st.fields.filter(kf => !byPath.get(p + "." + kf.name)
+            .exists(_.isInstanceOf[Drop]))
+            .map(kf => rewriteType(kf, p, byPath))), cn))
       case _ => f
     }
 }

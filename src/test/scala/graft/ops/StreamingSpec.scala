@@ -54,6 +54,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == exact)
   }
 
+  test("stateful per-user running count via transformWithState (RocksDB)") {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    class CountProcessor extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+      @transient private var state: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+          timers: TimerValues): Iterator[(Long, Long)] = {
+        val n = (if (state.exists()) state.get() else 0L) + rows.size
+        state.update(n)
+        Iterator.single((key, n))
+      }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val counts = streamEvents()
+        .select($"user_id", $"event_id").as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+      val q = counts.toDF("user_id", "n")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("tws_out").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("tws_out").groupBy($"user_id").agg(max($"n").as("n"))
+      val batch = Tables.events(spark, TestSpark.sf)
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful per-user running count via mapGroupsWithState") {
     val counts = streamEvents()
       .select($"user_id", $"event_id")

@@ -70,6 +70,24 @@ class RedactSpec extends AnyFunSuite {
     }
   }
 
+  test("redacts fields inside arrays of structs, preserving null elements") {
+    val df = Seq(1L, 2L).toDF("id").select($"id",
+      when($"id" === 1L, array(
+        struct(lit("a@x.com").as("email"), lit(7).as("n")),
+        struct(lit("b@y.org").as("email"), lit(9).as("n"))))
+        .as("contacts"))
+    val out = Redact(df, Seq(
+      Redact.HashPseudonym("contacts.email", "s"),
+      Redact.Drop("contacts.n")))
+    val t = out.schema("contacts").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(t.fieldNames.toSeq == Seq("email"))
+    val rows = out.orderBy("id").collect()
+    val first = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(first.length == 2 && first.forall(_.getString(0).length == 64))
+    assert(rows(1).isNullAt(1))
+  }
+
   test("nested drop + mask rebuilds struct, preserves null struct rows") {
     val df = sample.select($"id",
       when($"id" =!= 3L,
