@@ -148,9 +148,26 @@ object Scalars extends QueryModule {
         |ORDER BY n_name""".stripMargin)
   }
 
+  /** Correlated scalar subquery through the SQL path — Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates it into a join, so the
+    * executed plan is shuffle-join shaped, not nested-loop (SURVEY §4). */
+  def sqlCorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Seq("orders", "customer").foreach(t =>
+      Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |       / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scalar_maps"   -> (mapFuncs _),
     "sql_q5_shape"  -> (sqlQ5Shape _),
+    "sql_corr_subquery" -> (sqlCorrelatedSubquery _),
     "scalar_strings" -> (stringFuncs _),
     "scalar_dates"   -> (dateFuncs _),
     "scalar_math"    -> (mathFuncs _),
@@ -168,6 +185,14 @@ object Scalars extends QueryModule {
         |  upper(p_type) AS type_upper,
         |  1 AS has_brand
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "sql_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |       / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "sql_q5_shape" ->
       """SELECT n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))

@@ -89,6 +89,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("vector-mean Aggregator matches sorted-fold centroids to 1e-9") {
+    val vm = udaf(graft.functions.VectorMeanAggregator,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val got = graft.Tables.embeddings(spark, TestSpark.sf)
+      .groupBy($"label").agg(vm($"embedding").as("centroid"))
+      .select($"label", posexplode($"centroid").as(Seq("pos", "mean")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val expected = LlmSimilarity.centroids(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-9, s"centroid $k: ${got(k)} vs $v")
+    }
+  }
+
   test("multimodal features: pinned byte means and fixed width") {
     val d = docsDir(Seq(1L -> ("A" * 80)))   // byte 65 everywhere
     val row = Multimodal.features(spark, d).collect().head
