@@ -171,8 +171,21 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup (the dedup-by-embedding operator): the 10
+    * closest pairs become (keep, dup) decisions — keep the smaller id.
+    * Emitted threshold-free (top-10) so the query is scale-robust; in
+    * production the `score >= τ` filter replaces the limit and the pair
+    * source is the LSH/IVF candidate stream, not the full cross join. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame =
+    topPairs(s, d)
+      .limit(10)
+      .select(col("a_id").as("keep_id"), col("b_id").as("dup_id"),
+        col("score"))
+      .orderBy(col("score").desc, col("keep_id"), col("dup_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk"    -> (ivfTopK _),
+    "dd_embed_neardup" -> (embeddingNearDup _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_top_pairs"   -> (topPairs _),
     "sim_lsh_buckets" -> (lshBuckets _),
@@ -198,6 +211,13 @@ object LlmSimilarity extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "dd_embed_neardup" ->
+      s"""SELECT a_id AS keep_id, b_id AS dup_id, score FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${sqlCos("a.embedding", "b.embedding")} AS score
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  ORDER BY score DESC, a_id, b_id LIMIT 10) t
+         |ORDER BY score DESC, keep_id, dup_id""".stripMargin,
     "sim_ivf_topk" -> {
       val dotQC = sqlDot("q.embedding", "c.embedding")
       s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),

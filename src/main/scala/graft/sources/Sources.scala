@@ -74,13 +74,31 @@ object Sources extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** parquet → ORC → read → aggregate (ORC keeps types incl. doubles). */
+  def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("orc_part", d)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      Tables.part(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"))
+      .orderBy(col("p_brand"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_orc_roundtrip"  -> (orcRoundTrip _),
     "src_csv_roundtrip"  -> (csvRoundTrip _),
     "src_json_roundtrip" -> (jsonRoundTrip _),
     "sink_partitioned"   -> (partitionedWrite _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "src_orc_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "src_csv_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS names

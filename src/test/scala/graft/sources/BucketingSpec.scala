@@ -12,6 +12,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("partition pruning: filter on partition column skips directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.orders(spark, TestSpark.sf)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("o_orderstatus"), s"no partition filter:\n$scan")
+    val all = Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(q.count() == all)
+  }
+
   test("join on bucketed tables plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
