@@ -125,6 +125,61 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken's rolling-hash
+  * scheme): k-char rolling polynomial hashes, then the minimum hash of each
+  * sliding window of w hashes (rightmost-min rule) — the classic
+  * plagiarism/near-dup fingerprint. One per-row loop; returns the sorted
+  * distinct selected fingerprints. */
+case class WinnowingFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toLowerCase.toString
+    if (s.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val B = 1000003L
+    // rolling polynomial hash over chars, finalized with mix64 so window
+    // minima are well distributed
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = TextHashing.mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hs(i) = TextHashing.mix64(h)
+      i += 1
+    }
+    if (n <= w) return new GenericArrayData(Array(hs.min).distinct.sorted)
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    i = 0
+    while (i + w <= n) {
+      // rightmost minimal hash in window [i, i+w)
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+      selected += hs(minIdx)
+      i += 1
+    }
+    new GenericArrayData(selected.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -133,9 +188,12 @@ object TextFunctions {
       "graft_shingles3", exprs => ShingleHashSet(exprs.head, 3), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash32", exprs => MinHashSignature(exprs.head, 32), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", exprs => WinnowingFingerprint(exprs.head, 8, 4), "built-in")
   }
 
   def shingles2(c: Column): Column = call_function("graft_shingles2", c)
   def shingles3(c: Column): Column = call_function("graft_shingles3", c)
   def minhash32(c: Column): Column = call_function("graft_minhash32", c)
+  def winnow(c: Column): Column = call_function("graft_winnow", c)
 }

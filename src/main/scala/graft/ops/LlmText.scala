@@ -93,7 +93,49 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Rolling-hash winnowing fingerprints (k=8 chars, window 4): per doc the
+    * count of selected fingerprints plus a stable digest of the set —
+    * overlap of these sets is the plagiarism-style near-dup signal.
+    * Rows-only (rolling-hash selection isn't reasonably expressible in the
+    * SQL oracle); semantics pinned in LlmSpec (identity, shift-robustness). */
+  def winnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.winnow(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fingerprints"),
+        xxhash64(concat_ws(",", col("fps").cast("array<string>"))).as("fp_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF per (doc, token), top-5 terms per document. The idf factor is
+    * expressed as the exact ratio N/df (a monotone transform of ln(N/df))
+    * so scores are IEEE-division-exact on both engines — ln differs in the
+    * last ulp between libm implementations and would break hash parity. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    terms.join(df, "token")
+      .withColumn("score",
+        col("tf") * (lit(n.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow_fp"   -> (winnowFingerprint _),
+    "text_tfidf"       -> (tfidf _),
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (quality _),
     "text_token_counts" -> (tokenCounts _),
@@ -106,6 +148,22 @@ object LlmText extends QueryModule {
     s"len(list_filter($sqlToks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   override def oracleSql: Map[String, String] = Map(
+    "text_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($sqlToks) AS token FROM documents) u
+         |  GROUP BY doc_id, token),
+         |dfreq AS (
+         |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+         |SELECT doc_id, rk, token, tf, df, score FROM (
+         |  SELECT t.doc_id, t.token, t.tf, d.df,
+         |    t.tf * (n.n_docs / d.df) AS score,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY t.tf * (n.n_docs / d.df) DESC, t.token) AS rk
+         |  FROM terms t JOIN dfreq d ON t.token = d.token CROSS JOIN n) x
+         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    // text_winnow_fp: rows-only (rolling-hash winnowing; see Scaladoc)
     "text_lang_id" ->
       s"""SELECT doc_id, lang,
          |  ${sqlHits(stopwords("en"))} AS s_en, ${sqlHits(stopwords("es"))} AS s_es,

@@ -104,6 +104,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing fingerprints: identical docs match, prefix shift keeps overlap") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def fp(text: String): Set[Long] =
+      graft.functions.WinnowingFingerprint(Literal(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), 8, 4)
+        .nullSafeEval(UTF8String.fromString(text))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toLongArray().toSet
+    val t = "the quick brown fox jumps over the lazy dog while spark shuffles partitions"
+    assert(fp(t) == fp(t))
+    val shifted = fp("PREFIX " + t)
+    val overlap = fp(t).intersect(shifted).size.toDouble / fp(t).size
+    assert(overlap > 0.6, s"winnowing not shift-robust: $overlap")
+    assert(fp(t).intersect(fp("completely different content here entirely")).isEmpty)
+  }
+
   test("multimodal features: pinned byte means and fixed width") {
     val d = docsDir(Seq(1L -> ("A" * 80)))   // byte 65 everywhere
     val row = Multimodal.features(spark, d).collect().head
