@@ -120,8 +120,47 @@ object Aggs extends QueryModule {
       .orderBy(col("o_custkey"))
   }
 
+  /** Pivot: status × priority count matrix (explicit pivot values — at
+    * scale never let pivot scan for distinct values). */
+  def pivotStatusPriority(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+        "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Variance/stddev with exact-decimal moments: Σx and Σx² are exact
+    * decimal sums (add-order-free), converted via string to bit-identical
+    * doubles; the final variance arithmetic and sqrt are then IEEE-exact
+    * on both engines — the portable form of a float-unstable aggregate. */
+  def varianceStats(s: SparkSession, d: String): DataFrame = {
+    val sx  = sum(col("o_totalprice").cast("decimal(18,4)"))
+      .cast("string").cast("double")
+    val sx2 = sum(col("o_totalprice").cast("decimal(12,4)")
+        * col("o_totalprice").cast("decimal(12,4)"))
+      .cast("string").cast("double")
+    val nn = count(lit(1))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(nn.as("n"), sx.as("sum_x"), sx2.as("sum_x2"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("sum_x") / col("n")).as("mean"),
+        ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
+          / (col("n") - 1)).as("variance"),
+        sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
+          / (col("n") - 1)).as("stddev"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_argmax_udaf"   -> (argMaxOrder _),
+    "agg_pivot"         -> (pivotStatusPriority _),
+    "agg_variance"      -> (varianceStats _),
     "agg_stats"         -> (stats _),
     "agg_rollup"        -> (rollupStatus _),
     "agg_cube"          -> (cubeFlags _),
@@ -134,6 +173,25 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_variance" ->
+      """SELECT o_orderstatus, n, sum_x / n AS mean,
+        |  (sum_x2 - sum_x * sum_x / n) / (n - 1) AS variance,
+        |  sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev
+        |FROM (
+        |  SELECT o_orderstatus, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_x,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+        |      * CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sum_x2
+        |  FROM orders GROUP BY o_orderstatus) t
+        |ORDER BY o_orderstatus""".stripMargin,
     "agg_argmax_udaf" ->
       """SELECT o_custkey, o_orderkey AS best_order FROM (
         |  SELECT o_custkey, o_orderkey, row_number() OVER (
