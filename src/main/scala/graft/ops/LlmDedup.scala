@@ -160,7 +160,72 @@ object LlmDedup extends QueryModule {
       .limit(200)
   }
 
+  /** Dedup endgame: near-dup PAIRS → connected-component CLUSTERS, one
+    * representative per cluster (the min doc_id). Edges are bigram-Jaccard
+    * ≥ 0.06 within (lang, source) blocks; components are computed by
+    * iterative min-label propagation — each round is one distributed
+    * join+groupBy, rounds ≤ graph diameter, with a driver-side fixpoint
+    * check (the standard large-graph CC loop; GraphX-free). The result is
+    * the well-defined fixpoint (min reachable id per node), so the DuckDB
+    * recursive-CTE oracle converges to the identical labeling. */
+  def clusterComponents(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.TextFunctions.shingles2(col("text")).as("bg"))
+      .filter(size(col("bg")) >= 1)
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("a_id"), col("bg").as("a_bg"))
+    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("b_id"), col("bg").as("b_bg"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersect(col("a_bg"), col("b_bg"))
+    val edges = a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") /
+         (size(col("a_bg")) + size(col("b_bg")) - inter)).as("j"))
+      .filter(col("j") >= 0.1)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()   // eager: the expensive pair join runs exactly once
+    val sym = edges.unionByName(
+      edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    var labels = edges.select(col("a_id").as("id"))
+      .unionByName(edges.select(col("b_id").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 25) {
+      val nbr = sym.join(labels, sym("b_id") === labels("id"))
+        .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
+      val stepped = labels.join(nbr, labels("id") === nbr("a_id"), "left")
+        .select(labels("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      // Pointer jumping: also take the label OF my label's node (labels only
+      // ever decrease toward the component min, so this shortcut preserves
+      // the fixpoint while making convergence O(log diameter) instead of
+      // O(diameter) rounds — path-length halving).
+      val parents = stepped.select(col("id").as("p_id"), col("label").as("p_label"))
+      // localCheckpoint: materializes the labeling and CUTS the lineage —
+      // without it the plan nests deeper per round and heap/analysis cost
+      // grows superlinearly; the old label rides along so convergence is
+      // read off the same materialized result (no extra join per round).
+      val next = stepped.join(parents, stepped("label") === parents("p_id"), "left")
+        .select(stepped("id"), col("old"),
+          coalesce(col("p_label"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.drop("old")
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_clusters"       -> (clusterComponents _),
     "dd_exact"          -> (exact _),
     "dd_minhash_sig"    -> (minhashSignatures _),
     "dd_minhash_pairs"  -> (minhashCandidatePairs _),
@@ -177,6 +242,27 @@ object LlmDedup extends QueryModule {
     s"CAST(('0x' || substring(md5('$seed:' || $e), 1, 8)) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "dd_clusters" -> {
+      val bg = s"list_distinct(list_transform(generate_series(1, len($sqlToks) - 1), " +
+        s"i -> ($sqlToks)[i] || '_' || ($sqlToks)[i+1]))"
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, lang, source, $bg AS bg FROM documents
+         |  WHERE len($sqlToks) >= 2),
+         |e AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+         |    (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))) >= 0.1),
+         |sym AS (SELECT a_id, b_id FROM e UNION ALL SELECT b_id, a_id FROM e),
+         |verts AS (SELECT DISTINCT a_id AS id FROM sym),
+         |reach(node, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.a_id, r.lbl FROM sym s JOIN reach r ON s.b_id = r.node)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    },
     "dd_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
