@@ -37,6 +37,18 @@ object Joins extends QueryModule {
            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
       .orderBy(col("c_custkey"))
 
+  /** Right outer — mirror of the left join with the fact table on the
+    * build/left side: every customer kept from the right side, order count
+    * + exact total (0 for none). Same 100-TB posture as the left form: one
+    * shuffle on the join key, partial-agg before the final group. */
+  def rightJoinOrderCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
   /** Left-semi (EXISTS): customers having a 2001 order. */
   def semiJoin(s: SparkSession, d: String): DataFrame = {
     val o2001 = Tables.orders(s, d)
@@ -164,6 +176,7 @@ object Joins extends QueryModule {
     "join_salted_skew"     -> (saltedSkewJoin _),
     "join_broadcast_chain" -> (broadcastDimChain _),
     "join_left_counts"     -> (leftJoinOrderCounts _),
+    "join_right_counts"    -> (rightJoinOrderCounts _),
     "join_semi"            -> (semiJoin _),
     "join_anti"            -> (antiJoin _),
     "join_full_outer"      -> (fullOuterJoin _),
@@ -203,6 +216,11 @@ object Joins extends QueryModule {
       s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
          |  COALESCE(${sqlDsum("CAST(o_totalprice AS DECIMAL(18,4))")}, 0.0) AS total_spent
          |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_right_counts" ->
+      s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+         |  COALESCE(${sqlDsum("CAST(o_totalprice AS DECIMAL(18,4))")}, 0.0) AS total_spent
+         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_mktsegment FROM customer

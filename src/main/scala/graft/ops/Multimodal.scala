@@ -54,12 +54,16 @@ object Multimodal extends QueryModule {
     * `blockMeans`. The mapPartitions shape — iterate rows, emit fixed-width
     * Array[Double] — is the real contract a codec UDF would plug into.
     * Registered rows-only (byte-level math is not reasonably expressible in
-    * the SQL oracle); MultimodalSpec pins exact feature values. */
+    * the SQL oracle); MultimodalSpec pins exact feature values.
+    *
+    * Output contract: registered queries never emit raw ARRAY columns (the
+    * driver's pandas comparer can't sort ndarray cells), so the feature
+    * vector is unpacked into scalar columns f0..f7 + feature_sum. */
   def features(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val dim = 8
-    assets(s, d)
+    val vecs = assets(s, d)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -75,8 +79,10 @@ object Multimodal extends QueryModule {
         })
       }
       .toDF("doc_id", "features")
-      .select(col("doc_id"), col("features"),
-        aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feature_sum"))
+    val fCols = (0 until dim).map(i => element_at(col("features"), i + 1).as(s"f$i"))
+    vecs
+      .select(col("doc_id") +: fCols :+
+        aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feature_sum"): _*)
       .orderBy(col("doc_id"))
   }
 

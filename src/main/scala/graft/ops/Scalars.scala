@@ -77,13 +77,13 @@ object Scalars extends QueryModule {
       .select(
         col("p_partkey"),
         col("p_size"),
-        size(sequence(lit(1), col("p_size"))).as("seq_len"),
+        size(sequence(lit(1), col("p_size"))).cast("long").as("seq_len"),
         aggregate(transform(sequence(lit(1), col("p_size")), x => x * x),
           lit(0L), (acc, x) => acc + x).as("sum_squares"),
         aggregate(filter(sequence(lit(1), col("p_size")), x => x % 2 === 0),
           lit(0L), (acc, x) => acc + x).as("sum_evens"),
         array_contains(sequence(lit(1), col("p_size")), 5).cast("int").as("has_5"),
-        element_at(sequence(lit(1), col("p_size")), -1).as("last_elem"),
+        element_at(sequence(lit(1), col("p_size")), -1).cast("long").as("last_elem"),
         aggregate(slice(sequence(lit(1), col("p_size")), lit(1),
             least(lit(3), col("p_size"))), lit(0L), (acc, x) => acc + x)
           .as("sum_first3"),
@@ -99,7 +99,12 @@ object Scalars extends QueryModule {
         from_json(col("props"), StructType(Seq(StructField("k", LongType))))
           .getField("k").as("k_struct"),
         to_json(struct(col("event_type").as("t"),
-          col("user_id").as("u"))).as("packed"))
+          col("user_id").as("u"))).as("packed"),
+        // json_tuple is a Generator (UDTF-style multi-column extraction);
+        // single-path use emits one string column, cast below.
+        json_tuple(col("props"), "k").as("k_tuple_raw"))
+      .withColumn("k_tuple", col("k_tuple_raw").cast("long"))
+      .drop("k_tuple_raw")
       .orderBy(col("event_id"))
 
   /** Map-typed column battery (§2.8): build, inspect, transform. Only
@@ -250,11 +255,11 @@ object Scalars extends QueryModule {
     "scalar_arrays" ->
       """SELECT p_partkey, p_size,
         |  len(generate_series(1, p_size)) AS seq_len,
-        |  list_sum(list_transform(generate_series(1, p_size), x -> x * x)) AS sum_squares,
-        |  COALESCE(list_sum(list_filter(generate_series(1, p_size), x -> x % 2 = 0)), 0) AS sum_evens,
+        |  CAST(list_sum(list_transform(generate_series(1, p_size), x -> x * x)) AS BIGINT) AS sum_squares,
+        |  CAST(COALESCE(list_sum(list_filter(generate_series(1, p_size), x -> x % 2 = 0)), 0) AS BIGINT) AS sum_evens,
         |  CAST(list_contains(generate_series(1, p_size), 5) AS INT) AS has_5,
         |  generate_series(1, p_size)[-1] AS last_elem,
-        |  list_sum(generate_series(1, p_size)[1:least(3, p_size)]) AS sum_first3,
+        |  CAST(list_sum(generate_series(1, p_size)[1:least(3, p_size)]) AS BIGINT) AS sum_first3,
         |  array_to_string(list_transform(generate_series(1, least(p_size, 4)),
         |    x -> CAST(x AS VARCHAR)), '-') AS joined
         |FROM part WHERE p_size <= 10 ORDER BY p_partkey""".stripMargin,
@@ -262,7 +267,8 @@ object Scalars extends QueryModule {
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_num,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_struct,
-        |  to_json(struct_pack(t := event_type, u := user_id)) AS packed
+        |  to_json(struct_pack(t := event_type, u := user_id)) AS packed,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_tuple
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

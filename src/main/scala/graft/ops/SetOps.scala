@@ -53,6 +53,18 @@ object SetOps extends QueryModule {
       .distinct()
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** Partition-local sort (§2.7): hash-repartition on the key, then
+    * `sortWithinPartitions` — Exchange + per-partition SortExec with NO
+    * global range exchange, the shape used to prep clustered writes and
+    * merge-friendly downstream reads at 100 TB. The driver's comparer is
+    * order-insensitive, so the oracle checks content; SetOpsSpec asserts
+    * the per-partition ordering itself. */
+  def partitionLocalSort(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
+
   /** Predicate battery: IN / BETWEEN / LIKE / null-safe equality — all
     * pushed to the parquet scan. */
   def predicateBattery(s: SparkSession, d: String): DataFrame =
@@ -73,6 +85,7 @@ object SetOps extends QueryModule {
     "sort_limit"        -> (sortLimit _),
     "distinct_flags"    -> (distinctFlags _),
     "filter_battery"    -> (predicateBattery _),
+    "sort_within_partitions" -> (partitionLocalSort _),
   )
 
   private val y96 =
@@ -102,6 +115,8 @@ object SetOps extends QueryModule {
     "distinct_flags" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sort_within_partitions" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin,
     "filter_battery" ->
       """SELECT p_partkey, p_name, p_size, p_retailprice FROM part
         |WHERE p_size IN (5, 10, 15, 20)

@@ -123,9 +123,11 @@ class LlmSpec extends AnyFunSuite {
 
   test("multimodal features: pinned byte means and fixed width") {
     val d = docsDir(Seq(1L -> ("A" * 80)))   // byte 65 everywhere
-    val row = Multimodal.features(spark, d).collect().head
-    val feats = row.getSeq[Double](1)
-    assert(feats.length == 8 && feats.forall(_ == 65.0))
-    assert(row.getDouble(2) == 8 * 65.0)
+    val df = Multimodal.features(spark, d)
+    // scalar f0..f7 columns, no raw array in the registered output
+    assert(df.columns.toSeq == "doc_id" +: (0 until 8).map(i => s"f$i") :+ "feature_sum")
+    val row = df.collect().head
+    (1 to 8).foreach(i => assert(row.getDouble(i) == 65.0))
+    assert(row.getDouble(9) == 8 * 65.0)
   }
 }
