@@ -190,10 +190,14 @@ object TextFunctions {
       "graft_minhash32", exprs => MinHashSignature(exprs.head, 32), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", exprs => WinnowingFingerprint(exprs.head, 8, 4), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands", exprs => MinHashBands(exprs.head, 16), "built-in")
   }
 
   def shingles2(c: Column): Column = call_function("graft_shingles2", c)
   def shingles3(c: Column): Column = call_function("graft_shingles3", c)
   def minhash32(c: Column): Column = call_function("graft_minhash32", c)
   def winnow(c: Column): Column = call_function("graft_winnow", c)
+  /** 16-band LSH row generator (UDTF) over a 32-hash MinHash signature. */
+  def minhashBands(c: Column): Column = call_function("graft_minhash_bands", c)
 }

@@ -97,6 +97,20 @@ object Aggs extends QueryModule {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
+  /** Approx quantiles via the GK/KLL-style mergeable sketch
+    * (`percentile_approx`) — the 100-TB quantile path: bounded-memory
+    * partial sketches merged at the final agg, vs the exact `percentile`
+    * above which collects per-group values. Rows-only gate (sketch
+    * internals differ across engines); accuracy vs the exact percentiles
+    * asserted in LlmSpec. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"))
+      .orderBy(col("o_orderstatus"))
+
   /** HLL approx distinct — rows-only gate (sketches differ across engines);
     * accuracy asserted in AggsSpec against exact counts. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
@@ -170,6 +184,7 @@ object Aggs extends QueryModule {
     "agg_quantiles"     -> (quantiles _),
     "agg_histogram"     -> (histogram _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_approx_quantiles" -> (approxQuantiles _),
   )
 
   override def oracleSql: Map[String, String] = Map(

@@ -183,7 +183,42 @@ object LlmSimilarity extends QueryModule {
         col("score"))
       .orderBy(col("score").desc, col("keep_id"), col("dup_id"))
 
+  /** ANN-candidate near-dup (the production-shape pair source the
+    * brute-force `dd_embed_neardup` is the baseline for): candidates are
+    * pairs sharing an 8-plane sign-random-projection bucket — a map-only
+    * signature + one per-bucket join, NO all-pairs scan — then reranked by
+    * exact cosine and the top-10 emitted as (keep, dup) decisions. 8 planes
+    * (not 16) so the candidate stage has real recall on mid-similarity
+    * pairs: a cos≈0.5 pair collides w.p. (1−θ/π)⁸ ≈ 4%, a random pair
+    * 0.4% — the usual multi-table/multi-probe amplification is orthogonal
+    * and would multiply the same plan. Oracle-exact: the hyperplanes are
+    * seeded constants shared into the oracle SQL, so DuckDB derives the
+    * identical buckets. */
+  def embeddingNearDupAnn(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bucket8 = hyperplanes.take(8).zipWithIndex.map { case (p, i) =>
+      val lits = array(p.map(lit): _*)
+      when(dotdFold(col("embedding"), lits) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"),
+        bucket8.as("bucket"))
+    val a = sig.select(col("bucket"), col("vec_id").as("keep_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_norm"))
+    val b = sig.select(col("bucket"), col("vec_id").as("dup_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_norm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("keep_id") < col("dup_id"))
+      .select(col("keep_id"), col("dup_id"),
+        (dotd(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+          .as("score"))
+      .orderBy(col("score").desc, col("keep_id"), col("dup_id"))
+      .limit(10)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_embed_neardup_ann" -> (embeddingNearDupAnn _),
     "sim_ivf_topk"    -> (ivfTopK _),
     "dd_embed_neardup" -> (embeddingNearDup _),
     "sim_cosine_topk" -> (cosineTopK _),
@@ -210,7 +245,24 @@ object LlmSimilarity extends QueryModule {
       s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
 
+  private val sqlBucket8: String = hyperplanes.take(8).zipWithIndex.map {
+    case (p, i) =>
+      s"(CASE WHEN list_reduce(list_transform(generate_series(1, 64), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * (${sqlPlane(p)})[i]), " +
+        s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
+  }.mkString(" + ")
+
   override def oracleSql: Map[String, String] = Map(
+    "dd_embed_neardup_ann" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+         |    $sqlBucket8 AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |  ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY score DESC, keep_id, dup_id LIMIT 10""".stripMargin,
     "dd_embed_neardup" ->
       s"""SELECT a_id AS keep_id, b_id AS dup_id, score FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

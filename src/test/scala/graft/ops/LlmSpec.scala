@@ -35,6 +35,35 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 4L })
   }
 
+  test("minhash bands UDTF: 16 rows per doc, dup docs collide in every band") {
+    graft.functions.TextFunctions.register(spark)
+    import graft.functions.TextFunctions._
+    val d = docsDir(Seq(1L -> base, 2L -> base,
+      4L -> "completely different words about spark query engines and columnar io"))
+    val bands = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), minhash32(shingles3(col("text"))).as("mh"))
+      .select(col("doc_id"), minhashBands(col("mh")).as(Seq("band", "sig")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(bands.count(_._1 == 1L) == 16)
+    val sigs = bands.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must collide in all bands")
+    assert(sigs(1L) != sigs(4L), "unrelated docs must not collide everywhere")
+    // NULL / too-short signature generates zero rows (explode-of-NULL contract)
+    val empty = spark.range(1)
+      .select(lit(null).cast("array<bigint>").as("mh"))
+      .select(minhashBands(col("mh")).as(Seq("band", "sig")))
+    assert(empty.count() == 0)
+  }
+
+  test("lsh clusters: dup trio forms one component labeled by min doc_id") {
+    val d = docsDir(Seq(
+      1L -> base, 2L -> base, 3L -> base.replace("lazy", "sleepy"),
+      4L -> "completely different words about spark query engines and columnar io"))
+    val rows = LlmDedup.lshClusters(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val d = docsDir(Seq(
       1L -> base, 2L -> base,
@@ -73,6 +102,18 @@ class LlmSpec extends AnyFunSuite {
       val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
       assert(scores.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
+  test("percentile_approx within 2% of exact percentile at sf0.001") {
+    val approx = Aggs.approxQuantiles(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Aggs.quantiles(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$k p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.02, s"$k p90 $a90 vs $p90")
     }
   }
 

@@ -54,6 +54,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == exact)
   }
 
+  test("stream-stream interval join matches batch twin") {
+    // Self-join of the event stream: each 'click' joined to 'view's by the
+    // same user within the preceding 10 minutes — both sides watermarked,
+    // the time-range predicate bounds the join state (the canonical
+    // stream-stream interval join; state is purged past the watermark).
+    val clicks = streamEvents()
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("c_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val views = streamEvents()
+      .filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"),
+        $"event_id".as("v_id"))
+      .withWatermark("v_ts", "30 minutes")
+    val joined = clicks.join(views,
+      $"c_user" === $"v_user" &&
+        $"v_ts" >= $"c_ts" - expr("INTERVAL 10 MINUTES") &&
+        $"v_ts" <= $"c_ts")
+    val q = joined.select($"c_id", $"v_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+    val ev = Tables.events(spark, TestSpark.sf)
+    val batch = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+      .join(ev.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id")),
+        $"c_user" === $"v_user" &&
+          $"v_ts" >= $"c_ts" - expr("INTERVAL 10 MINUTES") && $"v_ts" <= $"c_ts")
+      .select($"c_id", $"v_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful per-user running count via transformWithState (RocksDB)") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
