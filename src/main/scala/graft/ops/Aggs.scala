@@ -148,6 +148,20 @@ object Aggs extends QueryModule {
         "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
       .orderBy(col("o_orderstatus"))
 
+  /** UNPIVOT / melt — the reshape twin of pivot: wide numeric columns →
+    * (metric, value) long form via `Dataset.unpivot` (Spark's native melt;
+    * map-only, no shuffle, scale-free). Oracle is the portable UNION ALL
+    * expansion. */
+  def unpivotPartMetrics(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
   /** Variance/stddev with exact-decimal moments: Σx and Σx² are exact
     * decimal sums (add-order-free), converted via string to bit-identical
     * doubles; the final variance arithmetic and sqrt are then IEEE-exact
@@ -174,6 +188,7 @@ object Aggs extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_argmax_udaf"   -> (argMaxOrder _),
     "agg_pivot"         -> (pivotStatusPriority _),
+    "agg_unpivot"       -> (unpivotPartMetrics _),
     "agg_variance"      -> (varianceStats _),
     "agg_stats"         -> (stats _),
     "agg_rollup"        -> (rollupStatus _),
@@ -188,6 +203,14 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |  FROM part WHERE p_partkey <= 500
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice', p_retailprice
+        |  FROM part WHERE p_partkey <= 500) u
+        |ORDER BY p_partkey, metric""".stripMargin,
     "agg_pivot" ->
       """SELECT o_orderstatus,
         |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,

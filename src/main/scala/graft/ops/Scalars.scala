@@ -128,6 +128,59 @@ object Scalars extends QueryModule {
       .orderBy(col("p_partkey"))
   }
 
+  /** LATERAL correlated subquery (§2.4 adjunct): for each small-key
+    * customer, its top-2 orders by price — the SQL form of top-k-per-group
+    * where the inner query references the outer row. Catalyst plans the
+    * decorrelated form (rewritten to a window/join), so this stays one
+    * shuffle at scale, not a per-row subquery execution. */
+  def sqlLateralTopN(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 300
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
+  /** ANSI-safe `try_*` battery: errors become NULLs instead of runtime
+    * failures — the behavior a 100-TB batch job needs (one malformed row
+    * must not kill a 6-hour pipeline). try_divide(÷0), try_cast (bad
+    * string), try_element_at (out of bounds). */
+  def tryBattery(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 2000)
+      .select(
+        col("o_orderkey"),
+        try_divide(col("o_totalprice"), (col("o_custkey") % 3).cast("double"))
+          .as("div_or_null"),
+        try_element_at(sequence(lit(1), lit(3)), lit(5).cast("int"))
+          .cast("long").as("oob_elem"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+          .as("prio_num"))
+      .orderBy(col("o_orderkey"))
+
+  /** VariantType battery (§2.9, the Spark-4-native semi-structured path):
+    * `parse_json` → binary Variant column, typed reads via `variant_get`.
+    * Variant keeps the shredded binary form that scans ~an order of
+    * magnitude faster than string re-parsing at scale; the string-JSON
+    * twin lives in `scalar_json`. */
+  def variantBattery(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "bigint").as("k_long"),
+        variant_get(col("v"), "$.k", "double").as("k_double"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        variant_get(col("v"), "$.missing", "bigint").as("k_missing"))
+      .orderBy(col("event_id"))
+
   /** The SQL entry path (`spark.sql` over temp views) with a TPC-H Q5
     * shape — customer and supplier in the same nation, revenue per nation
     * in one region/year. Exercises Catalyst's SQL parser + join reorder on
@@ -171,6 +224,9 @@ object Scalars extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scalar_maps"   -> (mapFuncs _),
+    "scalar_try"    -> (tryBattery _),
+    "scalar_variant" -> (variantBattery _),
+    "sql_lateral_topn" -> (sqlLateralTopN _),
     "sql_q5_shape"  -> (sqlQ5Shape _),
     "sql_corr_subquery" -> (sqlCorrelatedSubquery _),
     "scalar_strings" -> (stringFuncs _),
@@ -181,6 +237,29 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "scalar_try" ->
+      """SELECT o_orderkey,
+        |  o_totalprice / NULLIF(CAST(o_custkey % 3 AS DOUBLE), 0.0) AS div_or_null,
+        |  CAST([1, 2, 3][5] AS BIGINT) AS oob_elem,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+    "scalar_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS k_double,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract(props, '$.missing') AS BIGINT) AS k_missing
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sql_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey <= 300
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
     "scalar_maps" ->
       """SELECT p_partkey,
         |  p_brand AS first_entry_value,

@@ -87,7 +87,23 @@ object Sources extends QueryModule {
       .orderBy(col("p_brand"))
   }
 
+  /** parquet → XML (Spark 4 built-in XML source) → read (explicit schema)
+    * → aggregate. `rowTag` names the per-record element; numeric types
+    * survive via explicit schema on read (never inference). */
+  def xmlRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("xml_region", d)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("rowTag", "nation").xml(dir)
+    s.read.schema(nationSchema).option("rowTag", "nation").xml(dir)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_xml_roundtrip"  -> (xmlRoundTrip _),
     "src_orc_roundtrip"  -> (orcRoundTrip _),
     "src_csv_roundtrip"  -> (csvRoundTrip _),
     "src_json_roundtrip" -> (jsonRoundTrip _),
@@ -95,6 +111,10 @@ object Sources extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "src_xml_roundtrip" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "src_orc_roundtrip" ->
       """SELECT p_brand, COUNT(*) AS n,
         |  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
