@@ -96,6 +96,36 @@ object Joins extends QueryModule {
       .orderBy(col("band"))
   }
 
+  /** Bucketized range join — the SHUFFLE-SAFE interval-join plan for when
+    * neither side is broadcastable (the broadcast-NL form above stops
+    * working once the band table is large): pick a bucket width, map each
+    * point to its single bucket (floor(v/w)), explode each interval to the
+    * buckets it spans, equi-join on the bucket key, and re-check the exact
+    * range as a residual predicate. Turns an O(|A|·|B|) nested loop into a
+    * hash shuffle join with per-bucket work — the standard rewrite (same
+    * idea as Databricks' range-join optimization; here expressed with
+    * sequence+explode so the optimizer sees a plain equi-join). A point
+    * falls in exactly one bucket, so no dedup is needed. */
+  def rangeBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 20.0
+    val bands = Seq(
+      ("B1", 0.0, 920.0), ("B2", 920.0, 940.0), ("B3", 940.0, 960.0),
+      ("B4", 960.0, 980.0), ("B5", 980.0, 2000.0))
+      .toDF("band", "lo", "hi")
+      .select(col("band"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / w).cast("long"),
+          floor((col("hi") - 0.001) / w).cast("long"))).as("bucket"))
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"),
+        floor(col("p_retailprice") / w).cast("long").as("bucket"))
+      .join(bands, Seq("bucket"))
+      .filter(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
   /** Cross join (intentionally tiny): region × region pairs. */
   def crossJoinRegions(s: SparkSession, d: String): DataFrame = {
     val r1 = Tables.region(s, d).select(col("r_name").as("a"))
@@ -181,6 +211,7 @@ object Joins extends QueryModule {
     "join_anti"            -> (antiJoin _),
     "join_full_outer"      -> (fullOuterJoin _),
     "join_range_bands"     -> (rangeBandJoin _),
+    "join_range_bucketed"  -> (rangeBucketedJoin _),
     "join_cross_regions"   -> (crossJoinRegions _),
     "join_asof"            -> (asofJoin _),
   )
@@ -247,6 +278,15 @@ object Joins extends QueryModule {
          |JOIN (VALUES ('B1', 0.0, 920.0), ('B2', 920.0, 940.0),
          |             ('B3', 940.0, 960.0), ('B4', 960.0, 980.0),
          |             ('B5', 980.0, 1e18)) AS bands(band, lo, hi)
+         |  ON p_retailprice >= lo AND p_retailprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+    "join_range_bucketed" ->
+      s"""SELECT band, COUNT(*) AS n_parts,
+         |  ${sqlDsum("CAST(p_retailprice AS DECIMAL(18,4))")} AS sum_price
+         |FROM part
+         |JOIN (VALUES ('B1', 0.0, 920.0), ('B2', 920.0, 940.0),
+         |             ('B3', 940.0, 960.0), ('B4', 960.0, 980.0),
+         |             ('B5', 980.0, 2000.0)) AS bands(band, lo, hi)
          |  ON p_retailprice >= lo AND p_retailprice < hi
          |GROUP BY band ORDER BY band""".stripMargin,
     "join_cross_regions" ->

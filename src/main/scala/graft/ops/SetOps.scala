@@ -65,6 +65,18 @@ object SetOps extends QueryModule {
       .repartition(8, col("o_custkey"))
       .sortWithinPartitions(col("o_custkey"), col("o_orderkey"))
 
+  /** TABLESAMPLE (§2.7 adjunct): seeded Bernoulli sample pushed into the
+    * scan (SampleExec over the file scan — no full materialization), then
+    * a per-flag count. Deterministic for a fixed seed + partitioning;
+    * registered rows-only (the sampled subset is engine-specific by
+    * design) with determinism + fraction accuracy pinned in SetOpsSpec. */
+  def tableSample(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("l_returnflag"))
+
   /** Predicate battery: IN / BETWEEN / LIKE / null-safe equality — all
     * pushed to the parquet scan. */
   def predicateBattery(s: SparkSession, d: String): DataFrame =
@@ -86,6 +98,7 @@ object SetOps extends QueryModule {
     "distinct_flags"    -> (distinctFlags _),
     "filter_battery"    -> (predicateBattery _),
     "sort_within_partitions" -> (partitionLocalSort _),
+    "set_tablesample"   -> (tableSample _),
   )
 
   private val y96 =

@@ -60,8 +60,12 @@ object Windows extends QueryModule {
       .withColumn("rk", rank().over(w))
       .withColumn("drk", dense_rank().over(w))
       .withColumn("quartile", ntile(4).over(wTile))
+      // (rank−1)/(n−1) and rank/n are single IEEE divisions of integers —
+      // bit-identical across engines, no decimal routing needed.
+      .withColumn("pct_rk", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
       .select(col("p_brand"), col("p_partkey"), col("p_size"),
-        col("rk"), col("drk"), col("quartile"))
+        col("rk"), col("drk"), col("quartile"), col("pct_rk"), col("cume"))
       .orderBy(col("p_brand"), col("p_partkey"))
   }
 
@@ -126,7 +130,9 @@ object Windows extends QueryModule {
       """SELECT p_brand, p_partkey, p_size,
         |  rank() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rk,
         |  dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS drk,
-        |  ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS quartile
+        |  ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS quartile,
+        |  percent_rank() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS pct_rk,
+        |  cume_dist() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS cume
         |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
     "win_range_frame" ->
       """SELECT o_custkey, o_orderkey, day_no, COUNT(*) OVER (
