@@ -133,7 +133,32 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** End-to-end training-data prep capstone — the composition the library
+    * exists for, in one plan: quality filter (token count + chars/token
+    * band) → exact dedup (keep the min-doc_id representative per content
+    * hash) → per-(lang, source) corpus stats. Every stage is map-only or
+    * one partial-agg groupBy; the whole pipeline is two shuffles (dedup
+    * hash, final stats) regardless of corpus size. */
+  def prepPipeline(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(t).as("n_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("cpt"))
+      .filter(col("n_tokens") >= 5 && col("cpt") < 12)
+    val reps = kept
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    kept.join(reps, "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_prep"    -> (prepPipeline _),
     "text_winnow_fp"   -> (winnowFingerprint _),
     "text_tfidf"       -> (tfidf _),
     "text_lang_id"     -> (langId _),
@@ -148,6 +173,19 @@ object LlmText extends QueryModule {
     s"len(list_filter($sqlToks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   override def oracleSql: Map[String, String] = Map(
+    "pipeline_prep" ->
+      s"""WITH kept AS (
+         |  SELECT doc_id, lang, source, text, len($sqlToks) AS n_tokens
+         |  FROM documents
+         |  WHERE len($sqlToks) >= 5
+         |    AND CAST(length(text) AS DOUBLE) / len($sqlToks) < 12),
+         |reps AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  MIN(k.doc_id) AS first_doc
+         |FROM kept k JOIN reps r ON k.doc_id = r.doc_id
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_tfidf" ->
       s"""WITH terms AS (
          |  SELECT doc_id, token, COUNT(*) AS tf FROM (
