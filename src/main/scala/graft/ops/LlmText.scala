@@ -136,20 +136,21 @@ object LlmText extends QueryModule {
   /** End-to-end training-data prep capstone — the composition the library
     * exists for, in one plan: quality filter (token count + chars/token
     * band) → exact dedup (keep the min-doc_id representative per content
-    * hash) → per-(lang, source) corpus stats. Every stage is map-only or
-    * one partial-agg groupBy; the whole pipeline is two shuffles (dedup
-    * hash, final stats) regardless of corpus size. */
+    * hash, via `row_number` over the hash — no self-join) → per-(lang,
+    * source) corpus stats. EXACTLY two shuffles regardless of corpus
+    * size — the dedup window's hash partition and the stats groupBy —
+    * enforced by PlanAuditSpec. */
   def prepPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = tokens(col("text"))
-    val kept = Tables.documents(s, d)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         size(t).as("n_tokens"),
         (length(col("text")).cast("double") / size(t)).as("cpt"))
       .filter(col("n_tokens") >= 5 && col("cpt") < 12)
-    val reps = kept
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    kept.join(reps, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),

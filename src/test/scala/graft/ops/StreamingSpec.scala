@@ -42,6 +42,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming session window agg matches batch twin") {
+    val q = streamEvents()
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sessions_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessions_out")
+      .select(unix_micros($"session_window.start").as("w"), $"user_id", $"n_events")
+    val batch = Tables.events(spark, TestSpark.sf)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros($"session_window.start").as("w"), $"user_id", $"n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val q = streamEvents()
       .withWatermark("ts", "1 hour")
