@@ -146,6 +146,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful multi-row emission via flatMapGroupsWithState") {
+    // Emits one row per event type seen per user (running distinct-type
+    // tally) — the flatMap form's point is >1 output row per group+batch.
+    val out = streamEvents()
+      .select($"user_id", $"event_type")
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String)], state: GroupState[Set[String]]) =>
+          val seen = state.getOption.getOrElse(Set.empty) ++ rows.map(_._2)
+          state.update(seen)
+          seen.iterator.map(t => (user, t))
+      }
+    val q = out.toDF("user_id", "event_type")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("fmgs_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("fmgs_out").distinct()
+    val batch = Tables.events(spark, TestSpark.sf)
+      .select($"user_id", $"event_type").distinct()
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful per-user running count via mapGroupsWithState") {
     val counts = streamEvents()
       .select($"user_id", $"event_id")
