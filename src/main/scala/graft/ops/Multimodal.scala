@@ -86,9 +86,37 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling (the video/audio analog of image decode): every 128th
+    * byte offset yields one 32-byte "frame" slice — doc → (frame_idx,
+    * offset, frame hash, length) rows. A real pipeline replaces the slice
+    * with a codec's frame grab at the same plumbing points: per-row frame
+    * enumeration (explode of an offset sequence, no shuffle) and
+    * content-addressed frame output. Fully oracle-checkable because the
+    * slices are deterministic bytes. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val stride = 128
+    val frame = 32
+    assets(s, d)
+      .select(col("doc_id"), col("payload"),
+        octet_length(col("payload")).as("n_bytes"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          floor((col("n_bytes") - 1) / lit(stride.toDouble)).cast("int")))
+          .as("frame_idx"))
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * stride).cast("long").as("offset"),
+        expr(s"md5(substring(payload, frame_idx * $stride + 1, $frame))")
+          .as("frame_md5"),
+        expr(s"octet_length(substring(payload, frame_idx * $stride + 1, $frame))")
+          .cast("long").as("frame_len"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features"    -> (features _),
+    "mm_frame_sample" -> (frameSample _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -105,5 +133,16 @@ object Multimodal extends QueryModule {
         |  CAST((doc_id % 3) * 120 + 240 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_features: rows-only (stubbed byte-level decode; see Scaladoc)
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+        |  CAST(frame_idx * 128 AS BIGINT) AS "offset",
+        |  md5(substring(text, CAST(frame_idx * 128 + 1 AS INT), 32)) AS frame_md5,
+        |  CAST(length(substring(text, CAST(frame_idx * 128 + 1 AS INT), 32))
+        |    AS BIGINT) AS frame_len
+        |FROM (
+        |  SELECT doc_id, text, unnest(generate_series(0,
+        |    CAST(floor((length(text) - 1) / 128.0) AS BIGINT))) AS frame_idx
+        |  FROM documents) f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
