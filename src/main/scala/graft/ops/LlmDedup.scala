@@ -230,10 +230,14 @@ object LlmDedup extends QueryModule {
     val edges = edges0.localCheckpoint()   // eager: edge generation runs exactly once
     val sym = edges.unionByName(
       edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    var labels = edges.select(col("a_id").as("id"))
-      .unionByName(edges.select(col("b_id").as("id")))
-      .distinct()
-      .select(col("id"), col("id").as("label"))
+    // Fused round 0: labels start at min(self, neighbors) — one groupBy
+    // over the symmetric edge list, no join — which equals the state after
+    // the plain loop's first propagation step, so one full round (join +
+    // groupBy + checkpoint) is saved and the fixpoint is unchanged.
+    var labels = sym
+      .select(col("a_id").as("id"), col("b_id").as("nbr"))
+      .groupBy(col("id"))
+      .agg(least(min(col("nbr")), col("id")).as("label"))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 25) {
