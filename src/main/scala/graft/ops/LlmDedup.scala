@@ -78,9 +78,13 @@ object LlmDedup extends QueryModule {
     // bottleneck here. Jaccard verification is a codegen'd linear merge
     // over the sorted hash sets.
     import graft.functions.TextFunctions._
+    // Persisted for the same reason as clusterComponents' docs: the plan
+    // reads `hashed` three times (banding + both verify fetches) and
+    // Catalyst won't dedupe the shingling work across join branches.
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"), shingles3(col("text")).as("hs"))
       .filter(size(col("hs")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Banding runs as a custom Generator (UDTF, MinHashBands): one per-row
     // loop emitting the 16 (band, sig) rows directly — no intermediate
     // band array, no interpreted per-element lambdas.
@@ -278,10 +282,17 @@ object LlmDedup extends QueryModule {
   def clusterComponents(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     graft.functions.TextFunctions.register(s)
+    // Shingling (tokenize + hash + sort-distinct) is the per-doc CPU cost
+    // and the plan reads `docs` three times (prefix explode + both verify
+    // fetches); Catalyst has no common-subplan elimination across join
+    // branches, so without a persist the corpus is shingled 3x. At cluster
+    // scale this is the standard "materialize the signature table once"
+    // step (disk-backed persist; a real pipeline would write it out).
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         graft.functions.TextFunctions.shingles2(col("text")).as("bg"))
       .filter(size(col("bg")) >= 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     connectedComponents(prefixFilterEdges(docs, 0.1))
       .orderBy(col("doc_id"))
   }
