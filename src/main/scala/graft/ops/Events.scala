@@ -72,7 +72,24 @@ object Events extends QueryModule {
         col("n_purchases").cast("double") / col("n_events"))
       .orderBy(col("day"))
 
+  /** Cohort retention: users are cohorted by first-activity day; the matrix
+    * counts distinct users active at each day offset from their cohort. Two
+    * aggregations, both keyed compatibly: the first groupBy and the join
+    * both hash on user_id (one shuffle reused), the final groupBy shuffles
+    * on the (cohort, offset) matrix — |days|² keys, tiny at any scale. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention" -> (retention _),
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
     "ev_sessions"  -> (sessions _),
@@ -81,6 +98,14 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  datediff('day', f.cohort_day, e.day) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "ev_tumbling" ->
       s"""SELECT epoch_us(datetrunc('hour', ts)) AS window_start_us, event_type,
          |  COUNT(*) AS n, ${sqlDsum("CAST(value AS DECIMAL(18,4))")} AS sum_value

@@ -217,7 +217,58 @@ object LlmSimilarity extends QueryModule {
       .limit(10)
   }
 
+  /** Product-quantization ANN (the memory-compressed scale path, after LSH
+    * and IVF): 64 dims split into m=4 subspaces × 16 dims; a deterministic
+    * per-subspace codebook (sub-vectors of vec_id < 4 — k-means in a real
+    * pipeline, data-seeded here so the oracle derives it); every vector
+    * compressed to 4 small codes (nearest centroid per subspace by L2);
+    * queries scored by asymmetric distance — a per-query lookup table of
+    * (subspace, centroid) dot products, summed over the stored codes. At
+    * 100 TB the codes table is ~1/64th the corpus bytes and the LUT is
+    * O(m × k) per query: scoring never touches raw vectors. Scores sum via
+    * sorted fold → bit-identical to the DuckDB twin. */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val m = 4; val w = 16
+    val e = Tables.embeddings(s, d)
+    def subs(df: DataFrame): DataFrame =
+      df.select(col("vec_id"),
+        posexplode(array((0 until m).map(j => slice(col("embedding"), j * w + 1, w)): _*))
+          .as(Seq("j", "sub")))
+    val cent = subs(e.filter(col("vec_id") < 4))
+      .select(col("j"), col("vec_id").cast("int").as("cid"), col("sub").as("cent"))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val wv = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist").asc, col("cid"))
+    val codes = subs(e).join(broadcast(cent), "j")
+      .withColumn("dist", l2sq(col("sub"), col("cent")))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("j"), col("cid").as("code"))
+    val lut = subs(e.filter(col("vec_id").between(10, 14)))
+      .select(col("vec_id").as("q_id"), col("j").as("qj"), col("sub").as("q_sub"))
+      .join(broadcast(cent), col("qj") === col("j"))
+      .select(col("q_id"), col("qj"), col("cid"),
+        dotd(col("q_sub"), col("cent")).as("pdot"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    codes.join(broadcast(lut),
+        codes("j") === lut("qj") && codes("code") === lut("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(aggregate(array_sort(collect_list(col("pdot"))),
+        lit(0.0), (a, v) => a + v).as("score"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk"     -> (pqTopK _),
     "dd_embed_neardup_ann" -> (embeddingNearDupAnn _),
     "sim_ivf_topk"    -> (ivfTopK _),
     "dd_embed_neardup" -> (embeddingNearDup _),
@@ -253,6 +304,43 @@ object LlmSimilarity extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "sim_pq_topk" ->
+      """WITH sub AS (
+        |  SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS sub
+        |  FROM embeddings CROSS JOIN range(0, 4) r(j)),
+        |cent AS (
+        |  SELECT j, CAST(vec_id AS INT) AS cid, sub AS cent
+        |  FROM sub WHERE vec_id < 4),
+        |codes AS (
+        |  SELECT vec_id AS c_id, j, cid AS code FROM (
+        |    SELECT s.vec_id, s.j, c.cid,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+        |        list_reduce(list_transform(generate_series(1, 16),
+        |          i -> (CAST(s.sub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+        |             * (CAST(s.sub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))),
+        |          (acc, x) -> acc + x) ASC, c.cid) AS rn
+        |    FROM sub s JOIN cent c ON s.j = c.j) t
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT s.vec_id AS q_id, s.j, c.cid,
+        |    list_reduce(list_transform(generate_series(1, 16),
+        |      i -> CAST(s.sub[i] AS DOUBLE) * CAST(c.cent[i] AS DOUBLE)),
+        |      (acc, x) -> acc + x) AS pdot
+        |  FROM sub s JOIN cent c ON s.j = c.j
+        |  WHERE s.vec_id BETWEEN 10 AND 14),
+        |scores AS (
+        |  SELECT l.q_id, k.c_id,
+        |    list_reduce(list_prepend(0.0, list_sort(list(l.pdot))),
+        |      (a, x) -> a + x) AS score
+        |  FROM codes k JOIN lut l ON k.j = l.j AND k.code = l.cid
+        |  WHERE l.q_id <> k.c_id
+        |  GROUP BY l.q_id, k.c_id)
+        |SELECT q_id, rank, c_id, score FROM (
+        |  SELECT q_id, c_id, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, c_id) AS rank
+        |  FROM scores) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "dd_embed_neardup_ann" ->
       s"""WITH sig AS (
          |  SELECT vec_id, embedding,

@@ -108,6 +108,26 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Text normalization battery — the first stage of every training-data
+    * pipeline: case-fold, strip punctuation/symbols, collapse whitespace,
+    * trim. The fixture text is already clean, so a deterministic "dirty"
+    * variant (banner prefix, tab, trailing blank lines) is built first and
+    * normalized back — the oracle builds the identical dirty corpus.
+    * Map-only scan→project; all regexes codegen'd. */
+  def normalize(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(lit("  **"), upper(substring(col("text"), 1, 16)),
+      lit("**\t"), col("text"), lit("  \n"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("n_chars_raw"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("raw")), "[^a-z0-9\\s]", " "),
+          "\\s+", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF per (doc, token), top-5 terms per document. The idf factor is
     * expressed as the exact ratio N/df (a monotone transform of ln(N/df))
     * so scores are IEEE-division-exact on both engines — ln differs in the
@@ -160,6 +180,7 @@ object LlmText extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_prep"    -> (prepPipeline _),
+    "text_normalize"   -> (normalize _),
     "text_winnow_fp"   -> (winnowFingerprint _),
     "text_tfidf"       -> (tfidf _),
     "text_lang_id"     -> (langId _),
@@ -202,6 +223,18 @@ object LlmText extends QueryModule {
          |      ORDER BY t.tf * (n.n_docs / d.df) DESC, t.token) AS rk
          |  FROM terms t JOIN dfreq d ON t.token = d.token CROSS JOIN n) x
          |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+    "text_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    '  **' || upper(substring(text, 1, 16)) || '**' || chr(9) ||
+        |    text || '  ' || chr(10) AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS n_chars_raw,
+        |  trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text,
+        |  length(trim(regexp_replace(regexp_replace(lower(raw), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS n_chars_norm
+        |FROM t ORDER BY doc_id""".stripMargin,
     // text_winnow_fp: rows-only (rolling-hash winnowing; see Scaladoc)
     "text_lang_id" ->
       s"""SELECT doc_id, lang,

@@ -79,13 +79,74 @@ object Relational extends QueryModule {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** SCD-type-2 MERGE: close the current row of every updated key (set
+    * valid_to/is_current) and open a new row effective `eff`. Unmatched
+    * rows pass through untouched. This is the upsert-into-dimension plan:
+    * one semi + one anti join against the update key set (broadcast — at
+    * 100 TB the daily update batch is small relative to the dimension) and
+    * a union; no full-table rewrite logic leaks into callers. */
+  def scd2Merge(dim: DataFrame, upd: DataFrame, key: String, eff: String): DataFrame = {
+    val updKeys = upd.select(col(key))
+    val closed = dim.join(broadcast(updKeys), Seq(key), "left_semi")
+      .withColumn("valid_to", lit(eff).cast("date"))
+      .withColumn("is_current", lit(0))
+    val untouched = dim.join(broadcast(updKeys), Seq(key), "left_anti")
+    val opened = upd
+      .withColumn("valid_from", lit(eff).cast("date"))
+      .withColumn("valid_to", lit("2200-01-01").cast("date"))
+      .withColumn("is_current", lit(1))
+    untouched.unionByName(closed).unionByName(opened)
+  }
+
+  /** Registered SCD2 scenario: customer is the day-0 dimension snapshot;
+    * every 10th key receives an upgraded segment + adjusted balance
+    * effective 2024-06-01 (update batch derived deterministically from the
+    * same table so the oracle can rebuild it). */
+  def scd2Upsert(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      lit("2024-01-01").cast("date").as("valid_from"),
+      lit("2200-01-01").cast("date").as("valid_to"),
+      lit(1).as("is_current"))
+    val upd = Tables.customer(s, d).filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+    scd2Merge(dim, upd, "c_custkey", "2024-06-01")
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
+  val scd2UpsertSql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    DATE '2024-01-01' AS valid_from, DATE '2200-01-01' AS valid_to,
+      |    1 AS is_current
+      |  FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, 'UPGRADED' AS c_mktsegment,
+      |    c_acctbal + 100.0 AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT * FROM (
+      |  SELECT d.* FROM dim d
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+      |    DATE '2024-06-01' AS valid_to, 0 AS is_current
+      |  FROM dim WHERE c_custkey IN (SELECT c_custkey FROM upd)
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    DATE '2024-06-01', DATE '2200-01-01', 1
+      |  FROM upd) t
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q3_top_revenue"     -> (topRevenueOrders _),
+    "rel_scd2_merge"     -> (scd2Upsert _),
   )
 
   override def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue"     -> topRevenueOrdersSql,
+    "rel_scd2_merge"     -> scd2UpsertSql,
   )
 }

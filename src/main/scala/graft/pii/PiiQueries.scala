@@ -70,7 +70,40 @@ object PiiQueries extends QueryModule {
         Redact.PartialMask("c_mktsegment", keep = 2)))
       .orderBy(col("c_custkey"))
 
+  /** Content-level scrubbing — PII *inside* free text, not just whole
+    * columns: detect + replace emails, phone numbers, and IPv4 addresses
+    * (last octet masked, keeping the /24 for analytics) via codegen'd
+    * regexp_replace. The note text is built deterministically from customer
+    * columns so the oracle derives the identical corpus. Map-only: at 100 TB
+    * this is a pure scan→project plan, no shuffle before the final sort. */
+  def textScrub(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+\\d[\\d-]{6,}\\d"
+    val ipPat    = "(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\.\\d{1,3}"
+    val note = concat(
+      lit("Reach "), col("c_name"),
+      lit(" at "), lower(col("c_mktsegment")), lit(".user"),
+      col("c_custkey").cast("string"),
+      lit("@mail.example.org or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(", last login from 10."), col("c_nationkey").cast("string"),
+      lit(".0."), (col("c_custkey") % 256).cast("string"))
+    Tables.customer(s, d)
+      .withColumn("note", note)
+      .select(col("c_custkey"),
+        size(regexp_extract_all(col("note"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("note"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("note"), lit(ipPat), lit(0))).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("note"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]"),
+          ipPat, "$1.x").as("note_scrubbed"))
+      .orderBy(col("c_custkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_text_scrub"  -> (textScrub _),
     "pii_drop"        -> (dropColumns _),
     "pii_hash"        -> (hashPseudonym _),
     "pii_partial_mask" -> (partialMask _),
@@ -81,6 +114,25 @@ object PiiQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pii_text_scrub" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    'Reach ' || c_name || ' at ' || lower(c_mktsegment) || '.user' ||
+        |    CAST(c_custkey AS VARCHAR) || '@mail.example.org or +1-555-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |    ', last login from 10.' || CAST(c_nationkey AS VARCHAR) ||
+        |    '.0.' || CAST(c_custkey % 256 AS VARCHAR) AS note
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(note, '\+\d[\d-]{6,}\d')) AS n_phones,
+        |  len(regexp_extract_all(note, '(\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}')) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\+\d[\d-]{6,}\d', '[PHONE]', 'g'),
+        |    '(\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}', '\1.x', 'g') AS note_scrubbed
+        |FROM t ORDER BY c_custkey""".stripMargin,
     "pii_drop" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-3 additions: content-level PII scrubbing,
+  * text normalization, SCD2 merge, cohort retention, PQ ANN. The oracle
+  * gate proves cross-engine parity; these pin the *properties* the oracle
+  * can't see (recall vs brute force, invariants, leak-freedom). */
+class Round3Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pii_text_scrub: no email/phone survives; /24 of the IP survives") {
+    val rows = graft.pii.PiiQueries.textScrub(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scrubbed = r.getAs[String]("note_scrubbed")
+      assert(!scrubbed.contains("@"), s"email leaked: $scrubbed")
+      assert(!scrubbed.matches(".*\\+\\d[\\d-]{6,}\\d.*"), s"phone leaked: $scrubbed")
+      assert(scrubbed.matches(".*10\\.\\d+\\.0\\.x.*"), s"IP not /24-masked: $scrubbed")
+      assert(r.getAs[Long]("n_emails") == 1L)
+      assert(r.getAs[Long]("n_phones") == 1L)
+      assert(r.getAs[Long]("n_ips") == 1L)
+    }
+  }
+
+  test("text_normalize: output is lowercase single-spaced alnum, trimmed") {
+    val rows = LlmText.normalize(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("norm_text")
+      assert(t.matches("[a-z0-9]+( [a-z0-9]+)*"), s"not normalized: '$t'")
+      assert(r.getAs[Int]("n_chars_norm") == t.length)
+      assert(r.getAs[Int]("n_chars_raw") > t.length, "dirty variant must shrink")
+    }
+  }
+
+  test("rel_scd2_merge: row accounting and per-key validity invariants") {
+    val out = Relational.scd2Upsert(spark, TestSpark.sf)
+    val nCust = graft.Tables.customer(spark, TestSpark.sf).count()
+    val nUpd = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(col("c_custkey") % 10 === 0).count()
+    assert(out.count() == nCust + nUpd, "closed+opened rows must add one row per update")
+    // exactly one current row per key; updated keys have exactly 2 rows
+    val perKey = out.groupBy("c_custkey")
+      .agg(sum("is_current").as("n_cur"), count(lit(1)).as("n"))
+    assert(perKey.filter(col("n_cur") =!= 1).count() == 0)
+    assert(perKey.filter(col("n") === 2).count() == nUpd)
+    // closed rows end exactly where the new row starts
+    val closed = out.filter(col("is_current") === 0)
+    assert(closed.filter(col("valid_to") =!= lit("2024-06-01").cast("date")).count() == 0)
+  }
+
+  test("ev_retention: offset-0 cohort sizes sum to the distinct-user count") {
+    val m = Events.retention(spark, TestSpark.sf)
+    val day0 = m.filter(col("day_offset") === 0)
+      .agg(sum("n_users")).head.getLong(0)
+    val users = graft.Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 total $day0 != distinct users $users")
+    assert(m.filter(col("day_offset") < 0).count() == 0)
+  }
+
+  test("sim_pq_topk: ADC ranking has real recall vs exact brute-force top-k") {
+    val pq = LlmSimilarity.pqTopK(spark, TestSpark.sf)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // exact top-10 by raw dot product (the metric PQ approximates)
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("c_id"))
+    val exact = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("dot", graft.functions.GraftFunctions.dot(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val hits = pq.map { case (qid, cand) => (cand intersect exact(qid)).size }.sum
+    assert(hits >= 1, "PQ top-3 should intersect exact top-10 for at least one query")
+    assert(pq.values.forall(_.size == 3))
+  }
+}
