@@ -121,6 +121,27 @@ object Aggs extends QueryModule {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Misra-Gries heavy hitters per language over document tokens — the
+    * bounded-memory frequent-items path (vs the exact explode+groupBy of
+    * `text_word_freq`, whose shuffle is |vocab|-sized): k=32 counters per
+    * group, mergeable partial+final. Rows-only gate (estimates are
+    * merge-order-dependent); the frequency guarantees are property-tested
+    * in Round3Spec. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new graft.functions.HeavyHitters(32),
+      org.apache.spark.sql.Encoders.STRING)
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy(col("lang"))
+      .agg(mg(col("token")).as("hh"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("lang"), col("pos"), col("e._1").as("token"),
+        col("e._2").as("est"))
+      .orderBy(col("lang"), col("pos"))
+  }
+
   /** Typed-Aggregator UDAF: per customer, the orderkey of the priciest
     * order (deterministic tie-break in the aggregator itself). */
   def argMaxOrder(s: SparkSession, d: String): DataFrame = {
@@ -200,6 +221,7 @@ object Aggs extends QueryModule {
     "agg_histogram"     -> (histogram _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_approx_quantiles" -> (approxQuantiles _),
+    "agg_heavy_hitters" -> (heavyHitters _),
   )
 
   override def oracleSql: Map[String, String] = Map(

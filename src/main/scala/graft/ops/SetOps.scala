@@ -77,6 +77,20 @@ object SetOps extends QueryModule {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("l_returnflag"))
 
+  /** Stratified sampling (`sampleBy`): per-stratum Bernoulli fractions —
+    * the rebalancing primitive for skewed training corpora (downsample the
+    * dominant language, keep the rest). Map-only: a seeded rand filter per
+    * row, no shuffle before the count. Rows-only gate; determinism and
+    * per-stratum fraction bands pinned in Round3Spec. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0),
+        seed = 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+
   /** Predicate battery: IN / BETWEEN / LIKE / null-safe equality — all
     * pushed to the parquet scan. */
   def predicateBattery(s: SparkSession, d: String): DataFrame =
@@ -99,6 +113,7 @@ object SetOps extends QueryModule {
     "filter_battery"    -> (predicateBattery _),
     "sort_within_partitions" -> (partitionLocalSort _),
     "set_tablesample"   -> (tableSample _),
+    "set_stratified_sample" -> (stratifiedSample _),
   )
 
   private val y96 =
@@ -107,6 +122,8 @@ object SetOps extends QueryModule {
     "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
 
   override def oracleSql: Map[String, String] = Map(
+    // set_tablesample / set_stratified_sample: rows-only (seeded sampling
+    // is engine-specific by design; properties pinned in specs)
     "set_intersect" ->
       s"SELECT o_custkey FROM ($y96 INTERSECT $y97) ORDER BY o_custkey",
     "set_except" ->

@@ -62,6 +62,74 @@ class Round3Spec extends AnyFunSuite {
     assert(m.filter(col("day_offset") < 0).count() == 0)
   }
 
+  test("agg_heavy_hitters: MG guarantees hold vs exact frequencies") {
+    val k = 32
+    val hh = Aggs.heavyHitters(spark, TestSpark.sf).collect()
+      .groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(r =>
+        r.getAs[String]("token") -> r.getAs[Long]("est")).toMap).toMap
+    val exact = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(r =>
+        r.getAs[String]("token") -> r.getAs[Long]("n")).toMap).toMap
+    exact.foreach { case (lang, freqs) =>
+      val n = freqs.values.sum
+      val sketch = hh.getOrElse(lang, Map.empty)
+      assert(sketch.size <= k, s"$lang: sketch exceeded k counters")
+      // membership guarantee: true freq > n/(k+1) ⇒ present
+      freqs.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+        assert(sketch.contains(t), s"$lang: heavy item '$t' missing")
+      }
+      // estimates never exceed the true frequency
+      sketch.foreach { case (t, est) =>
+        assert(est <= freqs.getOrElse(t, 0L), s"$lang: '$t' overestimated")
+      }
+    }
+  }
+
+  test("set_stratified_sample: deterministic, per-stratum fractions in band") {
+    val a = SetOps.stratifiedSample(spark, TestSpark.sf).collect()
+    val b = SetOps.stratifiedSample(spark, TestSpark.sf).collect()
+    assert(a.toSeq == b.toSeq, "same seed must sample identically")
+    val got = a.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.Tables.documents(spark, TestSpark.sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // non-downsampled strata keep every row; 'en' lands near 25%
+    Seq("de", "es", "fr", "zh").foreach(l => assert(got(l) == full(l)))
+    val frac = got("en").toDouble / full("en")
+    assert(frac > 0.12 && frac < 0.38, s"en fraction $frac out of band")
+  }
+
+  test("runtime bloom filter: Spark injects might_contain into the probe side") {
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val ord = graft.Tables.orders(spark, TestSpark.sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = graft.Tables.lineitem(spark, TestSpark.sf)
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("sim_pq_topk: ADC ranking has real recall vs exact brute-force top-k") {
     val pq = LlmSimilarity.pqTopK(spark, TestSpark.sf)
       .select("q_id", "c_id").collect()
