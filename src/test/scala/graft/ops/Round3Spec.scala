@@ -130,6 +130,32 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("typed cogroup: per-key reconciliation equals the SQL join form") {
+    // KeyValueGroupedDataset.cogroup is the typed escape hatch for per-group
+    // imperative logic Catalyst can't express (both sides' rows visible at
+    // once per key, one shuffle each side). Kept out of hot paths by policy
+    // (deserialization cost); semantics pinned against the declarative twin.
+    import spark.implicits._
+    val orders = graft.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+    val items = graft.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+    val recon = orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) {
+      case (k, os, is) =>
+        val o = os.toSeq
+        if (o.isEmpty) Iterator.empty
+        else Iterator.single((k, o.head._2, is.size.toLong))
+    }.toDF("o_orderkey", "o_totalprice", "n_items")
+    val declarative = graft.Tables.orders(spark, TestSpark.sf)
+      .join(graft.Tables.lineitem(spark, TestSpark.sf),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderkey"), col("o_totalprice"))
+      .agg(count(col("l_orderkey")).as("n_items"))
+    assert(recon.count() > 0)
+    assert(recon.exceptAll(declarative).isEmpty &&
+      declarative.exceptAll(recon).isEmpty)
+  }
+
   test("sim_pq_topk: ADC ranking has real recall vs exact brute-force top-k") {
     val pq = LlmSimilarity.pqTopK(spark, TestSpark.sf)
       .select("q_id", "c_id").collect()

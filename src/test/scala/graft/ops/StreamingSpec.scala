@@ -108,6 +108,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static broadcast join enriches the stream without state") {
+    // The enrichment pattern: a fact stream joined to a static dimension.
+    // No watermark needed — the static side is re-read per micro-batch and
+    // broadcast, so this is stateless and the 100-TB form is identical.
+    val users = Tables.customer(spark, TestSpark.sf)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    val q = streamEvents()
+      .join(broadcast(users), Seq("user_id"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ssb_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssb_out")
+    val batch = Tables.events(spark, TestSpark.sf)
+      .join(users, Seq("user_id"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful per-user running count via transformWithState (RocksDB)") {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
