@@ -102,7 +102,28 @@ object Sources extends QueryModule {
       .orderBy(col("n_regionkey"))
   }
 
+  /** Z-order clustering key: interleave the low 10 bits of two dimensions
+    * into one 20-bit Morton code — the multi-dimensional data-layout
+    * technique (sort/range-partition by z before writing → files whose
+    * min/max spans are tight in BOTH dimensions, so either predicate
+    * prunes). Pure codegen'd integer bit math, identical in the oracle.
+    * The pruning invariant (fixed z-prefix ⇒ fixed x/y prefixes) and the
+    * write-side range layout are pinned in Round3Spec. */
+  def zorderKey(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_custkey") % 1024
+    val y = floor(col("o_totalprice")).cast("long") % 1024
+    val z = (0 until 10).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), x.as("x"), y.as("y"))
+      .withColumn("zval", z)
+      .orderBy(col("o_orderkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder"      -> (zorderKey _),
     "src_xml_roundtrip"  -> (xmlRoundTrip _),
     "src_orc_roundtrip"  -> (orcRoundTrip _),
     "src_csv_roundtrip"  -> (csvRoundTrip _),
@@ -110,7 +131,18 @@ object Sources extends QueryModule {
     "sink_partitioned"   -> (partitionedWrite _),
   )
 
+  private val sqlZ: String = (0 until 10).map { i =>
+    s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))"
+  }.mkString(" + ")
+
   override def oracleSql: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey % 1024 AS x,
+         |    CAST(floor(o_totalprice) AS BIGINT) % 1024 AS y
+         |  FROM orders)
+         |SELECT o_orderkey, x, y, $sqlZ AS zval
+         |FROM t ORDER BY o_orderkey""".stripMargin,
     "src_xml_roundtrip" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  MIN(n_name) AS first_name

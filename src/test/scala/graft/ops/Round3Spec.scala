@@ -130,6 +130,25 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("layout_zorder: fixed z-prefix confines both dimensions (pruning invariant)") {
+    val z = graft.sources.Sources.zorderKey(spark, TestSpark.sf)
+    // top-10 z bits = 5 bits of x + 5 of y interleaved ⇒ within a bucket of
+    // z >> 10, x >> 5 and y >> 5 are single-valued. This is exactly why
+    // sorting files by z makes min/max pruning work on BOTH columns.
+    val bad = z.select((col("zval") / 1024).cast("long").as("zb"),
+        (col("x") / 32).cast("long").as("xp"), (col("y") / 32).cast("long").as("yp"))
+      .groupBy("zb")
+      .agg(countDistinct(col("xp")).as("nx"), countDistinct(col("yp")).as("ny"))
+      .filter(col("nx") > 1 || col("ny") > 1)
+    assert(bad.count() == 0, "z-prefix bucket spans multiple x/y prefixes")
+    // write-side layout: range-partition by z, local sort — the exchange is
+    // a range partitioning, i.e. the clustered-write plan shape
+    val clustered = z.repartitionByRange(4, col("zval"))
+      .sortWithinPartitions(col("zval"))
+    val plan = clustered.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+  }
+
   test("typed cogroup: per-key reconciliation equals the SQL join form") {
     // KeyValueGroupedDataset.cogroup is the typed escape hatch for per-group
     // imperative logic Catalyst can't express (both sides' rows visible at
