@@ -113,10 +113,35 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Resize (the image-thumbnail analog over opaque bytes): downsample
+    * every payload to a fixed 16-byte "thumbnail" by strided byte picks —
+    * per-doc stride = ⌊n/16⌋, so any payload size maps to the same output
+    * resolution, which is precisely the resize contract. A codec would
+    * replace the byte pick with pixel interpolation at the same plumbing
+    * point. Content-addressed output (thumb md5) keeps it oracle-checkable;
+    * map-only, no shuffle. */
+  def resize(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val picks = (0 until k).map(i => expr(s"substring(payload, $i * stride + 1, 1)"))
+    assets(s, d)
+      .select(col("doc_id"), col("payload"),
+        octet_length(col("payload")).as("n_bytes"))
+      .withColumn("stride",
+        greatest(lit(1), floor(col("n_bytes") / k)).cast("int"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("stride").cast("long").as("scale_stride"),
+        concat(picks: _*).as("thumb"))
+      .select(col("doc_id"), col("n_bytes"), col("scale_stride"),
+        octet_length(col("thumb")).cast("long").as("thumb_bytes"),
+        md5(col("thumb")).as("thumb_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features"    -> (features _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_resize"      -> (resize _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -133,6 +158,18 @@ object Multimodal extends QueryModule {
         |  CAST((doc_id % 3) * 120 + 240 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // mm_features: rows-only (stubbed byte-level decode; see Scaladoc)
+    "mm_resize" -> {
+      val picks = (0 until 16)
+        .map(i => s"substring(text, $i * stride + 1, 1)").mkString(" || ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, length(text) AS n_bytes,
+         |    greatest(1, CAST(floor(length(text) / 16) AS INT)) AS stride
+         |  FROM documents)
+         |SELECT doc_id, n_bytes, CAST(stride AS BIGINT) AS scale_stride,
+         |  CAST(length($picks) AS BIGINT) AS thumb_bytes,
+         |  md5($picks) AS thumb_md5
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     "mm_frame_sample" ->
       """SELECT doc_id, frame_idx,
         |  CAST(frame_idx * 128 AS BIGINT) AS "offset",
