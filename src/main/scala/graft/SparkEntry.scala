@@ -21,6 +21,7 @@ object SparkEntry {
     ops.LlmText,
     ops.LlmSimilarity,
     ops.LlmDedup,
+    ops.Corpus,
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,

@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: deterministic
+  * train/val/test splitting, repetition-based quality signals (the
+  * Gopher-style filters), benchmark decontamination, and fixed-token-budget
+  * sequence packing.
+  *
+  * Scale posture: split and packing are map-only plus one small groupBy;
+  * repetition is explode → two partial-agg shuffles keyed by doc_id;
+  * decontamination explodes shingles linearly and broadcasts the (small)
+  * benchmark shingle set — nothing here is quadratic in corpus size.
+  */
+object Corpus extends QueryModule {
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Portable 32-bit hash shared with the DuckDB oracle: first 8 hex digits
+    * of md5 as a long (same construction as LlmDedup.md5hash32). */
+  private def md5bucket(c: Column, mod: Int): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % mod
+
+  /** Deterministic hash split: every doc lands in train/val/test purely as a
+    * function of its id (80/10/10 by md5 bucket), so the split is stable
+    * across runs, re-shards, and cluster sizes — no sampling state, no RNG.
+    * Map-only projection + one tiny groupBy; at 100 TB the split column is
+    * computed in the scan's project and the aggregate is |splits|×|langs|
+    * rows. */
+  def hashSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = md5bucket(concat(lit("split:"), col("doc_id").cast("string")), 100)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Repetition signals per document (the Gopher/MassiveText repetition
+    * filters): most-frequent-word fraction, distinct-token ratio, and
+    * most-frequent-bigram fraction. High values mark boilerplate/spam.
+    * Two explode→groupBy passes keyed by doc_id (partial aggregation keeps
+    * shuffle volume at |doc × distinct-term|), then a doc_id-aligned join —
+    * both sides share the same partitioning, so the join adds no exchange. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), t.as("toks"))
+      .withColumn("bigrams",
+        zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))
+
+    val uni = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_word_n"))
+
+    val big = base
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+
+    uni.join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_word_n"),
+        (col("top_word_n").cast("double") / col("n_tokens")).as("top_word_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        (coalesce(col("top_bigram_n"), lit(0L)).cast("double")
+          / greatest(col("n_tokens") - 1, lit(1L))).as("top_bigram_frac"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: find corpus documents sharing any 8-token
+    * shingle with a held-out benchmark set (here: doc_id ≡ 0 mod 53 stands
+    * in for the eval set). Corpus shingles are a linear explode; the
+    * benchmark's distinct shingle set is small by construction, so it
+    * broadcasts — the contaminated-doc check is a broadcast hash join at any
+    * corpus size, never a shuffle of the corpus side. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 7),
+          i => array_join(slice(col("toks"), i, lit(8)), " "))).as("sh"))
+    val bench = sh.filter(col("doc_id") % 53 === 0).select(col("sh")).distinct()
+    val corp = sh.filter(col("doc_id") % 53 =!= 0)
+      .select(col("doc_id"), col("sh")).distinct()
+    corp.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-token-budget sequence packing: within each lang partition, docs
+    * fill 512-token training sequences in doc_id order (contiguous-fill
+    * packing: a doc's sequence is floor(tokens-before-it / 512)). The window
+    * runs per-lang, so packing parallelizes across partitions — there is no
+    * global sort; at 100 TB the pack key would be (lang, shard). Integer
+    * arithmetic end-to-end: no float drift across engines. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr("cum_before div 512"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("seq_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split"       -> (hashSplit _),
+    "corpus_pack"        -> (packSequences _),
+    "text_repetition"    -> (repetition _),
+    "text_decontaminate" -> (decontaminate _),
+  )
+
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+
+  override def oracleSql: Map[String, String] = Map(
+    "corpus_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlToks AS t FROM documents),
+         |uni AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(t) AS tok FROM toks) u GROUP BY doc_id, tok),
+         |us AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_distinct, MAX(c) AS top_word_n
+         |  FROM uni GROUP BY doc_id),
+         |bg AS (
+         |  SELECT doc_id, s, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS s
+         |    FROM toks) b GROUP BY doc_id, s),
+         |bs AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bg GROUP BY doc_id)
+         |SELECT us.doc_id, n_tokens, n_distinct, top_word_n,
+         |  CAST(top_word_n AS DOUBLE) / n_tokens AS top_word_frac,
+         |  COALESCE(top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n,
+         |  CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / greatest(n_tokens - 1, 1)
+         |    AS top_bigram_frac,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+         |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+         |ORDER BY us.doc_id""".stripMargin,
+    "text_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS sh
+         |  FROM toks WHERE len(t) >= 8),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0),
+         |corp AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 53 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_overlap
+         |FROM corp JOIN bench USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($sqlToks) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |      AS cum_before
+         |  FROM t)
+         |SELECT lang, cum_before // 512 AS seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY lang, cum_before // 512
+         |ORDER BY lang, seq_id""".stripMargin,
+  )
+}

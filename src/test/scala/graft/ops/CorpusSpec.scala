@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the corpus-construction operators (the oracle gate
+  * proves cross-engine value parity; these pin the semantics). */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("corpus_split: deterministic, exhaustive, and roughly 80/10/10") {
+    val out = Corpus.hashSplit(spark, TestSpark.sf)
+    val total = out.agg(sum("n_docs")).head.getLong(0)
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf).count()
+    assert(total == nDocs, "every doc lands in exactly one split")
+    val bySplit = out.groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / nDocs
+    assert(trainFrac > 0.70 && trainFrac < 0.90, s"train frac $trainFrac")
+    // rerun → identical assignment (hash split has no RNG state)
+    val again = Corpus.hashSplit(spark, TestSpark.sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("corpus_pack: token conservation and bounded bin overflow") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("n_tokens"))
+    val corpusTokens = docs.agg(sum("n_tokens")).head.getLong(0)
+    val maxDocTokens = docs.agg(max("n_tokens")).head.getInt(0)
+
+    val out = Corpus.packSequences(spark, TestSpark.sf).collect()
+    assert(out.map(_.getAs[Long]("seq_tokens")).sum == corpusTokens,
+      "packing must conserve every token")
+    // contiguous fill: a sequence exceeds the budget by at most one doc
+    out.foreach { r =>
+      val t = r.getAs[Long]("seq_tokens")
+      assert(t < 512L + maxDocTokens,
+        s"sequence ${r.getAs[Long]("seq_id")} holds $t tokens")
+    }
+    // doc ranges within a lang are non-overlapping and ordered by seq_id
+    out.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("seq_id"))
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2)
+          assert(pair(0).getAs[Long]("last_doc") < pair(1).getAs[Long]("first_doc"))
+      }
+    }
+  }
+
+  test("text_repetition: fraction bounds and distinct-ratio sanity") {
+    val rows = Corpus.repetition(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val twf = r.getAs[Double]("top_word_frac")
+      assert(twf > 0.0 && twf <= 1.0, s"top_word_frac $twf")
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[Long]("top_bigram_n") <= math.max(n - 1, 0))
+      val dr = r.getAs[Double]("distinct_ratio")
+      assert(dr > 0.0 && dr <= 1.0)
+    }
+  }
+
+  test("text_decontaminate: benchmark docs never self-report; overlaps are real") {
+    val out = Corpus.decontaminate(spark, TestSpark.sf).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 53 != 0,
+        "a benchmark doc must not appear as contaminated")
+      assert(r.getAs[Long]("n_overlap") >= 1)
+    }
+  }
+}
