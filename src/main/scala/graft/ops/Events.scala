@@ -88,7 +88,65 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Z-score anomaly detection per event type: flag events whose value sits
+    * more than 2.5σ from the type mean. Moments are exact-decimal sums
+    * (add-order-independent), so μ/σ are bit-identical across engines and
+    * the per-event z is pure IEEE arithmetic on agreed inputs. The stats
+    * side is |types| rows and broadcasts — the fact side is never
+    * shuffled, so the second pass stays map-only at any scale. */
+  def anomaly(s: SparkSession, d: String): DataFrame = {
+    val sx = sum(col("value").cast("decimal(18,4)")).cast("string").cast("double")
+    val sx2 = sum(col("value").cast("decimal(12,4)")
+        * col("value").cast("decimal(12,4)"))
+      .cast("string").cast("double")
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sx.as("sum_x"), sx2.as("sum_x2"))
+      .select(col("event_type"),
+        (col("sum_x") / col("n")).as("mu"),
+        sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
+          / (col("n") - 1)).as("sigma"))
+    Tables.events(s, d)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mu"), col("sigma"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Hourly resample + gap fill: build the complete (event_type × hour)
+    * grid over the observed span, left-join hourly aggregates, zero-fill
+    * counts, forward-fill the last observed hourly sum. The grid is
+    * |types|×|hours| rows — independent of event volume — so only the
+    * hourly aggregate shuffles the full data; the fill is one bounded
+    * window per type. Hours are emitted as strings (raw timestamps never
+    * survive the oracle, SURVEY §5.3). */
+  def gapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("value"))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+    val hours = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(hours)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("v"), lit(0.0)).as("v"),
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(0.0))
+          .as("v_ffill"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly"   -> (anomaly _),
+    "ev_gapfill"   -> (gapfill _),
     "ev_retention" -> (retention _),
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
@@ -98,6 +156,37 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_x,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)))
+        |      AS VARCHAR) AS DOUBLE) AS sum_x2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, sum_x / n AS mu,
+        |    sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS sigma
+        |  FROM st)
+        |SELECT event_id, event_type, value, mu, sigma,
+        |  (value - mu) / sigma AS z
+        |FROM events JOIN m USING (event_type)
+        |WHERE abs((value - mu) / sigma) > 2.5
+        |ORDER BY event_id""".stripMargin,
+    "ev_gapfill" ->
+      """WITH ev AS (SELECT event_type, datetrunc('hour', ts) AS h, value FROM events),
+        |hourly AS (SELECT event_type, h, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |grid AS (SELECT event_type, h
+        |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN hours)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:00') AS hour,
+        |  COALESCE(n, 0) AS n, COALESCE(v, 0.0) AS v,
+        |  COALESCE(last_value(v IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS v_ffill
+        |FROM grid g LEFT JOIN hourly USING (event_type, h)
+        |ORDER BY event_type, hour""".stripMargin,
     "ev_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)

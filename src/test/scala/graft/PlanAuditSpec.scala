@@ -39,4 +39,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllMatchIn(p).size == 1,
       s"flagship agg should shuffle exactly once:\n$p")
   }
+
+  test("text_decontaminate: benchmark side broadcasts — corpus side is never shuffled for the join") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontamination must be a broadcast hash join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the benchmark join:\n$p")
+  }
+
+  test("ev_anomaly: stats broadcast back over the facts — no sort-merge join") {
+    val p = plan("ev_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-type stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle:\n$p")
+  }
+
+  test("corpus_split: map-side projection + one aggregate shuffle") {
+    val p = plan("corpus_split")
+    assert("hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"hash split should shuffle exactly once (the split×lang agg):\n$p")
+  }
 }
