@@ -142,6 +142,32 @@ object Aggs extends QueryModule {
       .orderBy(col("lang"), col("pos"))
   }
 
+  /** Count-min point queries per language: fixed-memory frequency estimates
+    * for a probe vocabulary (stopwords + corpus terms + one absent control).
+    * Rows-only by design — the estimates are sketch-specific, not SQL —
+    * with the ≥true / ≤true+εN guarantees and partition-independence
+    * pinned in SketchSpec. */
+  def cmsTokens(s: SparkSession, d: String): DataFrame = {
+    val probes = Seq("the", "data", "spark", "query", "table", "zzz_absent")
+    val cms = udaf(new graft.functions.CountMin(4, 256, probes),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("token"))
+      // exact codegen'd pre-count, then weighted sketch updates: identical
+      // counters (additivity), |vocab| UDAF calls instead of |tokens|
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(cms(col("token"), col("c")).as("sketch"))
+      .select(col("lang"), posexplode(col("sketch")).as(Seq("pos", "e")))
+      .select(col("lang"), col("pos"), col("e._1").as("token"),
+        col("e._2").as("est"))
+      .orderBy(col("lang"), col("pos"))
+  }
+
   /** Typed-Aggregator UDAF: per customer, the orderkey of the priciest
     * order (deterministic tie-break in the aggregator itself). */
   def argMaxOrder(s: SparkSession, d: String): DataFrame = {
@@ -222,6 +248,7 @@ object Aggs extends QueryModule {
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_heavy_hitters" -> (heavyHitters _),
+    "agg_cms_tokens"    -> (cmsTokens _),
   )
 
   override def oracleSql: Map[String, String] = Map(

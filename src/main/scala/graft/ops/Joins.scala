@@ -201,7 +201,31 @@ object Joins extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Fuzzy-match join (entity-resolution building block): candidate part
+    * pairs whose names are within Levenshtein distance 6, blocked on
+    * (first name token, p_size) so the quadratic comparison runs only
+    * inside small blocks — the standard ER blocking pattern; block choice
+    * is the scale knob, exactly as in dd_ngram_jaccard. Levenshtein is
+    * classic edit distance in both engines, so the oracle is exact. */
+  def fuzzyNameJoin(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(
+      col("p_partkey"), col("p_name"), col("p_size"),
+      element_at(split(col("p_name"), " "), 1).as("blk"))
+    val a = p.select(col("blk"), col("p_size"),
+      col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+    val b = p.select(col("blk"), col("p_size"),
+      col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+    a.join(b, Seq("blk", "p_size"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 6)
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"),
+        col("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_name"      -> (fuzzyNameJoin _),
     "join_asof_native"     -> (asofJoinNative _),
     "join_salted_skew"     -> (saltedSkewJoin _),
     "join_broadcast_chain" -> (broadcastDimChain _),
@@ -225,6 +249,19 @@ object Joins extends QueryModule {
       |ORDER BY p.event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "join_fuzzy_name" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, p_size,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part)
+        |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  a.p_name AS a_name, b.p_name AS b_name,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM p a JOIN p b
+        |  ON a.blk = b.blk AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 6
+        |ORDER BY a_key, b_key""".stripMargin,
     "join_asof_native" -> asofOracle,
     "join_salted_skew" ->
       """SELECT event_type, COUNT(*) AS n,

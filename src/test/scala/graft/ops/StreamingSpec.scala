@@ -212,4 +212,50 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy($"user_id").agg(count(lit(1)).as("n"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("Trigger.AvailableNow drains the backlog once; checkpoint restart is a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("avnow_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("avnow_ckpt").toString
+    def run(): Unit = {
+      val q = streamEvents().select($"event_id", $"event_type")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      q.awaitTermination() // AvailableNow terminates after the backlog
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == Tables.events(spark, TestSpark.sf).count(),
+      "one AvailableNow pass must drain the whole backlog")
+    run() // same checkpoint: offsets already committed → nothing reprocessed
+    assert(spark.read.parquet(out).count() == n1,
+      "restart with the same checkpoint must not duplicate data")
+  }
+
+  test("foreachBatch epoch-addressed sink is idempotent under reprocessing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("feb_out").toString
+    // Idempotent sink pattern: address the write by epoch and OVERWRITE —
+    // a retried/reprocessed epoch replaces itself instead of appending.
+    def run(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("feb_ckpt").toString
+      val q = streamEvents().select($"event_id", $"user_id")
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/epoch=$epoch")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val n1 = spark.read.parquet(out).count()
+    run() // fresh checkpoint reprocesses the same data = simulated retry
+    val all = spark.read.parquet(out)
+    assert(all.count() == n1, "reprocessing must overwrite, not append")
+    assert(all.select($"event_id").distinct().count() == n1,
+      "no duplicate events after the retried epoch")
+    assert(n1 == Tables.events(spark, TestSpark.sf).count())
+  }
 }
