@@ -168,6 +168,30 @@ object Aggs extends QueryModule {
       .orderBy(col("lang"), col("pos"))
   }
 
+  /** Winsorization bounds + tail accounting per event type: exact p05/p95
+    * (percentile ≡ quantile_cont, the proven parity pair), counts clipped
+    * on each side, and the exact-decimal sum of the in-range values. The
+    * bounds table is |types| rows and broadcasts back over the facts —
+    * same two-pass shape as ev_anomaly, no fact-side shuffle in pass 2.
+    * (Interpolated percentiles are NOT decimal-summable — only original
+    * 2-dp values enter the sum, so cross-engine hash parity holds.) */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val bounds = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+    Tables.events(s, d)
+      .join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        count(when(col("value") < col("p05"), lit(1))).as("n_low"),
+        count(when(col("value") > col("p95"), lit(1))).as("n_high"),
+        graft.OracleSafe.dsum(
+          when(col("value") >= col("p05") && col("value") <= col("p95"),
+            col("value"))).as("sum_kept"))
+      .orderBy(col("event_type"))
+  }
+
   /** Typed-Aggregator UDAF: per customer, the orderkey of the priciest
     * order (deterministic tie-break in the aggregator itself). */
   def argMaxOrder(s: SparkSession, d: String): DataFrame = {
@@ -249,9 +273,23 @@ object Aggs extends QueryModule {
     "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_heavy_hitters" -> (heavyHitters _),
     "agg_cms_tokens"    -> (cmsTokens _),
+    "agg_winsorize"     -> (winsorize _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type, MIN(p05) AS p05, MIN(p95) AS p95,
+        |  COUNT(*) FILTER (WHERE value < p05) AS n_low,
+        |  COUNT(*) FILTER (WHERE value > p95) AS n_high,
+        |  CAST(CAST(SUM(CASE WHEN value >= p05 AND value <= p95
+        |    THEN CAST(value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE)
+        |    AS sum_kept
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
     "agg_unpivot" ->
       """SELECT p_partkey, metric, value FROM (
         |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value

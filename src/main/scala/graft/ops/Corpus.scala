@@ -93,13 +93,17 @@ object Corpus extends QueryModule {
     * benchmark's distinct shingle set is small by construction, so it
     * broadcasts — the contaminated-doc check is a broadcast hash join at any
     * corpus size, never a shuffle of the corpus side. */
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+  /** (doc_id, sh): all 8-token shingles of docs with ≥ 8 tokens. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("toks")) - 7),
           i => array_join(slice(col("toks"), i, lit(8)), " "))).as("sh"))
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
     val bench = sh.filter(col("doc_id") % 53 === 0).select(col("sh")).distinct()
     val corp = sh.filter(col("doc_id") % 53 =!= 0)
       .select(col("doc_id"), col("sh")).distinct()
@@ -129,7 +133,42 @@ object Corpus extends QueryModule {
       .orderBy(col("lang"), col("seq_id"))
   }
 
+  /** End-to-end corpus build — the full curation pipeline in ONE plan:
+    * quality filter (token count + chars/token band) → benchmark-doc and
+    * contamination exclusion (8-shingle overlap, broadcast bench set) →
+    * exact dedup (min-doc_id representative per content hash, window form,
+    * no self-join) → deterministic hash split → per-(split, lang) corpus
+    * stats. Shuffle census: shingle bucket join is broadcast (no corpus
+    * shuffle), anti-join + dedup window + final agg each shuffle once on
+    * keys that scale (doc_id / content hash / split×lang) — nothing here
+    * is quadratic or driver-bound at 100 TB. */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(t).as("n_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("cpt"))
+      .filter(col("n_tokens") >= 5 && col("cpt") < 12 &&
+        col("doc_id") % 53 =!= 0) // bench docs are never corpus docs
+    val sh = shingles(s, d)
+    val bench = sh.filter(col("doc_id") % 53 === 0).select(col("sh")).distinct()
+    val contaminated = sh.filter(col("doc_id") % 53 =!= 0)
+      .join(broadcast(bench), Seq("sh")).select(col("doc_id")).distinct()
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val bucket = md5bucket(concat(lit("split:"), col("doc_id").cast("string")), 100)
+    clean.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus"    -> (corpusBuild _),
     "corpus_split"       -> (hashSplit _),
     "corpus_pack"        -> (packSequences _),
     "text_repetition"    -> (repetition _),
@@ -140,6 +179,37 @@ object Corpus extends QueryModule {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   override def oracleSql: Map[String, String] = Map(
+    "pipeline_corpus" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]) AS sh
+         |  FROM toks WHERE len(t) >= 8),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 53 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (sh)
+         |  WHERE doc_id % 53 <> 0),
+         |kept AS (
+         |  SELECT doc_id, lang, text, len($sqlToks) AS n_tokens
+         |  FROM documents
+         |  WHERE len($sqlToks) >= 5
+         |    AND CAST(length(text) AS DOUBLE) / len($sqlToks) < 12
+         |    AND doc_id % 53 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |reps AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |final AS (SELECT k.* FROM kept k JOIN reps r USING (doc_id)),
+         |split AS (
+         |  SELECT lang, n_tokens, doc_id,
+         |    CASE WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |           AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST(('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |           AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM final)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  MIN(doc_id) AS first_doc
+         |FROM split GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "corpus_split" ->
       """WITH b AS (
         |  SELECT doc_id, lang, n_chars,

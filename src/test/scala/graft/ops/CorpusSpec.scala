@@ -65,6 +65,19 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_corpus: curation only ever removes docs, and removes the right ones") {
+    val out = Corpus.corpusBuild(spark, TestSpark.sf)
+    val kept = out.agg(sum("n_docs")).head.getLong(0)
+    val nonBench = graft.Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 53 =!= 0).count()
+    assert(kept > 0 && kept < nonBench,
+      "pipeline must keep a nonempty strict subset of non-benchmark docs")
+    // every contaminated doc is really gone: the corpus stats can't include
+    // more docs than (non-bench minus contaminated)
+    val contaminated = Corpus.decontaminate(spark, TestSpark.sf).count()
+    assert(kept <= nonBench - contaminated)
+  }
+
   test("text_decontaminate: benchmark docs never self-report; overlaps are real") {
     val out = Corpus.decontaminate(spark, TestSpark.sf).collect()
     out.foreach { r =>
