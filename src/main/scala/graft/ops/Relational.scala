@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OracleSafe, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core — scans, filters, aggregations, joins (SURVEY.md §2.3–2.7).
@@ -138,15 +138,182 @@ object Relational extends QueryModule {
       |  FROM upd) t
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Column profiler (df.summary twin, but oracle-exact): per numeric
+    * lineitem column — row/non-null counts, min/max, exact-decimal mean and
+    * stddev. ONE aggregate pass over the table computes every column's
+    * moments simultaneously (a naive per-column loop would scan the table
+    * k times); the per-column rows are unpacked from the single result row,
+    * so the plan is scan → partial/final agg → 4-row explode. */
+  def profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def sx(c: String) = sum(col(c).cast("decimal(18,4)"))
+      .cast("string").cast("double")
+    def sx2(c: String) = sum(col(c).cast("decimal(12,4)")
+      * col(c).cast("decimal(12,4)")).cast("string").cast("double")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"n_$c"), sx(c).as(s"sx_$c"), sx2(c).as(s"sx2_$c"),
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val ag = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    ag.select(explode(array(cols.map { c =>
+        val n = col(s"n_$c")
+        struct(lit(c).as("col_name"), col("n_rows"), n.as("n_non_null"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"),
+          (col(s"sx_$c") / n).as("mean"),
+          sqrt((col(s"sx2_$c") - col(s"sx_$c") * col(s"sx_$c") / n)
+            / (n - 1)).as("stddev"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Data-quality report (expectation checks, deequ/dbt-test style): each
+    * rule yields (rule, n_checked, n_violations, passed). Same-table rules
+    * are FUSED into one aggregate pass per table — adding a rule adds
+    * columns to an existing scan, not a new scan; the referential check is
+    * the one extra anti-join. */
+  def qualityReport(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    def rule(name: String, checked: Column, violations: Column) =
+      struct(lit(name).as("rule"), checked.as("n_checked"),
+        violations.as("n_violations"),
+        (violations === 0L).cast("int").as("passed"))
+    val liRules = li.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v_qty"),
+      count(when(col("l_discount") > 0.06, 1)).as("v_disc"),
+      count(when(col("l_tax") < 0, 1)).as("v_tax"))
+      .select(explode(array(
+        rule("lineitem.quantity_in_1_50", col("n"), col("v_qty")),
+        rule("lineitem.discount_le_0.06", col("n"), col("v_disc")),
+        rule("lineitem.tax_non_negative", col("n"), col("v_tax")))).as("r"))
+    val oRules = o.agg(
+      count(lit(1)).as("n"),
+      count(when(!col("o_orderstatus").isin("F", "O", "P"), 1)).as("v_status"),
+      count(when(col("o_custkey").isNull, 1)).as("v_null"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"))
+      .select(explode(array(
+        rule("orders.status_in_domain", col("n"), col("v_status")),
+        rule("orders.custkey_not_null", col("n"), col("v_null")),
+        rule("orders.orderkey_unique", col("n"), col("v_dup")))).as("r"))
+    val orphan = li.join(o.select(col("o_orderkey")),
+        li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val refRule = li.agg(count(lit(1)).as("n")).crossJoin(orphan)
+      .select(rule("lineitem.orderkey_references_orders",
+        col("n"), col("v")).as("r"))
+    liRules.unionByName(oRules).unionByName(refRule)
+      .select(col("r.*")).orderBy(col("rule"))
+  }
+
+  /** Order-independent table checksums — the migration-validation primitive
+    * (this project's own story: prove an engine port preserves content).
+    * Row hash = 32-bit md5 over the unit-separator-joined canonical row
+    * string (moneys via DECIMAL(12,2) so both engines render identical
+    * text); table checksum = SUM of row hashes + row count, commutative so
+    * partitioning/order/distribution never matter. */
+  def tableChecksums(s: SparkSession, d: String): DataFrame = {
+    def rowHash(cs: Seq[Column]) =
+      conv(substring(md5(concat_ws("\u001f", cs: _*)), 1, 8), 16, 10)
+        .cast("long")
+    def one(name: String, df: DataFrame, cs: Seq[Column]) =
+      df.agg(count(lit(1)).as("n_rows"), sum(rowHash(cs)).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    one("region", Tables.region(s, d),
+      Seq(col("r_regionkey").cast("string"), col("r_name")))
+      .unionByName(one("nation", Tables.nation(s, d),
+        Seq(col("n_nationkey").cast("string"), col("n_name"),
+          col("n_regionkey").cast("string"))))
+      .unionByName(one("supplier", Tables.supplier(s, d),
+        Seq(col("s_suppkey").cast("string"), col("s_name"),
+          col("s_nationkey").cast("string"),
+          col("s_acctbal").cast("decimal(12,2)").cast("string"))))
+      .orderBy(col("table_name"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q3_top_revenue"     -> (topRevenueOrders _),
     "rel_scd2_merge"     -> (scd2Upsert _),
+    "rel_profile"        -> (profile _),
+    "rel_quality_report" -> (qualityReport _),
+    "rel_checksums"      -> (tableChecksums _),
   )
+
+  private def profileSqlFor(c: String): String =
+    s"""SELECT '$c' AS col_name, n_rows, n_non_null, min_val, max_val,
+       |  sx / n_non_null AS mean,
+       |  sqrt((sx2 - sx * sx / n_non_null) / (n_non_null - 1)) AS stddev
+       |FROM (
+       |  SELECT COUNT(*) AS n_rows, COUNT($c) AS n_non_null,
+       |    MIN($c) AS min_val, MAX($c) AS max_val,
+       |    CAST(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4)))
+       |      AS VARCHAR) AS DOUBLE) AS sx2
+       |  FROM lineitem) t""".stripMargin
+
+  private def checksumSqlFor(table: String, cols: String): String =
+    s"""SELECT '$table' AS table_name, COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(('0x' || substring(md5(concat_ws(chr(31), $cols)), 1, 8))
+       |    AS BIGINT)) AS BIGINT) AS checksum
+       |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue"     -> topRevenueOrdersSql,
     "rel_scd2_merge"     -> scd2UpsertSql,
+    "rel_profile" ->
+      (Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        .map(profileSqlFor).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+    "rel_quality_report" ->
+      """SELECT * FROM (
+        |SELECT 'lineitem.quantity_in_1_50' AS rule, COUNT(*) AS n_checked,
+        |  COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations,
+        |  CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) = 0 AS INT) AS passed
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.discount_le_0.06', COUNT(*),
+        |  COUNT(*) FILTER (WHERE l_discount > 0.06),
+        |  CAST(COUNT(*) FILTER (WHERE l_discount > 0.06) = 0 AS INT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem.tax_non_negative', COUNT(*),
+        |  COUNT(*) FILTER (WHERE l_tax < 0),
+        |  CAST(COUNT(*) FILTER (WHERE l_tax < 0) = 0 AS INT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders.status_in_domain', COUNT(*),
+        |  COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')),
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P')) = 0 AS INT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders.custkey_not_null', COUNT(*),
+        |  COUNT(*) FILTER (WHERE o_custkey IS NULL),
+        |  CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) = 0 AS INT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders.orderkey_unique', COUNT(*),
+        |  COUNT(*) - COUNT(DISTINCT o_orderkey),
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) = 0 AS INT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem.orderkey_references_orders',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 AS INT)
+        |) t ORDER BY rule""".stripMargin,
+    "rel_checksums" ->
+      (checksumSqlFor("region",
+        "CAST(r_regionkey AS VARCHAR), r_name") + "\nUNION ALL\n" +
+       checksumSqlFor("nation",
+        "CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)") +
+       "\nUNION ALL\n" +
+       checksumSqlFor("supplier",
+        "CAST(s_suppkey AS VARCHAR), s_name, CAST(s_nationkey AS VARCHAR), " +
+          "CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR)") +
+       "\nORDER BY table_name"),
   )
 }
