@@ -232,6 +232,41 @@ object Relational extends QueryModule {
       .orderBy(col("table_name"))
   }
 
+  /** Skew diagnostic: the top-10 heaviest keys with their share of total
+    * rows — the report you run before choosing a salting factor
+    * (join_salted_skew is the cure; this is the diagnosis). One groupBy +
+    * TakeOrderedAndProject; the total is a scalar broadcast into the
+    * projection. */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val total = ev.count()
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+  }
+
+  /** Incremental aggregation (materialized-view refresh pattern): the
+    * corpus is aggregated in two independent halves (before/after a cutoff
+    * day), each half's PARTIAL state kept exact (count + DECIMAL sum), then
+    * the states are merged by re-aggregation. Oracle = the single-pass
+    * aggregate over everything — proving merge(partial, partial) ≡ full
+    * recompute, the property that makes daily-refresh pipelines correct.
+    * Finalization (decimal → double) happens only after the merge. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def partial(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sv"))
+    val cutoff = lit("2024-01-15").cast("date")
+    partial(ev.filter(col("ts").cast("date") < cutoff))
+      .unionByName(partial(ev.filter(col("ts").cast("date") >= cutoff)))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("sv")).cast("string").cast("double").as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "q3_top_revenue"     -> (topRevenueOrders _),
@@ -239,6 +274,8 @@ object Relational extends QueryModule {
     "rel_profile"        -> (profile _),
     "rel_quality_report" -> (qualityReport _),
     "rel_checksums"      -> (tableChecksums _),
+    "rel_skew_report"    -> (skewReport _),
+    "rel_incr_agg"       -> (incrementalAgg _),
   )
 
   private def profileSqlFor(c: String): String =
@@ -305,6 +342,16 @@ object Relational extends QueryModule {
         |  CAST((SELECT COUNT(*) FROM lineitem
         |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 AS INT)
         |) t ORDER BY rule""".stripMargin,
+    "rel_skew_report" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "rel_incr_agg" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "rel_checksums" ->
       (checksumSqlFor("region",
         "CAST(r_regionkey AS VARCHAR), r_name") + "\nUNION ALL\n" +
