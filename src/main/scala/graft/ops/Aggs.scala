@@ -256,7 +256,38 @@ object Aggs extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Covariance / Pearson correlation per group, in the same portable form
+    * as `agg_variance`: all five moments (Σx, Σy, Σxy, Σx², Σy²) are exact
+    * decimal sums — add-order-free, so partition count never changes the
+    * answer — and the final cov/corr arithmetic is IEEE (+,−,×,÷,sqrt) on
+    * bit-agreed doubles. Product precisions stay ≤ 38 ((8,4)×(12,4)).
+    * One partial+final aggregate; nothing beyond the groupBy shuffles. */
+  def corrCov(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val sx  = sum(x.cast("decimal(18,4)")).cast("string").cast("double")
+    val sy  = sum(y.cast("decimal(18,4)")).cast("string").cast("double")
+    val sxy = sum(x.cast("decimal(8,4)") * y.cast("decimal(12,4)"))
+      .cast("string").cast("double")
+    val sx2 = sum(x.cast("decimal(8,4)") * x.cast("decimal(8,4)"))
+      .cast("string").cast("double")
+    val sy2 = sum(y.cast("decimal(12,4)") * y.cast("decimal(12,4)"))
+      .cast("string").cast("double")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sx.as("sum_x"), sy.as("sum_y"),
+        sxy.as("sum_xy"), sx2.as("sum_x2"), sy2.as("sum_y2"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sum_xy") - col("sum_x") * col("sum_y") / col("n"))
+          / (col("n") - 1)).as("cov_samp"),
+        ((col("sum_xy") - col("sum_x") * col("sum_y") / col("n"))
+          / sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
+            * (col("sum_y2") - col("sum_y") * col("sum_y") / col("n"))))
+          .as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
     "agg_pivot"         -> (pivotStatusPriority _),
     "agg_unpivot"       -> (unpivotPartMetrics _),
@@ -277,6 +308,29 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_corr_cov" ->
+      """SELECT l_returnflag, n,
+        |  (sum_xy - sum_x * sum_y / n) / (n - 1) AS cov_samp,
+        |  (sum_xy - sum_x * sum_y / n)
+        |    / sqrt((sum_x2 - sum_x * sum_x / n)
+        |         * (sum_y2 - sum_y * sum_y / n)) AS corr
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_x,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_y,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))
+        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_xy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))
+        |      * CAST(l_quantity AS DECIMAL(8,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_x2,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_y2
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_winsorize" ->
       """WITH b AS (
         |  SELECT event_type, quantile_cont(value, 0.05) AS p05,

@@ -167,12 +167,97 @@ object Corpus extends QueryModule {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Per-source document quota (domain caps): keep at most 15 docs per
+    * source, chosen by a deterministic md5 ranking — the corpus-mixing
+    * primitive that stops one crawl domain from dominating the training
+    * set. The hash rank makes the kept subset a stable function of the
+    * data (re-runs, re-shards, and cluster size never change it), unlike
+    * `sample()`. One shuffle on source; for a skewed source the rank can
+    * be two-level (salted pre-rank → re-rank of the ≤ salts×quota
+    * survivors) without changing the result. */
+  def sourceQuota(s: SparkSession, d: String): DataFrame = {
+    val key = conv(substring(
+      md5(concat(lit("quota:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Corpus-common-phrase (boilerplate) scoring, the C4-style filter: a
+    * bigram shingle is boilerplate when it appears in ≥ 8% of all
+    * documents; a doc is dropped when boilerplate covers > 20% of its
+    * distinct shingles. The threshold is relative (integer-form
+    * `df·100 ≥ 8·N`), so the operator means the same thing at every
+    * corpus size. Shuffle census: the shingle stream is exploded once and
+    * persisted (read 3×: doc-frequency, per-doc totals, per-doc boiler
+    * counts); the boiler set is tiny by construction (bounded by the
+    * common-phrase vocabulary) and broadcasts, so the per-doc count never
+    * shuffles the corpus a second time. */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    val nDocs = Tables.documents(s, d).count()
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), t.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 100 >= lit(8L) * nDocs)
+      .select(col("sh"))
+    val per = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val nb = sh.join(broadcast(boiler), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    val frac = coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_sh")
+    per.join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        frac.as("boiler_frac"),
+        when(frac <= 0.20, 1).otherwise(0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Contiguous global row ids 0..N-1 in (lang, doc_id) order WITHOUT the
+    * single-partition global window that `row_number() OVER (ORDER BY …)`
+    * plans to: rank within each lang partition (parallel window), then add
+    * per-lang offsets computed by a prefix sum over the tiny |langs|-row
+    * count table (broadcast back). The groupBy reuses the window's hash
+    * partitioning on lang, so the fact side shuffles once; only the
+    * |langs|-row offset table passes through a single task. The oracle IS
+    * the naive global window — proving the two plans agree. At 100 TB with
+    * a skewed split key, swap lang for (lang, shard) range buckets; the
+    * offset algebra is unchanged. */
+  def globalIds(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val wLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val wOff = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("lang"), col("off"))
+    docs.withColumn("rn", row_number().over(wLang))
+      .join(broadcast(offs), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (col("off") + col("rn") - 1).as("gid"))
+      .orderBy(col("gid"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_corpus"    -> (corpusBuild _),
-    "corpus_split"       -> (hashSplit _),
-    "corpus_pack"        -> (packSequences _),
-    "text_repetition"    -> (repetition _),
-    "text_decontaminate" -> (decontaminate _),
+    "pipeline_corpus"     -> (corpusBuild _),
+    "corpus_split"        -> (hashSplit _),
+    "corpus_pack"         -> (packSequences _),
+    "corpus_source_quota" -> (sourceQuota _),
+    "corpus_global_ids"   -> (globalIds _),
+    "text_repetition"     -> (repetition _),
+    "text_decontaminate"  -> (decontaminate _),
+    "text_boilerplate"    -> (boilerplate _),
   )
 
   private val sqlToks =
@@ -256,6 +341,37 @@ object Corpus extends QueryModule {
          |SELECT doc_id, COUNT(*) AS n_overlap
          |FROM corp JOIN bench USING (sh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_source_quota" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 15
+        |ORDER BY source, rk""".stripMargin,
+    "corpus_global_ids" ->
+      """SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS gid
+        |FROM documents ORDER BY gid""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS sh
+         |  FROM toks WHERE len(t) >= 2),
+         |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+         |boiler AS (SELECT sh FROM sh GROUP BY sh
+         |  HAVING COUNT(*) * 100 >= 8 * (SELECT COUNT(*) FROM documents)),
+         |per AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |nb AS (SELECT doc_id, COUNT(*) AS n_boiler
+         |  FROM sh JOIN boiler USING (sh) GROUP BY doc_id)
+         |SELECT per.doc_id, n_sh, COALESCE(n_boiler, 0) AS n_boiler,
+         |  CAST(COALESCE(n_boiler, 0) AS DOUBLE) / n_sh AS boiler_frac,
+         |  CAST(CAST(COALESCE(n_boiler, 0) AS DOUBLE) / n_sh <= 0.20 AS INT)
+         |    AS keep
+         |FROM per LEFT JOIN nb ON per.doc_id = nb.doc_id
+         |ORDER BY per.doc_id""".stripMargin,
     "corpus_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($sqlToks) AS n_tokens FROM documents),

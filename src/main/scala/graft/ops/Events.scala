@@ -144,8 +144,78 @@ object Events extends QueryModule {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Per-session event-type path ("user journey" extraction): sessionize
+    * by 30-min inactivity — same boundaries as `ev_sessions`, but via the
+    * explicit gap-flag + running-sum window so each event keeps its
+    * session ordinal — then fold every session into its ordered
+    * `view>cart>purchase` chain. Path order is total ((µs, event_id)), so
+    * the string is deterministic; `collect_list` order never matters
+    * because the structs are sorted inside the row. One shuffle on
+    * user_id; both windows and the final groupBy share it. Per-session
+    * state is one path string — bounded by session length, not history. */
+  def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(gap.isNull || gap >= 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .select(col("user_id"), col("session_id"), col("first_us"),
+        col("n_events"), col("path"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Path-level funnel analytics over the sessionized stream: count
+    * sessions per distinct journey string and flag which journeys convert
+    * (contain view → … → purchase in order — a regex over the path, no
+    * per-event state machine; converting journeys sort first). Rides the
+    * same one-shuffle
+    * sessionization as `ev_session_paths`; the path table it aggregates is
+    * |sessions| rows, orders of magnitude smaller than events. */
+  def pathFunnel(s: SparkSession, d: String): DataFrame =
+    sessionPaths(s, d)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("converted",
+        col("path").rlike("view.*purchase").cast("int"))
+      .orderBy(col("converted").desc, col("n_sessions").desc, col("path"))
+      .limit(25)
+
+  /** Centered moving average (±3 events) of value per user — the smoothing
+    * window every metrics pipeline needs, in the portable exact-decimal
+    * form: the frame SUM is a decimal (add-order-free), the mean is one
+    * IEEE division by the frame COUNT. ROWS frame over the (µs, event_id)
+    * total order, so ties are deterministic. One shuffle on user_id. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id")).rowsBetween(-3, 3)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_frame"),
+        (sum(col("value").cast("decimal(18,4)")).over(w)
+          .cast("string").cast("double") /
+          count(lit(1)).over(w)).as("ma"))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_anomaly"   -> (anomaly _),
+    "ev_session_paths" -> (sessionPaths _),
+    "ev_path_funnel"   -> (pathFunnel _),
+    "ev_moving_avg"    -> (movingAvg _),
     "ev_gapfill"   -> (gapfill _),
     "ev_retention" -> (retention _),
     "ev_tumbling"  -> (tumbling _),
@@ -156,6 +226,65 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_path_funnel" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |        >= 1800000000
+        |      OR lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM gaps),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id)
+        |      AS path
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT path, COUNT(*) AS n_sessions,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(regexp_matches(path, 'view.*purchase') AS INT) AS converted
+        |FROM paths GROUP BY path
+        |ORDER BY converted DESC, n_sessions DESC, path LIMIT 25""".stripMargin,
+    "ev_moving_avg" ->
+      """SELECT event_id, us, n_frame, ma FROM (
+        |  SELECT event_id, epoch_us(ts) AS us,
+        |    COUNT(*) OVER w AS n_frame,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR)
+        |      AS DOUBLE) / COUNT(*) OVER w AS ma
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) t
+        |ORDER BY event_id""".stripMargin,
+    "ev_session_paths" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |        >= 1800000000
+        |      OR lag(ts) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM gaps)
+        |SELECT user_id, session_id, epoch_us(MIN(ts)) AS first_us,
+        |  COUNT(*) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "ev_anomaly" ->
       """WITH st AS (
         |  SELECT event_type, COUNT(*) AS n,

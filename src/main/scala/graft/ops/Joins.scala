@@ -224,7 +224,29 @@ object Joins extends QueryModule {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** Forward as-of join with tolerance (the pandas/polars
+    * `merge_asof(direction='forward', tolerance=…)` semantics): each click
+    * is matched to the FIRST purchase of the same user within the next 24
+    * hours, or null. A RANGE window frame over the unioned event stream —
+    * one shuffle on user_id, linear state, no pair explosion; the range
+    * frame makes equal-timestamp ties deterministic (peers are always in
+    * frame, row order never matters). */
+  def asofForwardJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us")).rangeBetween(0L, 86400000000L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("us"), col("next_purchase_us"),
+        (col("next_purchase_us") - col("us")).as("waited_us"))
+      .orderBy(col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_fwd"        -> (asofForwardJoin _),
     "join_fuzzy_name"      -> (fuzzyNameJoin _),
     "join_asof_native"     -> (asofJoinNative _),
     "join_salted_skew"     -> (saltedSkewJoin _),
@@ -249,6 +271,16 @@ object Joins extends QueryModule {
       |ORDER BY p.event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "join_asof_fwd" ->
+      """SELECT event_id, us, next_purchase_us,
+        |  next_purchase_us - us AS waited_us FROM (
+        |  SELECT event_id, event_type, epoch_us(ts) AS us,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |        RANGE BETWEEN CURRENT ROW AND 86400000000 FOLLOWING)
+        |      AS next_purchase_us
+        |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "join_fuzzy_name" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name, p_size,

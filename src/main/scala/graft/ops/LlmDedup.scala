@@ -314,7 +314,73 @@ object LlmDedup extends QueryModule {
         .select(col("a_id"), col("b_id")))
       .orderBy(col("doc_id"))
 
+  /** LSH candidate-generation QUALITY metric — the monitoring query a
+    * production dedup pipeline runs before trusting banding at 100 TB:
+    * ground-truth near-dup pairs (exact 3-gram Jaccard ≥ 0.5, blocked by
+    * (lang, source) — the evaluation sample) checked against md5-minhash
+    * 4-bands-of-4 signatures. Emits n_true / n_caught / recall.
+    *
+    * Scale design: the truth join uses the codegen'd sorted-intersect
+    * kernel (64-bit injective shingle hashes ⇒ counts equal the oracle's
+    * string sets); the EXPENSIVE portable signatures (16 md5 passes over
+    * string shingles) are computed ONLY for docs that appear in a true
+    * pair — a pair is caught iff any band collides, so no corpus-wide
+    * banding join is ever needed for recall. Evaluating corpus-wide
+    * signatures here cost 150 s at sf0.1; this form is O(|true pairs|)
+    * beyond the truth join. */
+  def lshRecall(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.TextFunctions.shingles3(col("text")).as("hs"))
+      .filter(size(col("hs")) >= 1)
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersect(col("a_hs"), col("b_hs"))
+    // tiny output, expensive producer: persist so the truth join runs once
+    val truePairs = docs
+      .select(col("lang"), col("source"), col("doc_id").as("a_id"),
+        col("hs").as("a_hs"))
+      .join(docs.select(col("lang"), col("source"),
+        col("doc_id").as("b_id"), col("hs").as("b_hs")),
+        Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .filter((inter.cast("double") /
+        (size(col("a_hs")) + size(col("b_hs")) - inter)) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ids = truePairs.select(col("a_id").as("doc_id"))
+      .union(truePairs.select(col("b_id").as("doc_id"))).distinct()
+    val sh = shingles(col("text"))
+    val mins = (0 until 16).map { i =>
+      array_min(transform(sh, x => md5hash32(x, i))).as(s"mh$i")
+    }
+    val sig = Tables.documents(s, d)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .filter(size(toks(col("text"))) >= 3)
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id") +: (0 until 4).map { b =>
+        md5(concat_ws(",",
+          (b * 4 until b * 4 + 4).map(i => col(s"mh$i")): _*)).as(s"band$b")
+      }: _*)
+    val caught = truePairs
+      .join(sig.select(col("doc_id").as("a_id") +:
+        (0 until 4).map(b => col(s"band$b").as(s"a_band$b")): _*), "a_id")
+      .join(sig.select(col("doc_id").as("b_id") +:
+        (0 until 4).map(b => col(s"band$b").as(s"b_band$b")): _*), "b_id")
+      .filter((0 until 4).map(b =>
+        col(s"a_band$b") === col(s"b_band$b")).reduce(_ || _))
+    truePairs.agg(count(lit(1)).as("n_true"))
+      .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+      .select(col("n_true"), col("n_caught"),
+        when(col("n_true") > 0,
+          col("n_caught").cast("double") / col("n_true"))
+          .otherwise(lit(null).cast("double")).as("recall"))
+      .orderBy(col("n_true"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_lsh_recall"     -> (lshRecall _),
     "dd_clusters"       -> (clusterComponents _),
     "dd_lsh_clusters"   -> (lshClusters _),
     "dd_exact"          -> (exact _),
@@ -333,6 +399,43 @@ object LlmDedup extends QueryModule {
     s"CAST(('0x' || substring(md5('$seed:' || $e), 1, 8)) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "dd_lsh_recall" -> {
+      val mh = (0 until 16).map { i =>
+        s"list_min(list_transform(sh, x -> ${sqlHash32("x", i)})) AS mh$i"
+      }.mkString(",\n  ")
+      val bands = (0 until 4).map { b =>
+        val cols = (b * 4 until b * 4 + 4).map(i => s"CAST(mh$i AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"md5($cols) AS band$b"
+      }.mkString(",\n  ")
+      val anyBand = (0 until 4)
+        .map(b => s"a.band$b = b.band$b").mkString(" OR ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, ${sqlShingles(sqlToks)} AS sh
+         |  FROM documents WHERE len($sqlToks) >= 3),
+         |tp AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM d a JOIN d b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      >= 0.5),
+         |m AS (
+         |  SELECT doc_id, $mh FROM d
+         |  WHERE doc_id IN (SELECT a_id FROM tp UNION SELECT b_id FROM tp)),
+         |sig AS (SELECT doc_id, $bands FROM m),
+         |caught AS (
+         |  SELECT tp.* FROM tp
+         |  JOIN sig a ON a.doc_id = tp.a_id
+         |  JOIN sig b ON b.doc_id = tp.b_id
+         |  WHERE $anyBand)
+         |SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+         |  (SELECT COUNT(*) FROM caught) AS n_caught,
+         |  CASE WHEN (SELECT COUNT(*) FROM tp) > 0
+         |    THEN CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+         |       / (SELECT COUNT(*) FROM tp) END AS recall
+         |ORDER BY n_true""".stripMargin
+    },
     "dd_clusters" -> {
       val bg = s"list_distinct(list_transform(generate_series(1, len($sqlToks) - 1), " +
         s"i -> ($sqlToks)[i] || '_' || ($sqlToks)[i+1]))"

@@ -267,8 +267,51 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Snapshot reconciliation (table diff): compare two versions of a table
+    * by primary key and classify every key as added / removed / changed,
+    * with the exact set of changed columns. Both snapshots derive
+    * deterministically from one orders scan — version A drops keys ≡ 0
+    * (mod 13); version B drops keys ≡ 0 (mod 17), bumps o_totalprice on
+    * keys ≡ 0 (mod 11) and flips o_orderstatus on keys ≡ 0 (mod 19) — so
+    * adds, removals, single- and multi-column changes all occur (and
+    * o_custkey, never modified, proves the mask reports no false
+    * changes). One full-outer shuffle on the key; the change mask is a
+    * pure projection. Complements `rel_checksums`: the checksum says
+    * WHETHER tables differ, this says exactly HOW. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    val a = o.filter(col("o_orderkey") % 13 =!= 0)
+    val b = o.filter(col("o_orderkey") % 17 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 19 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    val changedCols = concat_ws(",",
+      when(col("a.o_custkey") =!= col("b.o_custkey"), lit("o_custkey")),
+      when(col("a.o_orderstatus") =!= col("b.o_orderstatus"),
+        lit("o_orderstatus")),
+      when(col("a.o_totalprice") =!= col("b.o_totalprice"),
+        lit("o_totalprice")))
+    a.as("a")
+      .join(b.as("b"), col("a.o_orderkey") === col("b.o_orderkey"),
+        "full_outer")
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, "added")
+          .when(col("b.o_orderkey").isNull, "removed")
+          .when(changedCols =!= "", "changed")
+          .otherwise("same").as("status"),
+        changedCols.as("changed_cols"))
+      .filter(col("status") =!= "same")
+      .orderBy(col("o_orderkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
+    "rel_diff"           -> (snapshotDiff _),
     "q3_top_revenue"     -> (topRevenueOrders _),
     "rel_scd2_merge"     -> (scd2Upsert _),
     "rel_profile"        -> (profile _),
@@ -342,6 +385,35 @@ object Relational extends QueryModule {
         |  CAST((SELECT COUNT(*) FROM lineitem
         |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 AS INT)
         |) t ORDER BY rule""".stripMargin,
+    "rel_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |a AS (SELECT * FROM o WHERE o_orderkey % 13 <> 0),
+        |b AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 17 <> 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN concat_ws(',',
+        |           CASE WHEN a.o_custkey <> b.o_custkey THEN 'o_custkey' END,
+        |           CASE WHEN a.o_orderstatus <> b.o_orderstatus
+        |             THEN 'o_orderstatus' END,
+        |           CASE WHEN a.o_totalprice <> b.o_totalprice
+        |             THEN 'o_totalprice' END) <> ''
+        |         THEN 'changed' ELSE 'same' END AS status,
+        |    concat_ws(',',
+        |      CASE WHEN a.o_custkey <> b.o_custkey THEN 'o_custkey' END,
+        |      CASE WHEN a.o_orderstatus <> b.o_orderstatus
+        |        THEN 'o_orderstatus' END,
+        |      CASE WHEN a.o_totalprice <> b.o_totalprice
+        |        THEN 'o_totalprice' END) AS changed_cols
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey) t
+        |WHERE status <> 'same' ORDER BY o_orderkey""".stripMargin,
     "rel_skew_report" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share

@@ -222,7 +222,78 @@ object Scalars extends QueryModule {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Bitwise battery: AND/OR/XOR, shifts, popcount — the ops behind hash
+    * mixing, bitmask flags, and bucket math (the Z-order key and SimHash
+    * kernels use exactly these). Pure map-only projection; integer
+    * semantics are identical across engines, so no parity scaffolding. */
+  def bitwiseFuncs(s: SparkSession, d: String): DataFrame = {
+    val k = col("p_partkey")
+    Tables.part(s, d).select(
+      k,
+      k.bitwiseAND(255).as("k_and"),
+      k.bitwiseOR(1024).as("k_or"),
+      k.bitwiseXOR(shiftright(k, 4)).as("k_xor"),
+      shiftleft(k.bitwiseAND(15), 3).as("k_shl"),
+      shiftright(k, 2).as("k_shr"),
+      bit_count(k).as("k_bits"))
+      .orderBy(k)
+  }
+
+  /** TPC-H Q18 shape: HAVING over a fact aggregate, joined back through
+    * orders to customers — the "large-volume customer" pattern. The
+    * HAVING filter runs inside the aggregate (partial+final), so only
+    * qualifying orderkeys (a tiny set) flow into the join; Catalyst
+    * broadcasts them against orders. */
+  def sqlQ18Shape(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, t.sum_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING)
+        |          AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250) t
+        |JOIN orders o ON o.o_orderkey = t.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  /** Correlated NOT EXISTS (anti-join decorrelation): market segments of
+    * customers who never placed a 400k+ order. Catalyst rewrites the
+    * correlated subquery into a left-anti hash join — no per-row
+    * subquery execution, one shuffle each side. */
+  def sqlExistsShape(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Regex battery: extract / extract-all / count / global replace /
+    * match-test. Spark's regexp_replace is global by default; the DuckDB
+    * twin needs the explicit 'g' flag — the only cross-engine regex trap
+    * here. Map-only. */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+      array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)),
+        "|").as("words"),
+      regexp_count(col("p_name"), lit("[a-z]+")).as("n_words"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+      col("p_name").rlike("[0-9]").cast("int").as("has_digit"))
+      .orderBy(col("p_partkey"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_regex"   -> (regexFuncs _),
+    "sql_q18_shape"  -> (sqlQ18Shape _),
+    "sql_exists_shape" -> (sqlExistsShape _),
+    "scalar_bitwise" -> (bitwiseFuncs _),
     "scalar_maps"   -> (mapFuncs _),
     "scalar_try"    -> (tryBattery _),
     "scalar_variant" -> (variantBattery _),
@@ -237,6 +308,40 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_q18_shape" ->
+      """SELECT c.c_custkey, o.o_orderkey, t.sum_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+        |          AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250) t
+        |JOIN orders o ON o.o_orderkey = t.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "sql_exists_shape" ->
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "scalar_regex" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), '|')
+        |    AS words,
+        |  len(regexp_extract_all(p_name, '[a-z]+', 0)) AS n_words,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  CAST(regexp_matches(p_name, '[0-9]') AS INT) AS has_digit
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS k_and,
+        |  p_partkey | 1024 AS k_or,
+        |  xor(p_partkey, p_partkey >> 4) AS k_xor,
+        |  (p_partkey & 15) << 3 AS k_shl,
+        |  p_partkey >> 2 AS k_shr,
+        |  bit_count(p_partkey) AS k_bits
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_try" ->
       """SELECT o_orderkey,
         |  o_totalprice / NULLIF(CAST(o_custkey % 3 AS DOUBLE), 0.0) AS div_or_null,

@@ -60,4 +60,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllMatchIn(p).size == 1,
       s"hash split should shuffle exactly once (the split×lang agg):\n$p")
   }
+
+  test("corpus_global_ids: no single-partition exchange on the fact path " +
+    "(the naive global row_number plan it replaces)") {
+    val p = plan("corpus_global_ids")
+    // the |langs|-row offset table passes through one SinglePartition
+    // window; the document stream itself must never collapse to one task
+    val single = "Exchange SinglePartition".r.findAllMatchIn(p).size
+    assert(single <= 1, s"fact stream collapsed to a single partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast back, not shuffle the facts:\n$p")
+  }
+
+  test("text_boilerplate: boiler set broadcasts — the corpus shingle " +
+    "stream is never shuffled for the membership join") {
+    val p = plan("text_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boiler membership must be a broadcast join:\n$p")
+  }
+
+  test("corpus_source_quota: one shuffle on source for the rank window") {
+    val p = plan("corpus_source_quota")
+    assert("hashpartitioning\\(source".r.findAllMatchIn(p).nonEmpty,
+      s"quota rank must partition by source:\n$p")
+  }
+
+  test("rel_diff: full-outer join shuffles both snapshots once on the key") {
+    val p = plan("rel_diff")
+    assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoop"),
+      s"diff must stay an equi join:\n$p")
+  }
 }

@@ -86,4 +86,37 @@ class CorpusSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_overlap") >= 1)
     }
   }
+
+  test("corpus_source_quota: hard cap per source, deterministic across runs") {
+    val out = Corpus.sourceQuota(spark, TestSpark.sf)
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r => assert(r.getAs[Long]("count") <= 15))
+    // stability: the kept set is a pure function of the data
+    val again = Corpus.sourceQuota(spark, TestSpark.sf)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
+
+  test("corpus_global_ids: ids are a contiguous 0..N-1 permutation " +
+    "agreeing with the (lang, doc_id) total order") {
+    val out = Corpus.globalIds(spark, TestSpark.sf).collect()
+    val n = out.length
+    assert(out.map(_.getAs[Long]("gid")).toSet == (0L until n).toSet)
+    // gid order ≡ (lang, doc_id) lexicographic order
+    val sorted = out.sortBy(_.getAs[Long]("gid"))
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    assert(sorted.sameElements(sorted.sorted), "gid must follow (lang, doc_id)")
+  }
+
+  test("text_boilerplate: fractions bounded, keep flag consistent, " +
+    "boiler shingles really are corpus-common") {
+    val rows = Corpus.boilerplate(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("boiler_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_sh"))
+      assert((r.getAs[Int]("keep") == 1) == (f <= 0.20), s"keep flag wrong at $f")
+    }
+  }
 }

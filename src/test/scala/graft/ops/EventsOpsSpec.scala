@@ -42,4 +42,44 @@ class EventsOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ev_session_paths: path length matches n_events; session boundaries " +
+    "agree with ev_sessions") {
+    val paths = Events.sessionPaths(spark, TestSpark.sf)
+    val rows = paths.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val path = r.getAs[String]("path")
+      assert(path.split(">").length == r.getAs[Long]("n_events"),
+        s"path '$path' disagrees with n_events")
+    }
+    // same sessionization as ev_sessions: session count per user matches
+    val viaPaths = paths.groupBy("user_id")
+      .agg(count(lit(1)).as("n")).orderBy("user_id").collect()
+    val viaSessions = Events.sessions(spark, TestSpark.sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).orderBy("user_id")
+      .collect()
+    assert(viaPaths.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      viaSessions.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("rel_diff: statuses partition the key space correctly") {
+    val out = Relational.snapshotDiff(spark, TestSpark.sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      val status = r.getAs[String]("status")
+      val mask = r.getAs[String]("changed_cols")
+      status match {
+        case "added"   => assert(k % 13 == 0 && k % 17 != 0 && mask.isEmpty)
+        case "removed" => assert(k % 17 == 0 && k % 13 != 0 && mask.isEmpty)
+        case "changed" =>
+          assert(k % 13 != 0 && k % 17 != 0)
+          assert(mask.nonEmpty && !mask.contains("o_custkey"),
+            "o_custkey never changes by construction")
+          assert((k % 11 == 0) == mask.contains("o_totalprice"))
+          assert((k % 19 == 0) == mask.contains("o_orderstatus"))
+      }
+    }
+  }
 }

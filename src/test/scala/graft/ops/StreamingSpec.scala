@@ -108,6 +108,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded rows " +
+    "once the watermark closes the window") {
+    // Outer stream-stream join is semantically distinct from inner: a left
+    // row with no match can only be emitted (null-padded) after the
+    // watermark proves no future match can arrive. With AvailableNow over a
+    // finite fixture the final watermark passes max(ts), so every unmatched
+    // click must surface — making the result equal to the batch left join.
+    val clicks = streamEvents()
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("c_id"))
+      .withWatermark("c_ts", "10 seconds")
+    val purchases = streamEvents()
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"event_id".as("p_id"))
+      .withWatermark("p_ts", "10 seconds")
+    val joined = clicks.join(purchases,
+      $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 5 MINUTES"),
+      "left_outer")
+    val q = joined.select($"c_id", unix_micros($"c_ts").as("c_us"), $"p_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssloj_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssloj_out")
+    val ev = Tables.events(spark, TestSpark.sf)
+    val batch = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+      .join(ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id")),
+        $"c_user" === $"p_user" &&
+          $"p_ts" >= $"c_ts" && $"p_ts" <= $"c_ts" + expr("INTERVAL 5 MINUTES"),
+        "left_outer")
+      .select($"c_id", unix_micros($"c_ts").as("c_us"), $"p_id")
+    // matched (inner) rows emit eagerly and must agree exactly
+    val sIn = streamed.filter($"p_id".isNotNull)
+    val bIn = batch.filter($"p_id".isNotNull)
+    assert(sIn.exceptAll(bIn).isEmpty && bIn.exceptAll(sIn).isEmpty)
+    // null-padded rows are never wrong ...
+    assert(streamed.filter($"p_id".isNull)
+      .exceptAll(batch.filter($"p_id".isNull)).isEmpty)
+    // ... and every unmatched click whose join window provably closed
+    // before the final GLOBAL watermark must have been emitted; only the
+    // tail region may legitimately be held. The global watermark is the
+    // MIN across both (filtered) inputs' event-time maxima − the 10 s
+    // delay; 1 s extra slack because watermarks are ms-truncated.
+    val maxC = ev.filter($"event_type" === "click")
+      .agg(max(unix_micros($"ts"))).head.getLong(0)
+    val maxP = ev.filter($"event_type" === "purchase")
+      .agg(max(unix_micros($"ts"))).head.getLong(0)
+    val closed = math.min(maxC, maxP) -
+      10_000_000L - 300_000_000L - 1_000_000L
+    val mustEmit = batch.filter($"p_id".isNull && $"c_us" < closed)
+    assert(mustEmit.count() > 0, "fixture must close some unmatched windows")
+    assert(mustEmit.exceptAll(streamed.filter($"p_id".isNull)).isEmpty,
+      "closed-window unmatched clicks must be null-padded in the stream")
+  }
+
   test("stream-static broadcast join enriches the stream without state") {
     // The enrichment pattern: a fact stream joined to a static dimension.
     // No watermark needed — the static side is re-read per micro-batch and
