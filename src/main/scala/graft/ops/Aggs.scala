@@ -286,7 +286,26 @@ object Aggs extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Boolean/selector aggregates: bool_and / bool_or / count_if and
+    * max_by / min_by (argmax as built-ins, complementing the typed
+    * Aggregator form in agg_argmax_udaf). The by-value is made strictly
+    * unique (price·2³² + key — both engines compute the identical IEEE
+    * double) so argmax ties can never make the result nondeterministic. */
+  def booleanAggs(s: SparkSession, d: String): DataFrame = {
+    val v = col("o_totalprice") * lit(4294967296.0) + col("o_orderkey")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bool_and(col("o_totalprice") > 1000).cast("int").as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).cast("int").as("any_over_400k"),
+        count_if(col("o_totalprice") > 100000).as("n_over_100k"),
+        max_by(col("o_orderkey"), v).as("key_of_max"),
+        min_by(col("o_orderkey"), v).as("key_of_min"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_booleans"      -> (booleanAggs _),
     "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
     "agg_pivot"         -> (pivotStatusPriority _),
@@ -308,6 +327,17 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_booleans" ->
+      """SELECT o_orderstatus,
+        |  CAST(bool_and(o_totalprice > 1000) AS INT) AS all_over_1k,
+        |  CAST(bool_or(o_totalprice > 400000) AS INT) AS any_over_400k,
+        |  CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_over_100k,
+        |  arg_max(o_orderkey, o_totalprice * 4294967296 + o_orderkey)
+        |    AS key_of_max,
+        |  arg_min(o_orderkey, o_totalprice * 4294967296 + o_orderkey)
+        |    AS key_of_min
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "agg_corr_cov" ->
       """SELECT l_returnflag, n,
         |  (sum_xy - sum_x * sum_y / n) / (n - 1) AS cov_samp,

@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Corpus extends QueryModule {
 
-  private def tokens(c: Column): Column =
+  private[graft] def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
   /** Portable 32-bit hash shared with the DuckDB oracle: first 8 hex digits
     * of md5 as a long (same construction as LlmDedup.md5hash32). */
-  private def md5bucket(c: Column, mod: Int): Column =
+  private[graft] def md5bucket(c: Column, mod: Int): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % mod
 
   /** Deterministic hash split: every doc lands in train/val/test purely as a
@@ -94,7 +94,7 @@ object Corpus extends QueryModule {
     * broadcasts — the contaminated-doc check is a broadcast hash join at any
     * corpus size, never a shuffle of the corpus side. */
   /** (doc_id, sh): all 8-token shingles of docs with ≥ 8 tokens. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -224,6 +224,38 @@ object Corpus extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic curriculum interleave (mixture schedule): rank docs
+    * within each source by the stable md5 order, then emit the global
+    * training order (rank 1 of every source, then rank 2, …) — round-robin
+    * across sources, so no source ever dominates a training window. Pure
+    * function of the data: re-runs, re-shards, and cluster size never
+    * change the schedule. The global position reuses the
+    * [[globalIds]] offset algebra — rank within each round, plus a
+    * broadcast prefix-sum of the tiny per-round count table — so there is
+    * never a single-partition window over the corpus; the oracle IS that
+    * naive global row_number. */
+  def interleave(s: SparkSession, d: String): DataFrame = {
+    val key = conv(substring(
+      md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+    val ranked = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+    val wOff = Window.orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranked.groupBy(col("rk")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("rk"), col("off"))
+    ranked
+      .withColumn("r2", row_number().over(
+        Window.partitionBy(col("rk")).orderBy(col("source"), col("doc_id"))))
+      .join(broadcast(offs), Seq("rk"))
+      .select(col("doc_id"), col("source"), col("rk"),
+        (col("off") + col("r2") - 1).as("pos"))
+      .orderBy(col("pos"))
+  }
+
   /** Contiguous global row ids 0..N-1 in (lang, doc_id) order WITHOUT the
     * single-partition global window that `row_number() OVER (ORDER BY …)`
     * plans to: rank within each lang partition (parallel window), then add
@@ -255,6 +287,7 @@ object Corpus extends QueryModule {
     "corpus_pack"         -> (packSequences _),
     "corpus_source_quota" -> (sourceQuota _),
     "corpus_global_ids"   -> (globalIds _),
+    "corpus_interleave"   -> (interleave _),
     "text_repetition"     -> (repetition _),
     "text_decontaminate"  -> (decontaminate _),
     "text_boilerplate"    -> (boilerplate _),
@@ -355,6 +388,17 @@ object Corpus extends QueryModule {
       """SELECT doc_id, lang,
         |  ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS gid
         |FROM documents ORDER BY gid""".stripMargin,
+    "corpus_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk,
+        |  ROW_NUMBER() OVER (ORDER BY rk, source, doc_id) - 1 AS pos
+        |FROM r ORDER BY pos""".stripMargin,
     "text_boilerplate" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |sh0 AS (SELECT doc_id,

@@ -56,4 +56,23 @@ class EdgeCaseSpec extends AnyFunSuite {
       .withColumn("cum", coalesce(sum($"n_tokens").over(w), lit(0L)))
     assert(packed.head.getAs[Long]("cum") == 0L)
   }
+
+  test("CorpusPipeline with a filter-everything config yields empty " +
+    "stats, not a crash") {
+    val out = new api.CorpusPipeline(
+      api.CorpusConfig(minTokens = Int.MaxValue)).run(spark, TestSpark.sf)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("split", "lang", "n_docs", "total_tokens", "first_doc"))
+  }
+
+  test("pipeline stages compose on a DataFrame with no benchmark docs " +
+    "(benchMod larger than every doc_id): nothing is decontaminated away") {
+    val p = new api.CorpusPipeline(api.CorpusConfig(benchMod = Long.MaxValue))
+    val kept = p.run(spark, TestSpark.sf).agg(sum("n_docs")).head.getLong(0)
+    val default = new api.CorpusPipeline().run(spark, TestSpark.sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(kept >= default,
+      "disabling decontamination can only keep more docs")
+  }
 }

@@ -1,0 +1,58 @@
+package graft.api
+
+import graft.TestSpark
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public pipeline API must agree with the oracle-gated query forms —
+  * the API is a re-composition, not a re-implementation. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("CorpusPipeline default config reproduces pipeline_corpus exactly") {
+    val api = new CorpusPipeline().run(spark, TestSpark.sf)
+    val query = Corpus.corpusBuild(spark, TestSpark.sf)
+    assert(api.exceptAll(query).isEmpty && query.exceptAll(api).isEmpty,
+      "API chain and registered query must produce identical stats")
+  }
+
+  test("config knobs change the output in the expected direction") {
+    val strict = new CorpusPipeline(CorpusConfig(minTokens = 20))
+      .run(spark, TestSpark.sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    val loose = new CorpusPipeline(CorpusConfig(minTokens = 1))
+      .run(spark, TestSpark.sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(strict < loose, "a stricter quality gate must keep fewer docs")
+    val noDedup = new CorpusPipeline(CorpusConfig(dedupExact = false))
+      .run(spark, TestSpark.sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    val withDedup = new CorpusPipeline().run(spark, TestSpark.sf)
+      .agg(sum("n_docs")).head.getLong(0)
+    assert(noDedup >= withDedup, "dedup can only remove docs")
+  }
+
+  test("stages fuse lazily: the whole chain is one job, no intermediate " +
+    "materialization (scan count via plan)") {
+    val plan = new CorpusPipeline().run(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    // the chain reads documents for the corpus and for the shingle table —
+    // but never writes/caches in between, and the corpus side joins the
+    // benchmark set by broadcast
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"benchmark shingles must broadcast:\n$plan")
+  }
+
+  test("corpus_interleave: positions are a permutation and round-robin " +
+    "across sources (rank r of every source precedes rank r+1 of any)") {
+    val out = Corpus.interleave(spark, TestSpark.sf).collect()
+    val n = out.length
+    assert(out.map(_.getAs[Long]("pos")).toSet == (0L until n).toSet)
+    val byPos = out.sortBy(_.getAs[Long]("pos"))
+    val ranks = byPos.map(_.getAs[Int]("rk"))
+    assert(ranks.sameElements(ranks.sorted),
+      "interleave must emit all rank-r docs before any rank-(r+1) doc")
+  }
+}
