@@ -69,7 +69,7 @@ object LlmDedup extends QueryModule {
     * bands, then verify every candidate with exact shingle Jaccard. The
     * quadratic pair space is never formed: explode is linear, the join is
     * per-bucket, and verification touches candidates only. */
-  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     // Whole tokenize→shingle→hash pipeline runs as ONE per-row kernel
@@ -230,7 +230,7 @@ object LlmDedup extends QueryModule {
     *
     * @param edges (a_id, b_id) pairs; vertices are the ids that appear
     * @return (doc_id, cluster_id = min reachable doc_id) */
-  private def connectedComponents(edges0: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(edges0: DataFrame): DataFrame = {
     val edges = edges0.localCheckpoint()   // eager: edge generation runs exactly once
     val sym = edges.unionByName(
       edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))

@@ -45,6 +45,32 @@ class PipelineSpec extends AnyFunSuite {
       s"benchmark shingles must broadcast:\n$plan")
   }
 
+  test("DedupPipeline equals the dd_lsh_clusters query; representatives " +
+    "absorb every member") {
+    val api = new DedupPipeline().run(spark, TestSpark.sf)
+    val query = graft.ops.LlmDedup.lshClusters(spark, TestSpark.sf)
+    assert(api.exceptAll(query).isEmpty && query.exceptAll(api).isEmpty)
+    val reps = new DedupPipeline()
+      .representatives(new DedupPipeline().clusters(
+        new DedupPipeline().edges(spark, TestSpark.sf))).collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.length == r.getAs[Long]("n_members"))
+      assert(members.min == r.getAs[Long]("keep_doc_id"),
+        "representative must be the min member id")
+    }
+  }
+
+  test("DedupPipeline threshold knob: a stricter threshold never yields " +
+    "more clustered docs") {
+    val loose = new DedupPipeline(DedupConfig(threshold = 0.3))
+      .run(spark, TestSpark.sf).count()
+    val strict = new DedupPipeline(DedupConfig(threshold = 0.9))
+      .run(spark, TestSpark.sf).count()
+    assert(strict <= loose)
+  }
+
   test("corpus_interleave: positions are a permutation and round-robin " +
     "across sources (rank r of every source precedes rank r+1 of any)") {
     val out = Corpus.interleave(spark, TestSpark.sf).collect()
