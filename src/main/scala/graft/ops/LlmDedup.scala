@@ -379,7 +379,23 @@ object LlmDedup extends QueryModule {
       .orderBy(col("n_true"))
   }
 
+  /** Duplicate-group report over the sub-quadratic pipeline: one row per
+    * near-dup cluster with its representative (min doc_id), member count,
+    * and the sorted member list as a string — the "what to delete"
+    * artifact a dedup run actually ships. Same labeling as
+    * dd_lsh_clusters; one extra groupBy on cluster_id. */
+  def dupGroups(s: SparkSession, d: String): DataFrame =
+    lshClusters(s, d)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          m => m.cast("string")), ",").as("members"))
+      .select(col("cluster_id").as("keep_doc_id"), col("n_members"),
+        col("members"))
+      .orderBy(col("keep_doc_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_dup_groups"     -> (dupGroups _),
     "dd_lsh_recall"     -> (lshRecall _),
     "dd_clusters"       -> (clusterComponents _),
     "dd_lsh_clusters"   -> (lshClusters _),
@@ -456,6 +472,33 @@ object LlmDedup extends QueryModule {
          |  SELECT s.a_id, r.lbl FROM sym s JOIN reach r ON s.b_id = r.node)
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+    },
+    "dd_dup_groups" -> {
+      val tg = s"list_distinct(list_transform(generate_series(1, len($sqlToks) - 2), " +
+        s"i -> ($sqlToks)[i] || '_' || ($sqlToks)[i+1] || '_' || ($sqlToks)[i+2]))"
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, $tg AS tg FROM documents
+         |  WHERE len($sqlToks) >= 3),
+         |inv AS (SELECT doc_id, len(tg) AS n, unnest(tg) AS t FROM d),
+         |e AS (
+         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM inv x JOIN inv y ON x.t = y.t AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id, x.n, y.n
+         |  HAVING CAST(count(*) AS DOUBLE) / (x.n + y.n - count(*)) >= 0.5),
+         |sym AS (SELECT a_id, b_id FROM e UNION ALL SELECT b_id, a_id FROM e),
+         |verts AS (SELECT DISTINCT a_id AS id FROM sym),
+         |reach(node, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT s.a_id, r.lbl FROM sym s JOIN reach r ON s.b_id = r.node),
+         |labels AS (
+         |  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT cluster_id AS keep_doc_id, COUNT(*) AS n_members,
+         |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+         |    AS members
+         |FROM labels GROUP BY cluster_id
+         |ORDER BY keep_doc_id""".stripMargin
     },
     "dd_lsh_clusters" -> {
       // Exact trigram-Jaccard ≥ 0.5 edges via an inverted-index join

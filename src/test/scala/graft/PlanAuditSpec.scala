@@ -85,6 +85,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quota rank must partition by source:\n$p")
   }
 
+  test("ev_session_paths: sessionize windows and the path aggregate all " +
+    "share ONE user_id shuffle") {
+    val p = plan("ev_session_paths")
+    assert("hashpartitioning".r.findAllMatchIn(p).size == 1,
+      s"sessionization must reuse a single user_id exchange:\n$p")
+  }
+
   test("rel_diff: full-outer join shuffles both snapshots once on the key") {
     val p = plan("rel_diff")
     assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
