@@ -309,9 +309,39 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Point-in-time (temporal) join: enrich each fact with the dimension
+    * version VALID AT THE FACT'S OWN TIMESTAMP — the SCD2 consumer side.
+    * Half the facts are shifted +150 days so both the original and the
+    * upgraded version are exercised. Equi-join on the key with the
+    * validity interval as a residual predicate: stays a hash join (never
+    * nested-loop) because SCD2 bounds versions per key; at 100 TB the
+    * dim broadcasts or buckets by key exactly like any other dim join. */
+  def pointInTimeJoin(s: SparkSession, d: String): DataFrame = {
+    val dim0 = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      lit("2024-01-01").cast("date").as("valid_from"),
+      lit("2200-01-01").cast("date").as("valid_to"),
+      lit(1).as("is_current"))
+    val upd = Tables.customer(s, d).filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+    val scd = scd2Merge(dim0, upd, "c_custkey", "2024-06-01")
+    val facts = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      when(col("event_id") % 2 === 0, date_add(col("ts").cast("date"), 150))
+        .otherwise(col("ts").cast("date")).as("day"))
+    facts.join(scd,
+        facts("user_id") === scd("c_custkey") &&
+          col("day") >= col("valid_from") && col("day") < col("valid_to"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (pricingSummary _),
     "rel_diff"           -> (snapshotDiff _),
+    "join_pit"           -> (pointInTimeJoin _),
     "q3_top_revenue"     -> (topRevenueOrders _),
     "rel_scd2_merge"     -> (scd2Upsert _),
     "rel_profile"        -> (profile _),
@@ -385,6 +415,39 @@ object Relational extends QueryModule {
         |  CAST((SELECT COUNT(*) FROM lineitem
         |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 AS INT)
         |) t ORDER BY rule""".stripMargin,
+    "join_pit" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    DATE '2024-01-01' AS valid_from, DATE '2200-01-01' AS valid_to,
+        |    1 AS is_current
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'UPGRADED' AS c_mktsegment,
+        |    c_acctbal + 100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |scd AS (
+        |  SELECT d.* FROM dim d
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+        |    DATE '2024-06-01' AS valid_to, 0 AS is_current
+        |  FROM dim WHERE c_custkey IN (SELECT c_custkey FROM upd)
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal, DATE '2024-06-01',
+        |    DATE '2200-01-01', 1 FROM upd),
+        |facts AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 2 = 0
+        |      THEN CAST(ts AS DATE) + INTERVAL 150 DAY
+        |      ELSE CAST(ts AS DATE) END AS day
+        |  FROM events)
+        |SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM facts f JOIN scd s
+        |  ON f.user_id = s.c_custkey
+        | AND CAST(f.day AS DATE) >= s.valid_from
+        | AND CAST(f.day AS DATE) < s.valid_to
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "rel_diff" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |  FROM orders),
