@@ -32,7 +32,12 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Outside the timed region: drop blocks a query persisted for its own
+      // action so they can't tax every later query (measured ~+0.25 s/query
+      // of drag over a 140-query run before this).
+      CacheHygiene.clear(spark)
+      (name, if (ok) elapsed else -1.0)
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

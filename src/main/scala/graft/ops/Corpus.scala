@@ -112,19 +112,38 @@ object Corpus extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** Fixed-token-budget sequence packing: within each lang partition, docs
-    * fill 512-token training sequences in doc_id order (contiguous-fill
-    * packing: a doc's sequence is floor(tokens-before-it / 512)). The window
-    * runs per-lang, so packing parallelizes across partitions — there is no
-    * global sort; at 100 TB the pack key would be (lang, shard). Integer
-    * arithmetic end-to-end: no float drift across engines. */
+  /** Fixed-token-budget sequence packing: within each lang, docs fill
+    * 512-token training sequences in doc_id order (contiguous-fill packing:
+    * a doc's sequence is floor(tokens-before-it / 512)). TWO-LEVEL form —
+    * a per-lang window would hand each language's whole corpus to ONE task
+    * (~4 langs = 4 tasks at any scale), so the running count is computed
+    * per (lang, shard = doc_id div 256) in parallel windows, then lifted to
+    * the global per-lang count by adding a prefix-sum offset over the
+    * 256×-smaller per-shard token-total table (the [[globalIds]] offset
+    * algebra; shard is monotone in doc_id within a lang, so shard-local
+    * rank + shard offset ≡ the single-window cumsum exactly — the oracle
+    * stays the naive per-lang window, proving it). The offset table's own
+    * prefix window is per-lang over |docs|/256 rows; at extreme scale the
+    * same algebra recurses. Integer arithmetic end-to-end: no float drift
+    * across engines. */
   def packSequences(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr("doc_id div 256").as("shard"),
+        size(tokens(col("text"))).as("n_tokens"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_id", expr("cum_before div 512"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("off", coalesce(sum(col("shard_tokens")).over(wOff), lit(0L)))
+      .select(col("lang"), col("shard"), col("off"))
+    base
+      .withColumn("local_before",
+        coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(offs), Seq("lang", "shard"))
+      .withColumn("seq_id", expr("(off + local_before) div 512"))
       .groupBy(col("lang"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("seq_tokens"),
@@ -199,7 +218,11 @@ object Corpus extends QueryModule {
     * shuffles the corpus a second time. */
   def boilerplate(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
-    val nDocs = Tables.documents(s, d).count()
+    // Corpus size enters the boiler-set filter as a broadcast 1-row cross
+    // join; a driver-side count() here would run an extra scan job at
+    // plan-build time and make query registration eager.
+    val nDocs = broadcast(Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs")))
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), t.as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -210,7 +233,8 @@ object Corpus extends QueryModule {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") * 100 >= lit(8L) * nDocs)
+      .crossJoin(nDocs)
+      .filter(col("df") * 100 >= lit(8L) * col("n_docs"))
       .select(col("sh"))
     val per = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val nb = sh.join(broadcast(boiler), Seq("sh"))

@@ -231,7 +231,19 @@ object LlmDedup extends QueryModule {
     * @param edges (a_id, b_id) pairs; vertices are the ids that appear
     * @return (doc_id, cluster_id = min reachable doc_id) */
   private[graft] def connectedComponents(edges0: DataFrame): DataFrame = {
+    val sc = edges0.sparkSession.sparkContext
+    // Each round's localCheckpoint persists an RDD below the Dataset cache;
+    // once round N is materialized, round N-1's blocks are dead (the
+    // lineage is cut). Track the RDD ids each checkpoint adds so superseded
+    // rounds release eagerly — peak cached footprint stays at one labeling
+    // (plus the edge list) instead of one per round.
+    def persistedIds(): Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+    val preEdges = persistedIds()
     val edges = edges0.localCheckpoint()   // eager: edge generation runs exactly once
+    val edgeIds = persistedIds() -- preEdges
     val sym = edges.unionByName(
       edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     // Fused round 0: labels start at min(self, neighbors) — one groupBy
@@ -244,6 +256,7 @@ object LlmDedup extends QueryModule {
       .agg(least(min(col("nbr")), col("id")).as("label"))
     var converged = false
     var rounds = 0
+    var prevRoundIds: Set[Int] = Set.empty
     while (!converged && rounds < 25) {
       val nbr = sym.join(labels, sym("b_id") === labels("id"))
         .groupBy(col("a_id")).agg(min(col("label")).as("nbr_min"))
@@ -259,14 +272,19 @@ object LlmDedup extends QueryModule {
       // without it the plan nests deeper per round and heap/analysis cost
       // grows superlinearly; the old label rides along so convergence is
       // read off the same materialized result (no extra join per round).
+      val preRound = persistedIds()
       val next = stepped.join(parents, stepped("label") === parents("p_id"), "left")
         .select(stepped("id"), col("old"),
           coalesce(col("p_label"), col("label")).as("label"))
         .localCheckpoint()
+      val roundIds = persistedIds() -- preRound
       converged = next.filter(col("label") =!= col("old")).isEmpty
+      release(prevRoundIds)               // round N-1 superseded by round N
+      prevRoundIds = roundIds
       labels = next.drop("old")
       rounds += 1
     }
+    release(edgeIds)  // final labeling is checkpointed — edges no longer needed
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -97,21 +97,37 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("bucket"))
   }
 
-  /** Per-label centroids via posexplode + sorted-fold mean: per (label,
-    * dim) the values are collected, sorted, and summed in a left fold, so
-    * the float add order is identical on both engines (double→decimal casts
-    * are NOT portable — Spark and DuckDB round the 12th decimal
-    * differently). Group size is |vectors per label| — bounded, so the
-    * collect is safe at scale; an order-free exact alternative would be a
-    * Kahan-style custom Aggregator. */
+  /** Per-label centroids via posexplode + a TWO-LEVEL chunked sorted fold:
+    * values are grouped into fixed chunks of `vec_id div 256`, each chunk
+    * value-sorted and left-folded, then the per-chunk sums are folded in
+    * chunk order. Both levels have a deterministic float add order, so the
+    * DuckDB twin reproduces the bits exactly (double→decimal casts are NOT
+    * portable — Spark and DuckDB round the 12th decimal differently —
+    * which rules out the order-free decimal-sum recipe here). Per-group
+    * state is bounded: level 1 collects ≤ 256 doubles, level 2 collects
+    * |vectors|/256 chunk sums — no group ever holds the raw vectors of a
+    * hot label (the single-level collect_list form OOMs one task per hot
+    * label at corpus scale). The shuffle-optimal order-FREE form is
+    * [[graft.functions.VectorMeanAggregator]] (partial+final hash agg, one
+    * |labels|×dim shuffle, reproducible-to-ulp), exercised in LlmSpec;
+    * this query keeps the bit-deterministic formulation the oracle gate
+    * requires. */
   def centroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), expr("vec_id div 256").as("chunk"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"), col("chunk"))
+      .agg(
+        aggregate(sort_array(collect_list(col("x").cast("double"))),
+          lit(0.0), (a, v) => a + v).as("csum"),
+        count(lit(1)).as("cn"))
       .groupBy(col("label"), col("pos"))
       .agg(
-        (aggregate(sort_array(collect_list(col("x").cast("double"))),
-          lit(0.0), (a, v) => a + v) / count(lit(1))).as("mean"),
-        count(lit(1)).as("n_vecs"))
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("chunk"), col("csum")))),
+            t => t.getField("csum")),
+          lit(0.0), (a, v) => a + v) / sum(col("cn"))).as("mean"),
+        sum(col("cn")).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
   /** Vector norms + self-similarity sanity — map-only battery. */
@@ -409,13 +425,19 @@ object LlmSimilarity extends QueryModule {
          |  SELECT vec_id, $sqlBucket AS bucket FROM embeddings) t
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "vec_centroids" ->
-      """SELECT label, CAST(k - 1 AS INT) AS pos,
-        |  list_reduce(list_prepend(0.0, list_sort(
-        |    list(CAST(embedding[CAST(k AS INT)] AS DOUBLE)))),
-        |    (a, x) -> a + x) / COUNT(*) AS mean,
-        |  COUNT(*) AS n_vecs
-        |FROM embeddings CROSS JOIN range(1, 65) r(k)
-        |GROUP BY label, k ORDER BY label, pos""".stripMargin,
+      """WITH lvl1 AS (
+        |  SELECT label, k, vec_id // 256 AS chunk,
+        |    list_reduce(list_prepend(0.0, list_sort(
+        |      list(CAST(embedding[CAST(k AS INT)] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS csum,
+        |    COUNT(*) AS cn
+        |  FROM embeddings CROSS JOIN range(1, 65) r(k)
+        |  GROUP BY label, k, chunk)
+        |SELECT label, CAST(k - 1 AS INT) AS pos,
+        |  list_reduce(list_prepend(0.0, list(csum ORDER BY chunk)),
+        |    (a, x) -> a + x) / CAST(SUM(cn) AS BIGINT) AS mean,
+        |  CAST(SUM(cn) AS BIGINT) AS n_vecs
+        |FROM lvl1 GROUP BY label, k ORDER BY label, pos""".stripMargin,
     "vec_norms" ->
       s"""SELECT vec_id, label,
          |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,

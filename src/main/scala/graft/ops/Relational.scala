@@ -239,9 +239,13 @@ object Relational extends QueryModule {
     * projection. */
   def skewReport(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val total = ev.count()
+    // total enters the plan as a broadcast 1-row cross join, not a
+    // driver-side ev.count() at plan-build time (extra scan job).
+    val total = broadcast(ev.agg(count(lit(1)).cast("double").as("total")))
     ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .crossJoin(total)
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .drop("total")
       .orderBy(col("n").desc, col("user_id"))
       .limit(10)
   }

@@ -92,6 +92,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sessionization must reuse a single user_id exchange:\n$p")
   }
 
+  test("vec_centroids: every collect_list is chunk-bounded — no per-(label,pos) " +
+    "collect of a whole label's vectors") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val q = SparkEntry.queries("vec_centroids")(spark, TestSpark.sf)
+    // level 1 collects RAW exploded values (attribute `x`) and must be
+    // chunk-keyed; level 2 collects the 256x-smaller per-chunk sums and is
+    // allowed to group by (label, pos) alone
+    val rawCollects = q.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(
+          _.find(_.getClass.getSimpleName == "CollectList").isDefined) &&
+          a.child.output.exists(_.name == "x") => a
+    }
+    assert(rawCollects.nonEmpty, "expected the chunk-level sorted-fold aggregate")
+    rawCollects.foreach { a =>
+      assert(a.groupingExpressions.exists(
+        _.find { e =>
+          e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute] &&
+            e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]
+              .name == "chunk"
+        }.isDefined),
+        s"raw-value collect_list group must include the bounding chunk key:\n${a.groupingExpressions}")
+    }
+  }
+
+  test("corpus_pack: the corpus-side running-count window partitions on " +
+    "(lang, shard), never lang alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SparkEntry.queries("corpus_pack")(spark, TestSpark.sf)
+    val corpusWindows = q.queryExecution.optimizedPlan.collect {
+      // windows whose input still carries doc_id operate on the corpus
+      // stream; the offset table's prefix window does not
+      case w: LWindow if w.child.output.exists(_.name == "doc_id") => w
+    }
+    assert(corpusWindows.nonEmpty, "expected the shard-local cumsum window")
+    corpusWindows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+      assert(keys.contains("shard"),
+        s"corpus window must include shard in its partition spec, got $keys")
+    }
+  }
+
   test("rel_diff: full-outer join shuffles both snapshots once on the key") {
     val p = plan("rel_diff")
     assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
