@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 /** Tunables for [[DedupPipeline]].
   *
   * @param threshold exact trigram-Jaccard a candidate pair must clear to
-  *                  become a dedup edge (0.5 = the usual near-dup bar;
-  *                  the LSH banding in front is fixed at 16 bands × 2
-  *                  rows, S-curve midpoint ≈ 0.25, so recall at the
-  *                  threshold is ≥ 99%)
+  *                  become a dedup edge (0.5 = the usual near-dup bar).
+  *                  The LSH banding in front is fixed at 16 bands × 2
+  *                  rows (S-curve midpoint ≈ 0.25), so candidate recall
+  *                  at the threshold is ≥ 99% only for thresholds ≳ 0.4
+  *                  — a lower threshold silently loses true pairs the
+  *                  banding never surfaces. Measure recall for YOUR
+  *                  threshold with the `dd_lsh_recall` monitor before
+  *                  trusting it.
   */
 case class DedupConfig(threshold: Double = 0.5)
 

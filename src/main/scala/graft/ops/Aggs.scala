@@ -288,9 +288,13 @@ object Aggs extends QueryModule {
 
   /** Boolean/selector aggregates: bool_and / bool_or / count_if and
     * max_by / min_by (argmax as built-ins, complementing the typed
-    * Aggregator form in agg_argmax_udaf). The by-value is made strictly
-    * unique (price·2³² + key — both engines compute the identical IEEE
-    * double) so argmax ties can never make the result nondeterministic. */
+    * Aggregator form in agg_argmax_udaf). The by-value is made unique
+    * (price·2³² + key — both engines compute the identical IEEE double)
+    * so argmax ties can never make the result nondeterministic. NB the
+    * packed-double trick is fixture-scale-bounded: it needs orderkey <
+    * 2³² and the product within double's 53-bit mantissa (full-scale
+    * TPC-H keys at SF100+ exceed both) — at that scale build the
+    * tie-break as a struct (price, key) max instead. */
   def booleanAggs(s: SparkSession, d: String): DataFrame = {
     val v = col("o_totalprice") * lit(4294967296.0) + col("o_orderkey")
     Tables.orders(s, d)

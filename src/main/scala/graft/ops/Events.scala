@@ -96,8 +96,12 @@ object Events extends QueryModule {
     * shuffled, so the second pass stays map-only at any scale. */
   def anomaly(s: SparkSession, d: String): DataFrame = {
     val sx = sum(col("value").cast("decimal(18,4)")).cast("string").cast("double")
-    val sx2 = sum(col("value").cast("decimal(12,4)")
-        * col("value").cast("decimal(12,4)"))
+    // decimal(18,4) matches the oracle's DECIMAL(19,4) headroom: a value
+    // ≥ 1e8 would overflow a (12,4) cast to NULL on the Spark side only
+    // (non-ANSI), silently skewing sigma; the (37,8) product still fits
+    // precision 38.
+    val sx2 = sum(col("value").cast("decimal(18,4)")
+        * col("value").cast("decimal(18,4)"))
       .cast("string").cast("double")
     val stats = Tables.events(s, d)
       .groupBy(col("event_type"))

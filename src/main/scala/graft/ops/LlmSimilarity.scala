@@ -199,38 +199,92 @@ object LlmSimilarity extends QueryModule {
         col("score"))
       .orderBy(col("score").desc, col("keep_id"), col("dup_id"))
 
-  /** ANN-candidate near-dup (the production-shape pair source the
-    * brute-force `dd_embed_neardup` is the baseline for): candidates are
-    * pairs sharing an 8-plane sign-random-projection bucket — a map-only
-    * signature + one per-bucket join, NO all-pairs scan — then reranked by
-    * exact cosine and the top-10 emitted as (keep, dup) decisions. 8 planes
-    * (not 16) so the candidate stage has real recall on mid-similarity
-    * pairs: a cos≈0.5 pair collides w.p. (1−θ/π)⁸ ≈ 4%, a random pair
-    * 0.4% — the usual multi-table/multi-probe amplification is orthogonal
-    * and would multiply the same plan. Oracle-exact: the hyperplanes are
-    * seeded constants shared into the oracle SQL, so DuckDB derives the
-    * identical buckets. */
-  def embeddingNearDupAnn(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val bucket8 = hyperplanes.take(8).zipWithIndex.map { case (p, i) =>
+  /** The two independent 6-plane SRP band tables used by the ANN near-dup
+    * and its recall monitor: table 0 = planes 0-5, table 1 = planes 6-11
+    * of the seeded set. 6 planes per table (64 buckets) tunes per-table
+    * recall at this corpus's mid-similarity truth pairs (cos ≈ 0.4-0.5) to
+    * ~7%, so the two-table OR roughly doubles it — measurable lift —
+    * while a random pair still collides only ~1.6% per table. Both are
+    * map-only bucket signatures. */
+  private def bucketCol(planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
       val lits = array(p.map(lit): _*)
       when(dotdFold(col("embedding"), lits) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sig = Tables.embeddings(s, d)
+
+  /** (vec_id, embedding, nrm, bucket0, bucket1). */
+  private def srpSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"),
-        bucket8.as("bucket"))
-    val a = sig.select(col("bucket"), col("vec_id").as("keep_id"),
-      col("embedding").as("a_emb"), col("nrm").as("a_norm"))
-    val b = sig.select(col("bucket"), col("vec_id").as("dup_id"),
-      col("embedding").as("b_emb"), col("nrm").as("b_norm"))
-    a.join(b, Seq("bucket"))
-      .filter(col("keep_id") < col("dup_id"))
-      .select(col("keep_id"), col("dup_id"),
-        (dotd(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
-          .as("score"))
+        bucketCol(hyperplanes.slice(0, 6)).as("bucket0"),
+        bucketCol(hyperplanes.slice(6, 12)).as("bucket1"))
+
+  /** ANN-candidate near-dup (the production-shape pair source the
+    * brute-force `dd_embed_neardup` is the baseline for): candidates are
+    * pairs sharing a 6-plane sign-random-projection bucket in EITHER of
+    * two independent band tables (multi-table LSH amplification) — map-only
+    * signatures + one per-bucket join per table + a distinct union, NO
+    * all-pairs scan — then reranked by exact cosine and the top-10 emitted
+    * as (keep, dup) decisions. 6 planes per table keep per-table
+    * mid-similarity recall real (a cos≈0.45 pair collides w.p. (1−θ/π)⁶ ≈
+    * 7% per table); OR-ing the second table nearly doubles it
+    * (1−(1−p)² ≈ 2p) while random-pair collisions stay ~1.6% — the
+    * measured lift is the `sim_ann_recall` monitor's row. Oracle-exact:
+    * the hyperplanes are seeded constants shared into the oracle SQL, so
+    * DuckDB derives identical buckets, and both branches compute the
+    * identical IEEE score, so the distinct-union dedups exactly. */
+  def embeddingNearDupAnn(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sig = srpSignatures(s, d)
+    def tableJoin(bucket: String): DataFrame = {
+      val a = sig.select(col(bucket).as("bkt"), col("vec_id").as("keep_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_norm"))
+      val b = sig.select(col(bucket).as("bkt"), col("vec_id").as("dup_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_norm"))
+      a.join(b, Seq("bkt"))
+        .filter(col("keep_id") < col("dup_id"))
+        .select(col("keep_id"), col("dup_id"),
+          (dotd(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+            .as("score"))
+    }
+    tableJoin("bucket0").unionByName(tableJoin("bucket1"))
+      .distinct()
       .orderBy(col("score").desc, col("keep_id"), col("dup_id"))
       .limit(10)
+  }
+
+  /** Multi-table LSH recall monitor (the embedding twin of
+    * `dd_lsh_recall`): ground truth = the top-50 exact-cosine pairs (a
+    * bounded, deterministic eval sample); each truth pair is checked for a
+    * bucket collision in band table 0 alone vs either of the two tables.
+    * The row quantifies the amplification: recall_2t ≈ 1−(1−p)² vs
+    * recall_1t ≈ p. The truth join is the documented exact baseline (the
+    * monitor runs on a sample, never the corpus); signatures ride along in
+    * the same scan, so no second pass. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sig = srpSignatures(s, d)
+    val a = sig.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nrm").as("a_norm"), col("bucket0").as("a_b0"), col("bucket1").as("a_b1"))
+    val b = sig.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nrm").as("b_norm"), col("bucket0").as("b_b0"), col("bucket1").as("b_b1"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_b0"), col("a_b1"),
+        col("b_b0"), col("b_b1"),
+        (dotd(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+          .as("score"))
+      .orderBy(col("score").desc, col("a_id"), col("b_id"))
+      .limit(50)
+    truth.agg(
+      count(lit(1)).as("n_true"),
+      sum(when(col("a_b0") === col("b_b0"), 1L).otherwise(0L)).as("caught_1t"),
+      sum(when(col("a_b0") === col("b_b0") || col("a_b1") === col("b_b1"), 1L)
+        .otherwise(0L)).as("caught_2t"))
+      .select(col("n_true"), col("caught_1t"), col("caught_2t"),
+        (col("caught_1t").cast("double") / col("n_true")).as("recall_1t"),
+        (col("caught_2t").cast("double") / col("n_true")).as("recall_2t"))
+      .orderBy(col("n_true"))
   }
 
   /** Product-quantization ANN (the memory-compressed scale path, after LSH
@@ -291,6 +345,7 @@ object LlmSimilarity extends QueryModule {
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_top_pairs"   -> (topPairs _),
     "sim_lsh_buckets" -> (lshBuckets _),
+    "sim_ann_recall"  -> (annRecall _),
     "vec_centroids"   -> (centroids _),
     "vec_norms"       -> (norms _),
   )
@@ -312,12 +367,15 @@ object LlmSimilarity extends QueryModule {
       s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
   }.mkString(" + ")
 
-  private val sqlBucket8: String = hyperplanes.take(8).zipWithIndex.map {
-    case (p, i) =>
+  private def sqlBucketOf(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_reduce(list_transform(generate_series(1, 64), " +
         s"i -> CAST(embedding[i] AS DOUBLE) * (${sqlPlane(p)})[i]), " +
         s"(acc, x) -> acc + x) >= 0 THEN ${1L << i} ELSE 0 END)"
-  }.mkString(" + ")
+    }.mkString(" + ")
+
+  private val sqlBucketT0: String = sqlBucketOf(hyperplanes.slice(0, 6))
+  private val sqlBucketT1: String = sqlBucketOf(hyperplanes.slice(6, 12))
 
   override def oracleSql: Map[String, String] = Map(
     "sim_pq_topk" ->
@@ -361,12 +419,39 @@ object LlmSimilarity extends QueryModule {
       s"""WITH sig AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
-         |    $sqlBucket8 AS bucket
+         |    $sqlBucketT0 AS bucket0, $sqlBucketT1 AS bucket1
          |  FROM embeddings)
-         |SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-         |  ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
-         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |SELECT keep_id, dup_id, score FROM (
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+         |  FROM sig a JOIN sig b ON a.bucket0 = b.bucket0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+         |  FROM sig a JOIN sig b ON a.bucket1 = b.bucket1 AND a.vec_id < b.vec_id) u
          |ORDER BY score DESC, keep_id, dup_id LIMIT 10""".stripMargin,
+    "sim_ann_recall" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+         |    $sqlBucketT0 AS bucket0, $sqlBucketT1 AS bucket1
+         |  FROM embeddings),
+         |truth AS (
+         |  SELECT a.bucket0 AS a_b0, a.bucket1 AS a_b1,
+         |    b.bucket0 AS b_b0, b.bucket1 AS b_b1,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+         |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         |  ORDER BY score DESC, a.vec_id, b.vec_id LIMIT 50)
+         |SELECT COUNT(*) AS n_true,
+         |  CAST(SUM(CASE WHEN a_b0 = b_b0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS caught_1t,
+         |  CAST(SUM(CASE WHEN a_b0 = b_b0 OR a_b1 = b_b1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS caught_2t,
+         |  CAST(SUM(CASE WHEN a_b0 = b_b0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS recall_1t,
+         |  CAST(SUM(CASE WHEN a_b0 = b_b0 OR a_b1 = b_b1 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*) AS recall_2t
+         |FROM truth ORDER BY n_true""".stripMargin,
     "dd_embed_neardup" ->
       s"""SELECT a_id AS keep_id, b_id AS dup_id, score FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

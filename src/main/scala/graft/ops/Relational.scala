@@ -148,8 +148,10 @@ object Relational extends QueryModule {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     def sx(c: String) = sum(col(c).cast("decimal(18,4)"))
       .cast("string").cast("double")
-    def sx2(c: String) = sum(col(c).cast("decimal(12,4)")
-      * col(c).cast("decimal(12,4)")).cast("string").cast("double")
+    // (18,4) not (12,4): a non-ANSI cast overflow (value ≥ 1e8) would
+    // NULL only the Spark-side moment and break cross-engine parity
+    def sx2(c: String) = sum(col(c).cast("decimal(18,4)")
+      * col(c).cast("decimal(18,4)")).cast("string").cast("double")
     val aggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"n_$c"), sx(c).as(s"sx_$c"), sx2(c).as(s"sx2_$c"),
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+

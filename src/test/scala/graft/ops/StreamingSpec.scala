@@ -273,6 +273,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming stateful LSH near-dup: transformWithState band buckets " +
+    "emit exactly the batch candidate pair set") {
+    // The streaming twin of the dd_minhash_pairs candidate generator: docs
+    // arrive over multiple micro-batches, each doc's 16 (band, sig) rows
+    // key a bucket whose ListState holds the doc_ids seen so far; a new
+    // doc emits one candidate pair per bucket-mate. The emitted pair SET
+    // is order-independent (every pair surfaces in whichever micro-batch
+    // its second doc arrives), so it must equal the batch self-join
+    // candidates — i.e. the pairs lshVerifiedPairs verifies.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    class BucketProcessor
+        extends StatefulProcessor[(Int, Long), (Int, Long, Long), (Long, Long)] {
+      @transient private var ids: ListState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        ids = getHandle.getListState[Long]("ids", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: (Int, Long),
+          rows: Iterator[(Int, Long, Long)],
+          timers: TimerValues): Iterator[(Long, Long)] = {
+        val fresh = rows.map(_._3).toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var seen = ids.get().toList
+        fresh.foreach { d =>
+          seen.foreach { e =>
+            if (e != d) out += ((math.min(e, d), math.max(e, d)))
+          }
+          seen = d :: seen
+        }
+        ids.appendList(fresh)
+        out.iterator
+      }
+    }
+    graft.functions.GraftFunctions.register(spark)
+    graft.functions.TextFunctions.register(spark)
+    import graft.functions.TextFunctions._
+    // Re-shard the fixture docs into 4 files streamed one per trigger, so
+    // bucket state genuinely carries across micro-batches.
+    val shards = java.nio.file.Files.createTempDirectory("lsh_docs").toString
+    Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text")
+      .repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(shards)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val banded = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(shards)
+        .select($"doc_id", shingles3($"text").as("hs"))
+        .filter(size($"hs") >= 1)
+        .select($"doc_id", minhash32($"hs").as("mh"))
+        .select($"doc_id", minhashBands($"mh").as(Seq("band", "sig")))
+        .select($"band", $"sig", $"doc_id").as[(Int, Long, Long)]
+      val pairs = banded
+        .groupByKey(r => (r._1, r._2))
+        .transformWithState(new BucketProcessor, TimeMode.None(), OutputMode.Update())
+      val q = pairs.toDF("a_id", "b_id")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("lsh_stream_out").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("lsh_stream_out").distinct()
+      // the production batch path: every candidate lshVerifiedPairs verifies
+      val batch = LlmDedup.lshVerifiedPairs(spark, TestSpark.sf)
+        .select($"a_id", $"b_id")
+      assert(streamed.count() > 0, "fixture must produce candidate pairs")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streaming band-bucket candidates must equal the batch candidate set")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog once; checkpoint restart is a no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val out = java.nio.file.Files.createTempDirectory("avnow_out").toString
