@@ -121,6 +121,30 @@ object Aggs extends QueryModule {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable HLL sketch COLUMNS (Datasketches, Spark 4 built-ins) — the
+    * incremental-distinct pattern a 100 TB pipeline actually runs: build
+    * one sketch per (priority, month) partition slice (`hll_sketch_agg`),
+    * store it as bytes, and later UNION the slices (`hll_union_agg`) to
+    * answer priority-level distinct counts WITHOUT rescanning the raw
+    * data — a daily job merges yesterday's sketch with today's in O(|
+    * sketch|). Emits the merged estimate next to the exact count.
+    * Rows-only gate (sketch bytes are not SQL-oracle-expressible); the
+    * merge-losslessness property (union-of-slices estimate ≡ one-pass
+    * estimate) and accuracy are asserted in SketchSpec. */
+  def hllUnion(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        trunc(col("o_orderdate"), "month").as("mon"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val merged = monthly.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_customers"))
+    val exact = Tables.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    merged.join(exact, Seq("o_orderpriority"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Misra-Gries heavy hitters per language over document tokens — the
     * bounded-memory frequent-items path (vs the exact explode+groupBy of
     * `text_word_freq`, whose shuffle is |vocab|-sized): k=32 counters per
@@ -324,6 +348,7 @@ object Aggs extends QueryModule {
     "agg_quantiles"     -> (quantiles _),
     "agg_histogram"     -> (histogram _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_hll_union"       -> (hllUnion _),
     "agg_approx_quantiles" -> (approxQuantiles _),
     "agg_heavy_hitters" -> (heavyHitters _),
     "agg_cms_tokens"    -> (cmsTokens _),

@@ -38,6 +38,31 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_union: slice-union estimate equals one-pass estimate " +
+    "and stays within 5% of exact") {
+    // Merge losslessness: HLL registers are per-item maxima, so the union
+    // of per-month sketches holds the same state as one sketch over the
+    // whole group — the property that makes stored sketch columns safe to
+    // merge incrementally.
+    val merged = Aggs.hllUnion(spark, TestSpark.sf).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("approx_customers"), r.getAs[Long]("exact_customers")))
+      .toMap
+    val onePass = graft.Tables.orders(spark, TestSpark.sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("est"))
+      .toMap
+    assert(merged.nonEmpty)
+    merged.foreach { case (prio, (approx, exact)) =>
+      assert(approx == onePass(prio),
+        s"union-of-slices must equal the one-pass sketch for $prio")
+      assert(math.abs(approx - exact) <= 0.05 * exact,
+        s"HLL estimate off for $prio: approx=$approx exact=$exact")
+    }
+  }
+
   test("agg_cms_tokens: estimates are partitioning-independent (additive merge)") {
     val probes = Seq("the", "data", "spark", "query", "table", "zzz_absent")
     val cms = org.apache.spark.sql.functions.udaf(

@@ -25,6 +25,46 @@ class BucketingSpec extends AnyFunSuite {
     assert(q.count() == all)
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes fact " +
+    "partitions at runtime") {
+    // The 100-TB star-join pattern: the fact table is partitioned on the
+    // join key's column; a selective filter on the dim side must reach the
+    // fact SCAN as a runtime (dynamicpruning) partition filter — without
+    // it, every partition of a 100 TB fact is read to serve a two-priority
+    // query. The dim is written to parquet first so its filter cannot
+    // constant-fold away.
+    val factDir = java.nio.file.Files.createTempDirectory("graft_dpp_f").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_d").toString
+    // At fixture scale the stats-based benefit estimate rounds to "not
+    // worth it"; the fixed fallback ratio models the 100-TB fact where
+    // pruning always pays.
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+    Tables.orders(spark, TestSpark.sf)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(factDir)
+    Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderpriority").as("prio")).distinct()
+      // the dim filter must be a literal comparison — a bare boolean
+      // column is not "likely selective" to the DPP planner
+      .withColumn("grp",
+        when(col("prio").startsWith("1") || col("prio").startsWith("2"),
+          "urgent").otherwise("other"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("grp") === "urgent")
+    val q = fact.join(dim, fact("o_orderpriority") === dim("prio"))
+      .groupBy(col("prio")).agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan must carry a runtime partition-pruning filter:\n$plan")
+    val expected = Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_orderpriority").startsWith("1") ||
+        col("o_orderpriority").startsWith("2"))
+      .groupBy(col("o_orderpriority").as("prio")).agg(count(lit(1)).as("n"))
+    assert(q.exceptAll(expected).isEmpty && expected.exceptAll(q).isEmpty)
+    } finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
   test("join on bucketed tables plans without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
