@@ -130,6 +130,61 @@ object LlmSimilarity extends QueryModule {
         sum(col("cn")).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** Distributed Lloyd's k-means over the embedding corpus — the codebook
+    * TRAINING step the IVF/PQ queries' data-seeded codebooks stand in for.
+    * k = 8 seeds (vec_id < 8), two full assign→update iterations, then the
+    * final assignment is emitted. Every stage is the scale shape a 100 TB
+    * run needs: assignment broadcasts the k×dim centroid table over one
+    * corpus scan (argmin via a per-vector rank window, tie-broken on cid);
+    * the centroid update is the [[centroids]] two-level chunked sorted
+    * fold per (cid, dim) — bounded per-group state AND a deterministic
+    * float add order, which is what lets a DuckDB recursive-CTE-style
+    * oracle reproduce every iteration bit-exactly (L2² distances are pure
+    * IEEE folds in dim order on agreed inputs). Iterations are a driver
+    * loop over lazy plans — nothing materializes until the caller's
+    * action; an empty cluster simply drops out of the centroid table on
+    * both engines. */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def l2sq(emb: Column, cent: Column): Column =
+      aggregate(zip_with(emb, cent,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def assign(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cid"))
+      e.join(broadcast(cent), col("vec_id") >= 0)
+        .withColumn("dist", l2sq(col("embedding"), col("cent")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"), col("dist"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cid"), expr("vec_id div 256").as("chunk"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"), col("chunk"))
+        .agg(aggregate(sort_array(collect_list(col("x").cast("double"))),
+          lit(0.0), (a, v) => a + v).as("csum"),
+          count(lit(1)).as("cn"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("chunk"), col("csum")))),
+            t => t.getField("csum")),
+          lit(0.0), (a, v) => a + v) / sum(col("cn"))).as("mean"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          t => t.getField("mean")).as("cent"))
+    var cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cent"))
+    for (_ <- 1 to 2) cent = update(assign(cent))
+    assign(cent)
+      .select(col("vec_id"), col("cid"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Vector norms + self-similarity sanity — map-only battery. */
   def norms(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
@@ -347,6 +402,7 @@ object LlmSimilarity extends QueryModule {
     "sim_lsh_buckets" -> (lshBuckets _),
     "sim_ann_recall"  -> (annRecall _),
     "vec_centroids"   -> (centroids _),
+    "vec_kmeans"      -> (kmeans _),
     "vec_norms"       -> (norms _),
   )
 
@@ -509,6 +565,50 @@ object LlmSimilarity extends QueryModule {
       s"""SELECT bucket, COUNT(*) AS n FROM (
          |  SELECT vec_id, $sqlBucket AS bucket FROM embeddings) t
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "vec_kmeans" -> {
+      // per-iteration building blocks of the Lloyd loop, mirrored from the
+      // Spark side: IEEE L2-squared fold in dim order, argmin tie-broken
+      // on cid, and the two-level chunked-fold centroid mean
+      def dists(dName: String, cName: String) =
+        s"""$dName AS (SELECT e.vec_id, c.cid,
+           |    list_reduce(list_transform(generate_series(1, len(e.embedding)),
+           |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])
+           |         * (CAST(e.embedding[i] AS DOUBLE) - c.cent[i])),
+           |      (acc, x) -> acc + x) AS dist
+           |  FROM e CROSS JOIN $cName c)""".stripMargin
+      def argmin(aName: String, dName: String) =
+        s"""$aName AS (SELECT vec_id, cid, dist FROM (
+           |    SELECT vec_id, cid, dist,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |    FROM $dName) t WHERE rn = 1)""".stripMargin
+      def recompute(lName: String, mName: String, cName: String, aName: String) =
+        s"""$lName AS (SELECT $aName.cid, k AS pos, e.vec_id // 256 AS chunk,
+           |    list_reduce(list_prepend(0.0, list_sort(
+           |      list(CAST(e.embedding[CAST(k AS INT)] AS DOUBLE)))),
+           |      (a, x) -> a + x) AS csum,
+           |    COUNT(*) AS cn
+           |  FROM $aName JOIN e USING (vec_id) CROSS JOIN range(1, 65) r(k)
+           |  GROUP BY $aName.cid, k, chunk),
+           |$mName AS (SELECT cid, pos,
+           |    list_reduce(list_prepend(0.0, list(csum ORDER BY chunk)),
+           |      (a, x) -> a + x) / CAST(SUM(cn) AS BIGINT) AS mean
+           |  FROM $lName GROUP BY cid, pos),
+           |$cName AS (SELECT cid, list(mean ORDER BY pos) AS cent
+           |  FROM $mName GROUP BY cid)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |       FROM embeddings WHERE vec_id < 8),
+         |${dists("d1", "c0")},
+         |${argmin("a1", "d1")},
+         |${recompute("m1l", "m1", "c1", "a1")},
+         |${dists("d2", "c1")},
+         |${argmin("a2", "d2")},
+         |${recompute("m2l", "m2", "c2", "a2")},
+         |${dists("d3", "c2")},
+         |${argmin("a3", "d3")}
+         |SELECT vec_id, cid, dist FROM a3 ORDER BY vec_id""".stripMargin
+    },
     "vec_centroids" ->
       """WITH lvl1 AS (
         |  SELECT label, k, vec_id // 256 AS chunk,
