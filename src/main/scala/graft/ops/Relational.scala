@@ -344,7 +344,38 @@ object Relational extends QueryModule {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** CDC changelog apply — reconstruct a table from an insert/update/
+    * delete change stream: the LATEST op per key wins and a delete
+    * tombstone removes the key (the Debezium/Delta "apply changes"
+    * semantics; rel_scd2_merge is the history-keeping twin, this is the
+    * latest-state twin). The changelog derives deterministically from
+    * orders: every key inserts at seq 1, keys ≡ 0 (mod 7) update at seq 2
+    * (+100.0 — IEEE-exact on both engines), keys ≡ 0 (mod 13) delete at
+    * seq 3. Apply = one row_number window over (key, seq desc) + a
+    * tombstone filter: exactly ONE shuffle on the key at any scale —
+    * changelog compaction at 100 TB is this same plan over the day's
+    * change files. */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val ins = o.select(col("o_orderkey"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_totalprice").as("price"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 100.0).as("price"))
+    val del = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("price"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq").desc)
+    ins.unionByName(upd).unionByName(del)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("o_orderkey"), col("op").as("last_op"), col("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cdc_apply"      -> (cdcApply _),
     "q1_pricing_summary" -> (pricingSummary _),
     "rel_diff"           -> (snapshotDiff _),
     "join_pit"           -> (pointInTimeJoin _),
@@ -376,6 +407,22 @@ object Relational extends QueryModule {
        |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "rel_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice + 100.0 FROM orders
+        |  WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', NULL FROM orders
+        |  WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderkey, op AS last_op, price FROM (
+        |  SELECT o_orderkey, op, price,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |  FROM log) t
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "q1_pricing_summary" -> pricingSummarySql,
     "q3_top_revenue"     -> topRevenueOrdersSql,
     "rel_scd2_merge"     -> scd2UpsertSql,
