@@ -29,6 +29,13 @@ object SetOps extends QueryModule {
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
       .orderBy(col("o_custkey"))
 
+  /** EXCEPT ALL (multiset difference — each 1997 order cancels ONE 1996
+    * order of the same customer; survivors keep their residual count). */
+  def exceptAllYears(s: SparkSession, d: String): DataFrame =
+    custkeysIn(s, d, 1996).exceptAll(custkeysIn(s, d, 1997))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("o_custkey"))
+
   /** UNION (distinct) across differently-shaped inputs via unionByName. */
   def unionNationKeys(s: SparkSession, d: String): DataFrame = {
     val a = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"),
@@ -107,6 +114,7 @@ object SetOps extends QueryModule {
     "set_intersect"     -> (intersectYears _),
     "set_except"        -> (exceptYears _),
     "set_intersect_all" -> (intersectAllYears _),
+    "set_except_all"    -> (exceptAllYears _),
     "set_union_by_name" -> (unionNationKeys _),
     "sort_limit"        -> (sortLimit _),
     "distinct_flags"    -> (distinctFlags _),
@@ -131,6 +139,10 @@ object SetOps extends QueryModule {
     "set_intersect_all" ->
       s"""SELECT o_custkey, COUNT(*) AS multiplicity
          |FROM ($y96 INTERSECT ALL $y97)
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "set_except_all" ->
+      s"""SELECT o_custkey, COUNT(*) AS multiplicity
+         |FROM ($y96 EXCEPT ALL $y97)
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "set_union_by_name" ->
       """SELECT nationkey, side FROM (

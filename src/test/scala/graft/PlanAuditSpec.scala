@@ -136,6 +136,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_kmeans: centroid tables broadcast — the corpus is never " +
+    "shuffled for an assignment join") {
+    val p = plan("vec_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast the k-row table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no assignment step may shuffle the corpus for its join:\n$p")
+  }
+
+  test("rel_cdc_apply: the changelog union shuffles ONCE on the key for " +
+    "the latest-wins window") {
+    val p = plan("rel_cdc_apply")
+    assert("hashpartitioning\\(o_orderkey".r.findAllMatchIn(p).size == 1,
+      s"apply-changes must be a single key shuffle:\n$p")
+  }
+
   test("rel_diff: full-outer join shuffles both snapshots once on the key") {
     val p = plan("rel_diff")
     assert(p.contains("FullOuter"), s"diff must be a full-outer join:\n$p")
