@@ -134,8 +134,12 @@ object LlmSimilarity extends QueryModule {
     * TRAINING step the IVF/PQ queries' data-seeded codebooks stand in for.
     * k = 8 seeds (vec_id < 8), two full assign→update iterations, then the
     * final assignment is emitted. Every stage is the scale shape a 100 TB
-    * run needs: assignment broadcasts the k×dim centroid table over one
-    * corpus scan (argmin via a per-vector rank window, tie-broken on cid);
+    * run needs: assignment folds the k×dim centroid table into ONE
+    * broadcast row (array of struct(cid, cent)) and takes the per-vector
+    * `array_min` of struct(dist, cid) — MAP-ONLY over one corpus scan, no
+    * per-vector shuffle/window, with the identical (dist asc, cid asc)
+    * argmin tie-break the rank-window form had (struct comparison is
+    * field-lexicographic) and the identical IEEE fold per distance;
     * the centroid update is the [[centroids]] two-level chunked sorted
     * fold per (cid, dim) — bounded per-group state AND a deterministic
     * float add order, which is what lets a DuckDB recursive-CTE-style
@@ -152,13 +156,15 @@ object LlmSimilarity extends QueryModule {
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
         lit(0.0), (acc, v) => acc + v)
     def assign(cent: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cid"))
-      e.join(broadcast(cent), col("vec_id") >= 0)
-        .withColumn("dist", l2sq(col("embedding"), col("cent")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"), col("dist"))
+      val centArr = cent.agg(
+        array_sort(collect_list(struct(col("cid"), col("cent")))).as("cents"))
+      e.crossJoin(broadcast(centArr))
+        .withColumn("best", array_min(transform(col("cents"), c =>
+          struct(l2sq(col("embedding"), c.getField("cent")).as("dist"),
+            c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("embedding"),
+          col("best").getField("cid").as("cid"),
+          col("best").getField("dist").as("dist"))
     }
     def update(assigned: DataFrame): DataFrame =
       assigned
@@ -202,7 +208,15 @@ object LlmSimilarity extends QueryModule {
     * query probing its nprobe=2 best cells and ranking only those
     * candidates. Cells ≈ |corpus|/8, so probe cost is ~1/4 of brute force
     * at nprobe=2 and the assignment is one broadcast join — the inverted-
-    * file layout that carries to 100 TB (cells become partitions). */
+    * file layout that carries to 100 TB (cells become partitions).
+    *
+    * The corpus-side cell assignment is MAP-ONLY: the k-row codebook folds
+    * into one broadcast row (array of struct(cid, c_emb)) and each vector
+    * takes `array_min` of struct(-cdot, cid) — argmax by dot with the
+    * identical (cdot desc, cid asc) tie-break the rank-window form had
+    * (IEEE negation is exact, struct comparison field-lexicographic), so
+    * the corpus is never shuffled for its assignment. The nprobe=2 probe
+    * side keeps the rank window — the query set is small by definition. */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
@@ -218,12 +232,17 @@ object LlmSimilarity extends QueryModule {
         .filter(col("crank") <= n)
         .drop("c_emb", "cdot")
     }
-    val assign = bestCells(
-      e.select(col("vec_id"), col("embedding"),
-        sqrt(dotd(col("embedding"), col("embedding"))).as("nrm")),
-      "vec_id", "embedding", 1)
-      .select(col("cid").as("cell"), col("vec_id").as("c_id"),
-        col("embedding").as("c_emb2"), col("nrm").as("c_norm"))
+    val centArr = cent.agg(
+      array_sort(collect_list(struct(col("cid"), col("c_emb")))).as("cents"))
+    val assign = e.select(col("vec_id"), col("embedding"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct((-dotd(col("embedding"), c.getField("c_emb"))).as("negdot"),
+          c.getField("cid").as("cid")))))
+      .select(col("best").getField("cid").as("cell"),
+        col("vec_id").as("c_id"), col("embedding").as("c_emb2"),
+        col("nrm").as("c_norm"))
     val probes = bestCells(
       e.filter(col("vec_id").between(10, 14))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

@@ -143,6 +143,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"centroid assignment must broadcast the k-row table:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no assignment step may shuffle the corpus for its join:\n$p")
+    assert(!p.contains("Window"),
+      s"assignment argmin must be the map-only array_min fold, not a rank window:\n$p")
+  }
+
+  test("sim_ivf_topk: corpus cell assignment is map-only — every surviving " +
+    "window partitions on the (small) query-id side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = SparkEntry.queries("sim_ivf_topk")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the probe/rank windows to remain")
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+      assert(keys.forall(_ == "q_id"),
+        s"corpus-side window crept back into IVF assignment, partition keys = $keys")
+    }
   }
 
   test("rel_cdc_apply: the changelog union shuffles ONCE on the key for " +
