@@ -261,6 +261,55 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023
+    * pattern): partition the corpus into k coarse cells, then search for
+    * near-duplicate pairs ONLY within a cell — the quadratic pair cost
+    * drops from |corpus|² to Σ|cell|², i.e. ~1/k for balanced cells, and
+    * each cell's pair join is an equi-join on the cell id, so at 100 TB
+    * every cell is an independent shuffle partition (no all-pairs stage
+    * anywhere). Cell assignment is the same map-only broadcast argmax as
+    * [[ivfTopK]] (k-row codebook folded into one broadcast array row —
+    * data-seeded vec_id < 8 here standing in for [[kmeans]] output, which
+    * is what a production run would feed in). Dedup policy: any vector
+    * whose cosine to a LOWER-id vector in its cell exceeds τ = 0.45 is
+    * flagged a duplicate (lower id = canonical representative — the same
+    * keep-min rule as `dd_exact`). Emits every vector with its cell and
+    * flag so the decision, not just the survivor count, is oracle-checked.
+    * The map-only assignment subtree is evaluated once per join side;
+    * that re-scan is two cheap map passes, while the within-cell pair
+    * join dominates — at scale you would checkpoint the assignment. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val centArr = cent.agg(
+      array_sort(collect_list(struct(col("cid"), col("c_emb")))).as("cents"))
+    val assign = e.select(col("vec_id"), col("embedding"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct((-dotd(col("embedding"), c.getField("c_emb"))).as("negdot"),
+          c.getField("cid").as("cid")))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("best").getField("cid").as("cell"))
+    val a = assign.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = assign.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dotd(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")) > 0.45)
+      .select(col("b_id").as("vec_id"))
+      .distinct()
+    assign
+      .join(dups.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("is_dup"), lit(0)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-dup (the dedup-by-embedding operator): the 10
     * closest pairs become (keep, dup) decisions — keep the smaller id.
     * Emitted threshold-free (top-10) so the query is scale-robust; in
@@ -416,6 +465,7 @@ object LlmSimilarity extends QueryModule {
     "dd_embed_neardup_ann" -> (embeddingNearDupAnn _),
     "sim_ivf_topk"    -> (ivfTopK _),
     "dd_embed_neardup" -> (embeddingNearDup _),
+    "dd_semdedup"     -> (semDedup _),
     "sim_cosine_topk" -> (cosineTopK _),
     "sim_top_pairs"   -> (topPairs _),
     "sim_lsh_buckets" -> (lshBuckets _),
@@ -527,6 +577,26 @@ object LlmSimilarity extends QueryModule {
          |  CAST(SUM(CASE WHEN a_b0 = b_b0 OR a_b1 = b_b1 THEN 1 ELSE 0 END)
          |    AS DOUBLE) / COUNT(*) AS recall_2t
          |FROM truth ORDER BY n_true""".stripMargin,
+    "dd_semdedup" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+         |assign AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      sqrt(${sqlDot("e.embedding", "e.embedding")}) AS nrm,
+         |      c.cid AS cell, row_number() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY ${sqlDot("e.embedding", "c.embedding")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) t
+         |  WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.45)
+         |SELECT a.vec_id, a.cell,
+         |  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+         |FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "dd_embed_neardup" ->
       s"""SELECT a_id AS keep_id, b_id AS dup_id, score FROM (
          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -162,6 +162,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_semdedup: assignment is map-only and the pair search is a cell " +
+    "equi-join — no window, no cartesian pair stage") {
+    val p = plan("dd_semdedup")
+    assert(!p.contains("Window"),
+      s"cell assignment must be the map-only array_min fold:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"within-cell pair search must be an equi-join on cell:\n$p")
+    // the only nested-loop join allowed is the 1-row broadcast codebook fold
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs stage may appear anywhere:\n$p")
+  }
+
   test("rel_cdc_apply: the changelog union shuffles ONCE on the key for " +
     "the latest-wins window") {
     val p = plan("rel_cdc_apply")

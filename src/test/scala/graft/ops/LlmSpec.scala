@@ -171,4 +171,28 @@ class LlmSpec extends AnyFunSuite {
     (1 to 8).foreach(i => assert(row.getDouble(i) == 65.0))
     assert(row.getDouble(9) == 8 * 65.0)
   }
+
+  test("semdedup: flags exactly the known sf0.001 dup, keeps its lower-id twin") {
+    val out = LlmSimilarity.semDedup(spark, graft.TestSpark.sf).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 7), "cells must be 0..7")
+    val dups = out.filter(_.getInt(2) == 1).map(_.getLong(0)).toSeq
+    // pair (171, 358) has cosine 0.4700 > tau and shares a cell; 358 is the
+    // higher id so it is dropped and 171 (the canonical representative) kept
+    assert(dups == Seq(358L), s"expected exactly vec 358 flagged, got $dups")
+    assert(out.find(_.getLong(0) == 171L).get.getInt(2) == 0)
+  }
+
+  test("semdedup never flags a cell's lowest-id vector (a representative survives)") {
+    val out = LlmSimilarity.semDedup(spark, graft.TestSpark.sf)
+      .groupBy(col("cell")).agg(
+        min(col("vec_id")).as("min_id"),
+        min(when(col("is_dup") === 1, col("vec_id"))).as("min_dup"))
+      .collect()
+    out.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) > r.getLong(1),
+          s"cell ${r.getLong(0)}: lowest id must never be a dup")
+    }
+  }
 }
