@@ -329,7 +329,45 @@ object Corpus extends QueryModule {
       .orderBy(col("gid"))
   }
 
+  /** DSIR-style distribution-matching importance score (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling" — the
+    * hashed-n-gram importance-weight idea, linearized): tokens hash into 16
+    * buckets (portable md5 bucket), the corpus bucket distribution is
+    * measured, and each document scores Σ_b c_db · (target_b / corpus_b)
+    * with a uniform target — documents whose tokens concentrate in
+    * corpus-RARE buckets score high and would be preferentially resampled
+    * toward the target distribution. Top-50 emitted.
+    *
+    * Determinism: the per-doc sum folds its ≤16 bucket contributions in
+    * bucket order (array_sort of struct(bucket, contrib) — same fold as
+    * [[graft.ops.LlmSimilarity.centroids]]); ratios are pure IEEE
+    * divides/multiplies, so the score hashes bit-exact vs DuckDB.
+    * Scale: token stream is map-only; (doc, bucket) then doc aggs are the
+    * only shuffles; the 16-row bucket table and 1-row total broadcast —
+    * nothing driver-side, nothing unbounded. */
+  def dsirScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), md5bucket(col("tok"), 16).as("bucket"))
+    val db = toks.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c_db"))
+    val bt = toks.groupBy(col("bucket")).agg(count(lit(1)).as("c_b"))
+    val tot = toks.agg(count(lit(1)).as("n_tok"))
+    db.join(broadcast(bt), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", col("c_db").cast("double") *
+        (col("n_tok").cast("double") / lit(16.0) / col("c_b").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+        lit(0.0), (a, t) => a + t.getField("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dsir"         -> (dsirScore _),
     "pipeline_corpus"     -> (corpusBuild _),
     "corpus_split"        -> (hashSplit _),
     "corpus_pack"         -> (packSequences _),
@@ -346,6 +384,24 @@ object Corpus extends QueryModule {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 16 AS bucket
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents) t),
+         |db AS (SELECT doc_id, bucket, COUNT(*) AS c_db FROM toks GROUP BY 1, 2),
+         |b AS (SELECT bucket, COUNT(*) AS c_b FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks),
+         |scored AS (
+         |  SELECT db.doc_id,
+         |    list_reduce(list_prepend(0.0, list(
+         |      CAST(db.c_db AS DOUBLE) *
+         |        (CAST(tot.n_tok AS DOUBLE) / 16.0 / CAST(b.c_b AS DOUBLE))
+         |      ORDER BY db.bucket)), (a, x) -> a + x) AS score
+         |  FROM db JOIN b USING (bucket) CROSS JOIN tot
+         |  GROUP BY db.doc_id)
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "pipeline_corpus" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $sqlToks AS t FROM documents),
