@@ -342,17 +342,20 @@ object Corpus extends QueryModule {
     * bucket order (array_sort of struct(bucket, contrib) — same fold as
     * [[graft.ops.LlmSimilarity.centroids]]); ratios are pure IEEE
     * divides/multiplies, so the score hashes bit-exact vs DuckDB.
-    * Scale: token stream is map-only; (doc, bucket) then doc aggs are the
-    * only shuffles; the 16-row bucket table and 1-row total broadcast —
-    * nothing driver-side, nothing unbounded. */
+    * Scale: the corpus is tokenized ONCE — the (doc, bucket) count table
+    * (≤16 rows per doc) is the persisted small intermediate, and both the
+    * 16-row bucket distribution and the token total are exact integer
+    * re-aggregations of it (released by `CacheHygiene` after the action);
+    * one corpus shuffle, broadcast ratio tables, nothing unbounded. */
   def dsirScore(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), md5bucket(col("tok"), 16).as("bucket"))
     val db = toks.groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("c_db"))
-    val bt = toks.groupBy(col("bucket")).agg(count(lit(1)).as("c_b"))
-    val tot = toks.agg(count(lit(1)).as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bt = db.groupBy(col("bucket")).agg(sum(col("c_db")).as("c_b"))
+    val tot = db.agg(sum(col("c_db")).as("n_tok"))
     db.join(broadcast(bt), Seq("bucket"))
       .crossJoin(broadcast(tot))
       .withColumn("contrib", col("c_db").cast("double") *
