@@ -16,9 +16,13 @@ import org.apache.spark.sql.SparkSession
   * query late in the alphabetical bench order gained ~0.25 s from cache
   * pressure before this existed.
   *
-  * Contract: call AFTER a query's terminal action completes. Clearing is
-  * safe at any action boundary — persisted blocks are a recompute
-  * optimization, never a correctness dependency. */
+  * Contract: call only after the LAST action on every DataFrame the query
+  * produced. Plain persisted blocks are a recompute optimization, but
+  * `localCheckpoint` blocks are a correctness dependency — their lineage is
+  * truncated, so a cleared checkpoint cannot be recomputed and a later
+  * action on a still-live DataFrame fails with a missing-block error.
+  * [[Verify]] and [[Bench]] satisfy this by construction (one terminal
+  * action per query, nothing reused across queries). */
 object CacheHygiene {
   /** Release every cached Dataset (CacheManager) and every persisted RDD
     * (including `localCheckpoint` RDDs, which live below the Dataset

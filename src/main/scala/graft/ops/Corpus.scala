@@ -124,8 +124,10 @@ object Corpus extends QueryModule {
     * rank + shard offset ≡ the single-window cumsum exactly — the oracle
     * stays the naive per-lang window, proving it). The offset table's own
     * prefix window is per-lang over |docs|/256 rows; at extreme scale the
-    * same algebra recurses. Integer arithmetic end-to-end: no float drift
-    * across engines. */
+    * same algebra recurses — so the offset join carries NO broadcast hint
+    * (size-based planning/AQE picks broadcast while offs is small and
+    * degrades to a shuffle join instead of an OOM once it isn't). Integer
+    * arithmetic end-to-end: no float drift across engines. */
   def packSequences(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), expr("doc_id div 256").as("shard"),
@@ -142,7 +144,7 @@ object Corpus extends QueryModule {
     base
       .withColumn("local_before",
         coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-      .join(broadcast(offs), Seq("lang", "shard"))
+      .join(offs, Seq("lang", "shard"))
       .withColumn("seq_id", expr("(off + local_before) div 512"))
       .groupBy(col("lang"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -366,6 +368,8 @@ object Corpus extends QueryModule {
         lit(0.0), (a, t) => a + t.getField("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
+      // deliberate re-sort: limit's output order is not a plan guarantee,
+      // and the driver hash-compares emitted row order against the oracle
       .orderBy(col("score").desc, col("doc_id"))
   }
 

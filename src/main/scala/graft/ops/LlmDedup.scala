@@ -228,6 +228,14 @@ object LlmDedup extends QueryModule {
     * fixpoint (min reachable id per node), so a DuckDB recursive-CTE
     * oracle converges to the identical labeling.
     *
+    * NOT safe under concurrent jobs on the same session: superseded
+    * checkpoint rounds are identified by diffing global
+    * `sc.getPersistentRDDs` snapshots, so a concurrently-running job's
+    * `localCheckpoint` RDDs could be captured in a round's diff and
+    * unpersisted (unrecoverable — checkpoint lineage is cut). Verify/Bench
+    * run queries strictly sequentially; a multi-threaded caller must
+    * serialize calls into this method.
+    *
     * @param edges (a_id, b_id) pairs; vertices are the ids that appear
     * @return (doc_id, cluster_id = min reachable doc_id) */
   private[graft] def connectedComponents(edges0: DataFrame): DataFrame = {
