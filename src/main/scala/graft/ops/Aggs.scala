@@ -332,7 +332,84 @@ object Aggs extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Mode (most frequent value) per group with a deterministic tie-break
+    * (count desc, then value asc): count per (group, value) → rank-1 window
+    * over the tiny distinct-pair table. Two partial+final aggregates; the
+    * window runs over |groups|×|values| rows, never the fact table — the
+    * standard scale-safe mode shape (there is no single-pass exact mode). */
+  def mode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("mode_n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Skewness / excess kurtosis from exact-decimal raw power sums — the
+    * portable form of Spark's float-unstable `skewness`/`kurtosis`
+    * built-ins (same pattern as [[variance]]/[[corrCov]]). S1..S4 are exact
+    * DECIMALs (quantity ≤ 50 at 2 dp: (8,2)⁴ = (35,8) stays under p=38 in
+    * both engines, so no rounding anywhere before the finalize); the
+    * finalize uses only +,-,×,÷,sqrt — each correctly rounded IEEE, so the
+    * result is bit-identical across engines as long as the expression tree
+    * is parenthesized identically (it is — see the oracle twin). One
+    * partial+final aggregate; the moment sums merge associatively, so the
+    * 100-TB plan is the same two-stage hash agg. */
+  def skewKurtosis(s: SparkSession, d: String): DataFrame = {
+    def dq = col("l_quantity").cast("decimal(8,2)")
+    def d2dbl(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+    val agg = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        d2dbl(sum(dq)).as("s1"),
+        d2dbl(sum(dq * dq)).as("s2"),
+        d2dbl(sum(dq * dq * dq)).as("s3"),
+        d2dbl(sum(dq * dq * dq * dq)).as("s4"))
+    val n = col("n"); val mean = col("s1") / n
+    val m = agg.select(col("l_returnflag"), n, mean.as("mean"),
+      ((col("s2") / n) - (mean * mean)).as("m2"),
+      (((col("s3") / n) - ((lit(3.0) * mean) * (col("s2") / n)))
+        + ((lit(2.0) * mean) * (mean * mean))).as("m3"),
+      ((((col("s4") / n) - ((lit(4.0) * mean) * (col("s3") / n)))
+        + ((lit(6.0) * (mean * mean)) * (col("s2") / n)))
+        - ((lit(3.0) * mean) * (mean * (mean * mean)))).as("m4"))
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"), col("mean"),
+      (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+      ((col("m4") / (col("m2") * col("m2"))) - lit(3.0)).as("excess_kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Equi-depth (equal-frequency) histogram — the complement of the
+    * equi-width [[histogram]]: bin BOUNDARIES come from exact interpolated
+    * percentiles (≡ DuckDB `quantile_cont` bit-for-bit), then every row is
+    * assigned map-side by comparing against the broadcast 7-value boundary
+    * array — no global sort, no ntile's single-partition window. At 100 TB
+    * the percentile agg would swap to the mergeable KLL sketch
+    * ([[approxQuantileSketch]]) with identical downstream shape. */
+  def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("p"))
+    val bounds = li.agg(percentile(col("p"),
+      array((1 to 7).map(i => lit(i / 8.0)): _*)).as("bs"))
+    val bucket = (1 to 7).map(i =>
+      when(col("p") > element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    li.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("lo"), max(col("p")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode"          -> (mode _),
+    "agg_skew_kurtosis" -> (skewKurtosis _),
+    "agg_equidepth"     -> (equidepthHistogram _),
     "agg_booleans"      -> (booleanAggs _),
     "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
@@ -356,6 +433,47 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  CAST(n AS BIGINT) AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "agg_skew_kurtosis" ->
+      """WITH s AS (SELECT l_returnflag,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s2,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s3,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, (s1/n) AS mean,
+        |  ((s2/n) - ((s1/n)*(s1/n))) AS m2,
+        |  (((s3/n) - ((3.0*(s1/n))*(s2/n))) + ((2.0*(s1/n))*((s1/n)*(s1/n)))) AS m3,
+        |  ((((s4/n) - ((4.0*(s1/n))*(s3/n))) + ((6.0*((s1/n)*(s1/n)))*(s2/n)))
+        |    - ((3.0*(s1/n))*((s1/n)*((s1/n)*(s1/n))))) AS m4
+        |  FROM s)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, mean,
+        |  (m3/(m2*sqrt(m2))) AS skewness,
+        |  ((m4/(m2*m2)) - 3.0) AS excess_kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "agg_equidepth" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS bs FROM lineitem),
+        |a AS (SELECT l_extendedprice AS p,
+        |  (CASE WHEN l_extendedprice > bs[1] THEN 1 ELSE 0 END
+        |   + CASE WHEN l_extendedprice > bs[2] THEN 1 ELSE 0 END
+        |   + CASE WHEN l_extendedprice > bs[3] THEN 1 ELSE 0 END
+        |   + CASE WHEN l_extendedprice > bs[4] THEN 1 ELSE 0 END
+        |   + CASE WHEN l_extendedprice > bs[5] THEN 1 ELSE 0 END
+        |   + CASE WHEN l_extendedprice > bs[6] THEN 1 ELSE 0 END
+        |   + CASE WHEN l_extendedprice > bs[7] THEN 1 ELSE 0 END) + 1 AS bucket
+        |  FROM lineitem CROSS JOIN b)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(p) AS lo, MAX(p) AS hi
+        |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_booleans" ->
       """SELECT o_orderstatus,
         |  CAST(bool_and(o_totalprice > 1000) AS INT) AS all_over_1k,

@@ -215,7 +215,29 @@ object Events extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Exponentially-weighted sum over a bounded 8-event lookback
+    * (half-life = 1 event, α = 1/2). The true infinite-history EWMA is a
+    * sequential recursion Spark can't parallelize; truncating at 8 terms
+    * bounds the error by 2⁻⁸ of one observation while keeping the operator
+    * a fixed lag-chain — 8 `lag`s over ONE window spec share a single sort,
+    * and every coefficient is a power of two, so each product is EXACT in
+    * IEEE and the fixed left-to-right add order is bit-identical across
+    * engines (no decimal scaffolding needed). One shuffle on user_id. */
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val terms = (0 to 7).map(k =>
+      coalesce(lag(col("value"), k).over(w), lit(0.0)) * lit(math.pow(0.5, k)))
+    Tables.events(s, d)
+      .filter(col("user_id") % 97 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        terms.reduce(_ + _).as("ewsum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ewma"      -> (ewma _),
     "ev_anomaly"   -> (anomaly _),
     "ev_session_paths" -> (sessionPaths _),
     "ev_path_funnel"   -> (pathFunnel _),
@@ -230,6 +252,19 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_ewma" ->
+      """SELECT user_id, event_id,
+        |  (((((((COALESCE(lag(value,0) OVER w, 0.0) * 1.0)
+        |   + (COALESCE(lag(value,1) OVER w, 0.0) * 0.5))
+        |   + (COALESCE(lag(value,2) OVER w, 0.0) * 0.25))
+        |   + (COALESCE(lag(value,3) OVER w, 0.0) * 0.125))
+        |   + (COALESCE(lag(value,4) OVER w, 0.0) * 0.0625))
+        |   + (COALESCE(lag(value,5) OVER w, 0.0) * 0.03125))
+        |   + (COALESCE(lag(value,6) OVER w, 0.0) * 0.015625))
+        |   + (COALESCE(lag(value,7) OVER w, 0.0) * 0.0078125) AS ewsum
+        |FROM events WHERE user_id % 97 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "ev_path_funnel" ->
       """WITH gaps AS (
         |  SELECT user_id, ts, event_id, event_type,

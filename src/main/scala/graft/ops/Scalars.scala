@@ -289,7 +289,57 @@ object Scalars extends QueryModule {
       col("p_name").rlike("[0-9]").cast("int").as("has_digit"))
       .orderBy(col("p_partkey"))
 
+  /** TPC-H Q21 shape — "suppliers who kept orders waiting": a late line
+    * (shipped >60 days after the order date) where ANOTHER supplier shipped
+    * in the same order (EXISTS) but no OTHER supplier shipped late
+    * (NOT EXISTS, correlated on both the line and the order). Catalyst
+    * rewrites the pair into a left-semi + left-anti hash join on
+    * l_orderkey — the decorrelation stress test: two correlated predicates
+    * referencing different outer tables, zero per-row subquery execution. */
+  def sqlQ21Shape(s: SparkSession, d: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 25""".stripMargin)
+  }
+
+  /** TPC-H Q11 shape — groups whose aggregate exceeds a FRACTION of the
+    * global total (scalar subquery in HAVING). The global total is one
+    * broadcast row; the comparison runs in integer cents × 1000, so which
+    * groups qualify is exact integer arithmetic on both engines (a decimal
+    * fraction-threshold would round differently at the boundary). The
+    * emitted value is the exact-decimal sum. */
+  def sqlQ11Shape(s: SparkSession, d: String): DataFrame = {
+    Seq("lineitem").foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """WITH c AS (SELECT l_partkey,
+        |    CAST(floor((l_extendedprice * 100.0) + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM c)
+        |SELECT l_partkey,
+        |  CAST(CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS STRING) AS DOUBLE)
+        |    / 100.0 AS part_value
+        |FROM c CROSS JOIN tot
+        |GROUP BY l_partkey, t
+        |HAVING (CAST(SUM(cents) AS BIGINT) * 1000) > t
+        |ORDER BY part_value DESC, l_partkey""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q21_shape"  -> (sqlQ21Shape _),
+    "sql_q11_shape"  -> (sqlQ11Shape _),
     "scalar_regex"   -> (regexFuncs _),
     "sql_q18_shape"  -> (sqlQ18Shape _),
     "sql_exists_shape" -> (sqlExistsShape _),
@@ -308,6 +358,32 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_q21_shape" ->
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL '60' DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name LIMIT 25""".stripMargin,
+    "sql_q11_shape" ->
+      """WITH c AS (SELECT l_partkey,
+        |    CAST(floor((l_extendedprice * 100.0) + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM c)
+        |SELECT l_partkey,
+        |  CAST(CAST(SUM(CAST(cents AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE)
+        |    / 100.0 AS part_value
+        |FROM c CROSS JOIN tot
+        |GROUP BY l_partkey, t
+        |HAVING (CAST(SUM(cents) AS BIGINT) * 1000) > t
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
     "sql_q18_shape" ->
       """SELECT c.c_custkey, o.o_orderkey, t.sum_qty
         |FROM (SELECT l_orderkey,

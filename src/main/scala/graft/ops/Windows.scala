@@ -95,7 +95,25 @@ object Windows extends QueryModule {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Exact rolling median over a ±3-row frame per user — `percentile` as a
+    * WINDOW aggregate (≡ DuckDB `quantile_cont` bit-for-bit, including the
+    * linear interpolation on even frames). The frame orders by (µs,
+    * event_id) so ties are deterministic; one shuffle on user_id, frame
+    * size is a constant 7 so per-row work is O(1) at any scale. */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id")).rowsBetween(-3, 3)
+    Tables.events(s, d)
+      .filter(col("user_id") % 97 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .select(col("user_id"), col("event_id"),
+        percentile(col("value"), lit(0.5)).over(w).as("med7"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_median" -> (rollingMedian _),
     "win_topk_per_group" -> (topKPerGroup _),
     "win_running_sum"    -> (runningSum _),
     "win_lag_lead"       -> (lagLead _),
@@ -105,6 +123,12 @@ object Windows extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "win_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med7
+        |FROM events WHERE user_id % 97 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
     "win_topk_per_group" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
