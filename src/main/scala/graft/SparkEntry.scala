@@ -22,6 +22,7 @@ object SparkEntry {
     ops.LlmSimilarity,
     ops.LlmDedup,
     ops.Corpus,
+    ops.Graph,
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,

@@ -373,7 +373,42 @@ object Corpus extends QueryModule {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Temperature-based mixture rebalancing (α = 0.5): sample each language
+    * proportional to n_ℓ^α instead of n_ℓ — the standard mixture-flattening
+    * move of multilingual training mixes, upweighting small languages
+    * without discarding large ones (lang is the fixture's genuinely skewed
+    * grouping; the same code reweights any mixture key). Targets are
+    * floor(200 · √n_ℓ / Σ√n) docs per lang; selection within a lang is by
+    * stable md5 rank (shard- and run-independent, like [[sourceQuota]]).
+    * √ is correctly-rounded IEEE so the weights are bit-exact across
+    * engines; Σ√n folds in lang order over |langs| terms. The lang count
+    * table is tiny at any scale; the per-lang rank window is the only
+    * shuffle — at 100 TB with few huge languages the rank would move to
+    * the (lang, shard)+offset algebra of [[globalIds]]. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    val tw = n.agg(aggregate(
+      array_sort(collect_list(struct(col("lang"),
+        sqrt(col("n_s").cast("double")).as("w")))),
+      lit(0.0), (a, t) => a + t.getField("w")).as("total_w"))
+    val tgt = n.crossJoin(broadcast(tw))
+      .select(col("lang"),
+        floor((lit(200.0) * sqrt(col("n_s").cast("double"))) / col("total_w"))
+          .cast("long").as("target_n"))
+    val rank = conv(substring(md5(concat(lit("tmix:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(rank, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(tgt), Seq("lang"))
+      .filter(col("rn") <= col("target_n"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_temperature_mix" -> (temperatureMix _),
     "corpus_dsir"         -> (dsirScore _),
     "pipeline_corpus"     -> (corpusBuild _),
     "corpus_split"        -> (hashSplit _),
@@ -391,6 +426,23 @@ object Corpus extends QueryModule {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_temperature_mix" ->
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY lang),
+        |tw AS (SELECT list_reduce(list_prepend(0.0, list(
+        |    sqrt(CAST(n_s AS DOUBLE)) ORDER BY lang)), (a,x) -> a + x)
+        |  AS total_w FROM n),
+        |tgt AS (SELECT lang,
+        |    CAST(floor((200.0 * sqrt(CAST(n_s AS DOUBLE))) / total_w) AS BIGINT)
+        |    AS target_n
+        |  FROM n CROSS JOIN tw),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substring(md5('tmix:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, rn
+        |FROM r JOIN tgt USING (lang) WHERE rn <= target_n
+        |ORDER BY lang, rn""".stripMargin,
     "corpus_dsir" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

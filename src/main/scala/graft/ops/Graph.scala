@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationally-derived graphs (SURVEY.md §2.13):
+  * iterative computations expressed as repeated join + keyed aggregate —
+  * the same distributed shape as [[LlmDedup.connectedComponents]]'s label
+  * propagation, applied to value propagation.
+  *
+  * Scale notes: each PageRank iteration is one shuffle join of the rank
+  * table against the edge list (both partitioned by the join key) plus one
+  * groupBy(dst) aggregate — the textbook Pregel-on-dataflow step. The rank
+  * table is |V| rows; the edge list dominates and is scanned once per
+  * iteration. Nothing driver-side except the fixed iteration count. */
+object Graph extends QueryModule {
+
+  /** PageRank (d = 0.85, 3 fixed iterations) on the international trade
+    * graph: nation A → nation B iff some customer in A bought from a
+    * supplier in B (distinct pairs, self-loops dropped). Fixed iteration
+    * count (not convergence-tested) keeps the result a closed-form the
+    * DuckDB oracle reproduces by unrolling. Dangling nodes simply
+    * contribute nothing (their mass is not redistributed — the simplified
+    * PR variant; deterministic on both engines). Per-node incoming
+    * contributions are summed by an in-neighbor-ordered bounded fold so
+    * the double adds are bit-identical across engines — in-degree here is
+    * ≤ |nations|; on web-scale graphs swap the fold for the two-level
+    * chunked form ([[Aggs]] centroid pattern) or drop exactness and use a
+    * plain float sum. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val vertices = Tables.nation(s, d).select(col("n_nationkey").as("id"))
+    var ranks = vertices.select(col("id"), (lit(1.0) / lit(25.0)).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst"), col("src"),
+          (col("r") / col("od").cast("double")).as("c"))
+        .groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (a, t) => a + t.getField("c")).as("contrib"))
+      ranks = vertices
+        .join(contrib, vertices("id") === contrib("dst"), "left")
+        .select(vertices("id"),
+          ((lit(0.15) / lit(25.0)) +
+            (lit(0.85) * coalesce(col("contrib"), lit(0.0)))).as("r"))
+    }
+    ranks.orderBy(col("id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pagerank _),
+  )
+
+  private def prIter(prev: String): String =
+    s"""SELECT v.id, ((0.15/25.0) + (0.85 * COALESCE(s.contrib, 0.0))) AS r
+       |FROM v LEFT JOIN
+       |  (SELECT e.dst AS id, list_reduce(list_prepend(0.0, list(
+       |     ($prev.r / CAST(outd.od AS DOUBLE)) ORDER BY e.src)),
+       |     (a,x) -> a + x) AS contrib
+       |   FROM e JOIN $prev ON e.src = $prev.id
+       |   JOIN outd ON e.src = outd.src GROUP BY e.dst) s USING (id)""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey),
+         |outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+         |v AS (SELECT n_nationkey AS id FROM nation),
+         |r0 AS (SELECT id, (1.0/25.0) AS r FROM v),
+         |r1 AS (${prIter("r0")}),
+         |r2 AS (${prIter("r1")}),
+         |r3 AS (${prIter("r2")})
+         |SELECT id, r FROM r3 ORDER BY id""".stripMargin,
+  )
+}

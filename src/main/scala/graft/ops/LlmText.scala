@@ -183,7 +183,44 @@ object LlmText extends QueryModule {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Model-based quality scoring, fastText-filter style: a linear
+    * classifier over HASHED bag-of-words features (16 buckets, the hashing
+    * trick — no vocabulary to ship) with a fixed keyed-hash weight vector,
+    * score = ⟨counts, w⟩ / n_tokens. This is the shape of every
+    * learned-filter pass (DCLM/fastText quality models): tokenize → hash →
+    * sparse dot product against broadcast weights — per-doc work is O(len),
+    * the "model" is constant-size, and the plan is two partial+final aggs
+    * keyed by doc_id, so it runs unchanged at 100 TB. The dot product folds
+    * in bucket order over ≤16 terms (bit-exact, same recipe as
+    * [[Corpus.dsirScore]]); real learned weights would broadcast the same
+    * way. Top-50 by score. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val buck = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 16
+    val db = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), buck.as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val nt = db.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val w = (conv(substring(md5(concat(lit("qw:"),
+      col("bucket").cast("string"))), 1, 8), 16, 10).cast("long") % 2001
+      - 1000).cast("double") / lit(1000.0)
+    db.withColumn("contrib", col("c").cast("double") * w)
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+        lit(0.0), (a, t) => a + t.getField("contrib")).as("raw"))
+      .join(nt, Seq("doc_id"))
+      .select(col("doc_id"), (col("raw") / col("n").cast("double")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+      // re-sort after limit: emitted row order is hash-compared
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_classifier" -> (qualityClassifier _),
     "pipeline_prep"    -> (prepPipeline _),
     "text_normalize"   -> (normalize _),
     "text_winnow_fp"   -> (winnowFingerprint _),
@@ -200,6 +237,21 @@ object LlmText extends QueryModule {
     s"len(list_filter($sqlToks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   override def oracleSql: Map[String, String] = Map(
+    "text_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 16 AS bucket
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents) t),
+         |db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+         |nt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM db GROUP BY 1),
+         |sc AS (SELECT db.doc_id, list_reduce(list_prepend(0.0, list(
+         |    CAST(c AS DOUBLE) * (CAST((CAST(('0x' || substring(md5('qw:' ||
+         |      CAST(bucket AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000
+         |      AS DOUBLE) / 1000.0)
+         |    ORDER BY bucket)), (a, x) -> a + x) AS raw
+         |  FROM db GROUP BY db.doc_id)
+         |SELECT sc.doc_id, (raw / CAST(n AS DOUBLE)) AS score
+         |FROM sc JOIN nt USING (doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "pipeline_prep" ->
       s"""WITH kept AS (
          |  SELECT doc_id, lang, source, text, len($sqlToks) AS n_tokens

@@ -102,7 +102,52 @@ object PiiQueries extends QueryModule {
       .orderBy(col("c_custkey"))
   }
 
+  /** k-anonymity / l-diversity audit — the risk report a PII tool runs
+    * BEFORE releasing a "de-identified" extract: group sizes over the
+    * quasi-identifier tuple (nation, market segment) plus the count of
+    * distinct sensitive values (account-balance band) per group. Groups
+    * with n < k are re-identifiable by linkage; groups with one sensitive
+    * value leak it even at k. One partial+final aggregate over the
+    * quasi-identifier key — |groups| rows of output at any scale. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val band = floor(col("c_acctbal") / lit(1000.0)).cast("long")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(band).as("n_sensitive"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_n"),
+        col("n_sensitive"),
+        when(col("group_n") >= 10, 1).otherwise(0).as("meets_k"),
+        when(col("n_sensitive") >= 3, 1).otherwise(0).as("meets_l"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  /** Format-preserving tokenization: every digit in the value is replaced
+    * by a keyed-hash-derived digit (position- and value-dependent), all
+    * other characters pass through — so downstream parsers that expect the
+    * original shape ("Customer#<9 digits>") keep working, but the
+    * identifier is unlinkable without the key. Deterministic: the same
+    * input always yields the same token (join-consistent pseudonyms across
+    * tables), unlike random tokenization. Map-only; the per-char transform
+    * is a codegen'd higher-order function, no UDF. */
+  def fpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val name = col("c_name")
+    val token = array_join(
+      transform(sequence(lit(1), length(name)), i => {
+        val ch = name.substr(i, lit(1))
+        val digit = conv(substring(md5(concat(
+          lit("fpe1:"), name, lit(":"), (i - 1).cast("string"),
+          lit(":"), ch)), 1, 8), 16, 10).cast("long") % 10
+        when(ch.between("0", "9"), digit.cast("string")).otherwise(ch)
+      }), "")
+    Tables.customer(s, d)
+      .select(col("c_custkey"), token.as("token"))
+      .orderBy(col("c_custkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_k_anonymity" -> (kAnonymity _),
+    "pii_fpe_tokenize" -> (fpeTokenize _),
     "pii_text_scrub"  -> (textScrub _),
     "pii_drop"        -> (dropColumns _),
     "pii_hash"        -> (hashPseudonym _),
@@ -114,6 +159,23 @@ object PiiQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pii_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_n,
+        |  CAST(COUNT(DISTINCT CAST(floor(c_acctbal/1000.0) AS BIGINT)) AS BIGINT)
+        |    AS n_sensitive,
+        |  CASE WHEN COUNT(*) >= 10 THEN 1 ELSE 0 END AS meets_k,
+        |  CASE WHEN COUNT(DISTINCT CAST(floor(c_acctbal/1000.0) AS BIGINT)) >= 3
+        |    THEN 1 ELSE 0 END AS meets_l
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pii_fpe_tokenize" ->
+      """SELECT c_custkey,
+        |  array_to_string([CASE WHEN substring(c_name, i, 1) BETWEEN '0' AND '9'
+        |    THEN CAST(CAST(('0x' || substring(md5('fpe1:' || c_name || ':' ||
+        |      CAST(i-1 AS VARCHAR) || ':' || substring(c_name, i, 1)), 1, 8))
+        |      AS BIGINT) % 10 AS VARCHAR)
+        |    ELSE substring(c_name, i, 1) END
+        |    for i in range(1, length(c_name)+1)], '') AS token
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "pii_text_scrub" ->
       """WITH t AS (
         |  SELECT c_custkey,

@@ -122,7 +122,28 @@ object Sources extends QueryModule {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Row-level file provenance via the `_metadata` hidden column: write the
+    * corpus hive-partitioned by lang, read it back, and recover each row's
+    * origin from `_metadata.file_path` alone — the lineage primitive behind
+    * "which input file produced this bad row". The oracle aggregates the
+    * original table directly, so the gate proves partitioned-layout
+    * round-trip + path-derived provenance are lossless. Metadata columns
+    * are populated by the scan itself (no extra I/O at any scale). */
+  def fileProvenance(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("prov_docs", d)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .select(col("n_chars"),
+        regexp_extract(col("_metadata.file_path"), "lang=([^/]+)", 1).as("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_file_provenance" -> (fileProvenance _),
     "layout_zorder"      -> (zorderKey _),
     "src_xml_roundtrip"  -> (xmlRoundTrip _),
     "src_orc_roundtrip"  -> (orcRoundTrip _),
@@ -136,6 +157,10 @@ object Sources extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "src_file_provenance" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "layout_zorder" ->
       s"""WITH t AS (
          |  SELECT o_orderkey, o_custkey % 1024 AS x,
