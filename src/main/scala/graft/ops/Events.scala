@@ -236,7 +236,29 @@ object Events extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Per-entity rate capping: keep at most 3 events per (user, day) by
+    * arrival order, report what each capped group lost — the ingestion
+    * throttle / per-entity quota every event pipeline runs (and the
+    * per-user twin of [[Corpus.sourceQuota]]'s per-source cap). One rank
+    * window and the aggregate share the same (user, day)-keyed exchange —
+    * single shuffle, deterministic (µs, event_id) arrival order. */
+  def capPerEntity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("day_id", expr("us div 86400000000"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"), col("day_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") > 3, 1).otherwise(0)).as("n_dropped"))
+      .filter(col("n_events") > 3)
+      .orderBy(col("user_id"), col("day_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cap_per_entity" -> (capPerEntity _),
     "ev_ewma"      -> (ewma _),
     "ev_anomaly"   -> (anomaly _),
     "ev_session_paths" -> (sessionPaths _),
@@ -252,6 +274,17 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_cap_per_entity" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_id,
+        |    row_number() OVER (PARTITION BY user_id,
+        |      CAST(epoch_us(ts) AS BIGINT) // 86400000000
+        |      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, day_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM r GROUP BY 1, 2 HAVING COUNT(*) > 3
+        |ORDER BY 1, 2""".stripMargin,
     "ev_ewma" ->
       """SELECT user_id, event_id,
         |  (((((((COALESCE(lag(value,0) OVER w, 0.0) * 1.0)

@@ -245,7 +245,44 @@ object Joins extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Interval-overlap PAIR COUNTING by sweep line — the scale-safe form of
+    * an interval×interval self-join. Intervals are each user's daily active
+    * span [first event, last event]; the question is "how many user pairs
+    * were concurrently active, per day". The naive answer is a quadratic
+    * theta self-join (exactly what the DuckDB oracle runs — the gate
+    * PROVES the linear plan equals the quadratic truth); the implementation
+    * never forms pairs: overlapping = C(n,2) − disjoint, and disjoint
+    * pairs (end_a < start_b) are counted by sweeping each day's start/end
+    * events in time order and cumulative-summing ends seen strictly before
+    * each start (ties resolved start-before-end so touching intervals
+    * count as overlap, matching the closed-interval predicate). One window
+    * keyed by day over 2·|intervals| rows — linear, integer-only,
+    * embarrassingly parallel across days. */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), us.as("us"))
+      .withColumn("day_id", expr("us div 86400000000"))
+      .groupBy(col("user_id"), col("day_id"))
+      .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+    val sweep = iv.select(col("day_id"), col("st").as("t"), lit(0).as("is_end"))
+      .unionByName(iv.select(col("day_id"), col("en").as("t"), lit(1).as("is_end")))
+    val w = Window.partitionBy(col("day_id")).orderBy(col("t"), col("is_end"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sweep
+      .withColumn("ends_before",
+        coalesce(sum(col("is_end")).over(w), lit(0L)))
+      .filter(col("is_end") === 0)
+      .groupBy(col("day_id"))
+      .agg(count(lit(1)).as("n"), sum(col("ends_before")).as("disjoint"))
+      .select(col("day_id"),
+        (expr("n * (n - 1) div 2") - col("disjoint")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("day_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> (intervalOverlap _),
     "join_asof_fwd"        -> (asofForwardJoin _),
     "join_fuzzy_name"      -> (fuzzyNameJoin _),
     "join_asof_native"     -> (asofJoinNative _),
@@ -271,6 +308,16 @@ object Joins extends QueryModule {
       |ORDER BY p.event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_id,
+        |    MIN(CAST(epoch_us(ts) AS BIGINT)) AS st,
+        |    MAX(CAST(epoch_us(ts) AS BIGINT)) AS en
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.day_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM iv a JOIN iv b ON a.day_id = b.day_id AND a.user_id < b.user_id
+        |  AND a.st <= b.en AND b.st <= a.en
+        |GROUP BY a.day_id ORDER BY a.day_id""".stripMargin,
     "join_asof_fwd" ->
       """SELECT event_id, us, next_purchase_us,
         |  next_purchase_us - us AS waited_us FROM (

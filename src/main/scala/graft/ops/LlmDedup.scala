@@ -420,7 +420,90 @@ object LlmDedup extends QueryModule {
         col("members"))
       .orderBy(col("keep_doc_id"))
 
+  /** Incremental exact dedup with a Bloom-filter pre-filter — the "new
+    * batch vs 100-TB corpus" pattern: probing a compact bit array avoids
+    * shuffling the whole seen-corpus against every increment. Build: each
+    * existing doc's content md5 yields k=4 positions in an m=4096-bit
+    * array (the four disjoint 8-hex-digit slices of the md5, so the bloom
+    * membership is portable to the SQL oracle, false positives included);
+    * the bit array is OR-folded in a partial+final aggregate over 64
+    * words and broadcast as ONE 64-long row. Probe: map-only bit tests;
+    * only `maybe_seen` survivors reach the exact-verify join, so the
+    * expensive side is |FP + true dups|, not |increment|. m is a fixture
+    * constant — size m ≈ 10·n bits for ~1% FP in production (at sf0.1
+    * this deliberately shows saturation: 4000 keys × 4 bits in 4096
+    * slots ≈ 90% maybe — the failure mode you size m against). The final
+    * answer is EXACT (bloom only prunes; verify decides), which is what
+    * the oracle checks alongside the bloom's own bit-level behavior. */
+  def bloomIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    def pos(j: Int): Column =
+      conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long") % 4096
+    val bloom = existing
+      .select(explode(array((0 to 3).map(pos): _*)).as("p"))
+      .select(expr("p div 64").as("word"), (col("p") % 64).as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(bit AS INT))")).as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+        .as("m"))
+      .select(transform(sequence(lit(0L), lit(63L)),
+        w => coalesce(element_at(col("m"), w), lit(0L))).as("bloom"))
+    def hit(j: Int): Column = expr(
+      s"(element_at(bloom, CAST(p$j div 64 AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(p$j % 64 AS INT))) != 0")
+    val probed = (0 to 3)
+      .foldLeft(incoming.crossJoin(broadcast(bloom))) {
+        (df, j) => df.withColumn(s"p$j", pos(j))
+      }
+      .withColumn("maybe_seen",
+        (0 to 3).map(hit).reduce(_ && _).cast("int"))
+      .select(col("doc_id"), col("h"), col("maybe_seen"))
+    val seen = existing.select(col("h")).distinct().withColumn("dup_hit", lit(1))
+    val verified = probed.filter(col("maybe_seen") === 1)
+      .join(seen, Seq("h"), "left")
+      .select(col("doc_id"), col("maybe_seen"),
+        when(col("dup_hit").isNotNull, 1).otherwise(0).as("is_dup"))
+    probed.filter(col("maybe_seen") === 0)
+      .select(col("doc_id"), col("maybe_seen"), lit(0).as("is_dup"))
+      .unionByName(verified)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Paragraph-granularity exact dedup (C4/RefinedWeb-style): the corpus is
+    * cut into fixed 16-token chunks (the fixture's text has no paragraph
+    * breaks, so position-chunking stands in for split-on-newline — the
+    * pipeline is identical), each chunk keyed by content md5, and the
+    * FIRST occurrence in (doc_id, chunk_idx) order owns it; every later
+    * identical chunk is a duplicate. Per-doc report: chunks held vs chunks
+    * that are cross-corpus repeats. Explode is linear in corpus tokens, the
+    * owner table is one groupBy on the chunk hash, the ownership check is
+    * the same hash-keyed join — nothing quadratic, and the chunk hash is
+    * the natural shuffle key at 100 TB. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 16)
+    val ch = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(1), expr("size(t) div 16")),
+        i => struct(i.as("chunk_idx"),
+          md5(array_join(slice(col("t"), (i - 1) * 16 + 1, lit(16)), " ")).as("h"))))
+        .as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.h"),
+        (col("doc_id") * 1000000L + col("c.chunk_idx")).as("occ"))
+    val owners = ch.groupBy(col("h")).agg(min(col("occ")).as("owner"))
+    ch.join(owners, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") =!= col("owner"), 1).otherwise(0)).as("n_dup_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_chunk_dedup"       -> (chunkDedup _),
+    "dd_bloom_incremental" -> (bloomIncremental _),
     "dd_dup_groups"     -> (dupGroups _),
     "dd_lsh_recall"     -> (lshRecall _),
     "dd_clusters"       -> (clusterComponents _),
@@ -441,6 +524,39 @@ object LlmDedup extends QueryModule {
     s"CAST(('0x' || substring(md5('$seed:' || $e), 1, 8)) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "dd_chunk_dedup" ->
+      s"""WITH toksT AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |ch AS (SELECT doc_id, i AS chunk_idx,
+         |    md5(array_to_string(t[(16*(i-1)+1):(16*i)], ' ')) AS h,
+         |    doc_id * 1000000 + i AS occ
+         |  FROM toksT, unnest(range(1, CAST(floor(len(t)/16) AS BIGINT) + 1)) AS u(i)),
+         |own AS (SELECT h, MIN(occ) AS owner FROM ch GROUP BY h)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN occ <> owner THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks
+         |FROM ch JOIN own USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_bloom_incremental" ->
+      """WITH pe AS (SELECT DISTINCT
+        |    CAST(('0x' || substring(md5(text), 1 + 8*j, 8)) AS BIGINT) % 4096 AS p
+        |  FROM documents CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+        |  WHERE doc_id % 5 <> 0),
+        |probes AS (SELECT doc_id, text,
+        |  CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 4096 AS p0,
+        |  CAST(('0x' || substring(md5(text), 9, 8)) AS BIGINT) % 4096 AS p1,
+        |  CAST(('0x' || substring(md5(text), 17, 8)) AS BIGINT) % 4096 AS p2,
+        |  CAST(('0x' || substring(md5(text), 25, 8)) AS BIGINT) % 4096 AS p3
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |mb AS (SELECT doc_id, text,
+        |  CASE WHEN p0 IN (SELECT p FROM pe) AND p1 IN (SELECT p FROM pe)
+        |        AND p2 IN (SELECT p FROM pe) AND p3 IN (SELECT p FROM pe)
+        |    THEN 1 ELSE 0 END AS maybe_seen
+        |  FROM probes)
+        |SELECT doc_id, maybe_seen,
+        |  CASE WHEN maybe_seen = 1 AND EXISTS (SELECT 1 FROM documents e
+        |    WHERE e.doc_id % 5 <> 0 AND md5(e.text) = md5(mb.text))
+        |    THEN 1 ELSE 0 END AS is_dup
+        |FROM mb ORDER BY doc_id""".stripMargin,
     "dd_lsh_recall" -> {
       val mh = (0 until 16).map { i =>
         s"list_min(list_transform(sh, x -> ${sqlHash32("x", i)})) AS mh$i"

@@ -460,7 +460,60 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Top principal direction by distributed POWER ITERATION (2 fixed
+    * iterations on the uncentered second-moment matrix A = XᵀX/n). The
+    * d×d covariance is never materialized: each iteration computes
+    * A·v as x_i·⟨x_i, v⟩ summed over rows — a map (per-row dot against the
+    * broadcast 1-row v), a (pos, chunk) partial fold, a (pos) final fold,
+    * and a 1-row normalize; every fold is ordered (vec_id within chunk,
+    * chunk within pos, pos within the norm) so the doubles are
+    * bit-identical to the unrolled DuckDB oracle. Per-iteration cost is
+    * one corpus scan regardless of n — the classic out-of-core PCA step;
+    * more components would deflate-and-repeat. Emits the loading vector
+    * and the eigenvalue estimate λ = ‖A·v₁‖ (v₁ unit-norm). */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), y => y.cast("double")).as("x"))
+    val n = x.agg(count(lit(1)).as("n"))
+    var v = x.limit(1).select(transform(col("x"), _ => lit(1.0)).as("v"))
+    var lastNorm: DataFrame = null
+    var lastAv: DataFrame = null
+    for (_ <- 1 to 2) {
+      val scored = x.crossJoin(broadcast(v))
+        .select(col("vec_id"), col("x"),
+          aggregate(zip_with(col("x"), col("v"), (a, b) => a * b),
+            lit(0.0), (a, b) => a + b).as("s"))
+      val pc = scored
+        .select(col("vec_id"), col("s"), posexplode(col("x")))
+        .select(col("vec_id"), col("pos"), (col("col") * col("s")).as("c"),
+          expr("vec_id div 256").as("chunk"))
+      val perPos = pc
+        .groupBy(col("pos"), col("chunk"))
+        .agg(aggregate(array_sort(collect_list(struct(col("vec_id"), col("c")))),
+          lit(0.0), (a, t) => a + t.getField("c")).as("cs"))
+        .groupBy(col("pos"))
+        .agg(aggregate(array_sort(collect_list(struct(col("chunk"), col("cs")))),
+          lit(0.0), (a, t) => a + t.getField("cs")).as("av0"))
+      val av = perPos.crossJoin(broadcast(n))
+        .select(col("pos"), (col("av0") / col("n").cast("double")).as("av"))
+      val norm = av.agg(sqrt(aggregate(
+        array_sort(collect_list(struct(col("pos"), (col("av") * col("av")).as("q")))),
+        lit(0.0), (a, t) => a + t.getField("q"))).as("nv"))
+      lastAv = av; lastNorm = norm
+      v = av.crossJoin(broadcast(norm))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), (col("av") / col("nv")).as("u")))),
+          t => t.getField("u")).as("v"))
+    }
+    lastAv.crossJoin(broadcast(lastNorm))
+      .select(col("pos"), (col("av") / col("nv")).as("loading"),
+        col("nv").as("lambda"))
+      .orderBy(col("pos"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_pca_power"   -> (pcaPower _),
     "sim_pq_topk"     -> (pqTopK _),
     "dd_embed_neardup_ann" -> (embeddingNearDupAnn _),
     "sim_ivf_topk"    -> (ivfTopK _),
@@ -502,7 +555,38 @@ object LlmSimilarity extends QueryModule {
   private val sqlBucketT0: String = sqlBucketOf(hyperplanes.slice(0, 6))
   private val sqlBucketT1: String = sqlBucketOf(hyperplanes.slice(6, 12))
 
+  private def pcaIter(vPrev: String, k: Int): String =
+    s"""sc$k AS (SELECT vec_id, x, list_reduce(list_prepend(0.0,
+       |    [x[i] * v[i] for i in range(1, len(x)+1)]), (a,b) -> a + b) AS s
+       |  FROM X CROSS JOIN $vPrev),
+       |pc$k AS (SELECT vec_id, i - 1 AS pos, (x[i] * s) AS c,
+       |    vec_id // 256 AS chunk
+       |  FROM sc$k, unnest(range(1, len(x)+1)) AS t(i)),
+       |ck$k AS (SELECT pos, chunk, list_reduce(list_prepend(0.0,
+       |    list(c ORDER BY vec_id)), (a,b) -> a + b) AS cs
+       |  FROM pc$k GROUP BY pos, chunk),
+       |pp$k AS (SELECT pos, list_reduce(list_prepend(0.0,
+       |    list(cs ORDER BY chunk)), (a,b) -> a + b) AS av
+       |  FROM ck$k GROUP BY pos),
+       |av$k AS (SELECT pos, (av / CAST(n AS DOUBLE)) AS av
+       |  FROM pp$k CROSS JOIN n),
+       |nm$k AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+       |    list((av * av) ORDER BY pos)), (a,b) -> a + b)) AS nv FROM av$k)"""
+      .stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "vec_pca_power" ->
+      s"""WITH X AS (SELECT vec_id,
+         |    list_transform(embedding, y -> CAST(y AS DOUBLE)) AS x
+         |  FROM embeddings),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM X),
+         |v0 AS (SELECT list_transform(x, y -> 1.0) AS v FROM X LIMIT 1),
+         |${pcaIter("v0", 1)},
+         |v1 AS (SELECT list(av / nv ORDER BY pos) AS v
+         |  FROM av1 CROSS JOIN nm1),
+         |${pcaIter("v1", 2)}
+         |SELECT CAST(pos AS INT) AS pos, (av / nv) AS loading, nv AS lambda
+         |FROM av2 CROSS JOIN nm2 ORDER BY pos""".stripMargin,
     "sim_pq_topk" ->
       """WITH sub AS (
         |  SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS sub

@@ -187,4 +187,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"),
       s"diff must stay an equi join:\n$p")
   }
+
+  test("join_interval_overlap: the quadratic pair join compiles to ZERO " +
+    "join operators — sweep line is windows and aggregates only") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"pair counting must never form pairs:\n$p")
+  }
+
+  test("dd_bloom_incremental: the bloom is a 1-row broadcast; the exact " +
+    "verify join stays an equi hash join") {
+    val p = plan("dd_bloom_incremental")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the folded bloom row must broadcast to the probe side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cross product may appear:\n$p")
+  }
+
+  test("dd_chunk_dedup: ownership check is a chunk-hash equi-join — " +
+    "no nested loop, no cartesian") {
+    val p = plan("dd_chunk_dedup")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"chunk ownership must join on the content hash:\n$p")
+  }
+
+  test("graph_pagerank: every iteration joins on a key — no cartesian, " +
+    "and contributions fold without a rank window") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct"),
+      s"rank propagation must stay key-joined:\n$p")
+    assert(!p.contains("Window"),
+      s"in-neighbor folds must be aggregates, not windows:\n$p")
+  }
+
+  test("text_quality_classifier: the collect_list fold is bounded by the " +
+    "16-bucket key, and the weight table never materializes as a join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val q = SparkEntry.queries("text_quality_classifier")(spark, TestSpark.sf)
+    val aggs = q.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.contains("collect_list")) => a
+    }
+    assert(aggs.nonEmpty, "expected the bucket-ordered fold aggregate")
+    aggs.foreach { a =>
+      assert(a.groupingExpressions.exists(_.toString.contains("doc_id")),
+        s"fold must group per doc (bounded by 16 buckets):\n${a.groupingExpressions}")
+    }
+  }
 }

@@ -168,6 +168,26 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("vec_pca_power: unit-norm loading, positive eigenvalue, and the " +
+    "direction explains more variance than a coordinate axis") {
+    val rows = SparkEntry.queries("vec_pca_power")(spark, TestSpark.sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val norm2 = rows.map { case (_, l, _) => l * l }.sum
+    assert(math.abs(norm2 - 1.0) < 1e-9, s"loading must be unit-norm, got $norm2")
+    val lambda = rows.head._3
+    assert(lambda > 0.0)
+    // Rayleigh-quotient sanity: the power direction's second moment must be
+    // at least the max coordinate axis's (power iteration only improves on
+    // any starting direction, and axes are valid directions)
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(posexplode(transform(col("embedding"), x => x.cast("double"))))
+    val axisMax = e.groupBy(col("pos"))
+      .agg((sum(col("col") * col("col")) / count(lit(1))).as("m2"))
+      .agg(max(col("m2"))).head.getDouble(0)
+    assert(lambda >= axisMax - 1e-9,
+      s"top eigenvalue $lambda must dominate the best axis $axisMax")
+  }
+
   test("src_file_provenance: metadata-derived lineage matches the table") {
     val viaMeta = SparkEntry.queries("src_file_provenance")(spark, TestSpark.sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
