@@ -58,7 +58,48 @@ object Graph extends QueryModule {
     ranks.orderBy(col("id"))
   }
 
+  /** Triangle counting on the part co-purchase graph (two parts are
+    * adjacent iff some order contains both) by DEGREE-ORDERED edge
+    * orientation — the classic distributed-triangle trick (MapReduce
+    * triangle counting, Suri & Vassilvitskii's graph partitioning line of
+    * work): orient every undirected edge from its lower-(degree, id)
+    * endpoint to the higher, then count paths s→t→w that close with an
+    * oriented edge s→w. Orientation makes every out-neighborhood
+    * O(√|E|)-bounded regardless of hub degree, so the wedge join never
+    * explodes on a hot vertex — the naive u<v orientation would give a
+    * low-id hub its full degree as out-degree. Each triangle is counted
+    * exactly once (its unique degree-minimum vertex roots it). Three
+    * equi-joins on vertex keys + one distinct — all shuffle-keyed,
+    * nothing quadratic in |V|; the edge list itself is bounded by
+    * Σ C(order_size, 2), linear in lineitems for bounded basket size. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("id").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("dg").as("dv"))
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val e = e0.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e2.t").as("c"))
+    val tri = wedges.join(e.as("e3"),
+      col("a") === col("e3.s") && col("c") === col("e3.t"))
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .orderBy(col("n_edges"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_triangles" -> (triangles _),
     "graph_pagerank" -> (pagerank _),
   )
 
@@ -72,6 +113,20 @@ object Graph extends QueryModule {
        |   JOIN outd ON e.src = outd.src GROUP BY e.dst) s USING (id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+        |e AS (SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS s,
+        |             CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS t
+        |      FROM e0 JOIN deg du ON du.id = e0.u JOIN deg dv ON dv.id = e0.v),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |        FROM e e1 JOIN e e2 ON e1.t = e2.s
+        |        JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
+        |SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+        |       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
     "graph_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
