@@ -21,15 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4 refuses to read
-    * as a timestamp (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via the
-    * legacy conf and rebuild a µs TimestampType column (the fixture's values
-    * are µs-aligned, so `div 1000` is lossless — integer division, since
-    * epoch-nanos ≈ 1.7e18 exceeds double's exact range). */
+  /** `events.ts` has shipped in two physical forms across fixture
+    * generations: parquet `timestamp[ns]` (which Spark 4 refuses to read as
+    * a timestamp — PARQUET_TYPE_ILLEGAL — so we read raw nanos via the
+    * legacy conf and rebuild µs; the values are µs-aligned, so `div 1000`
+    * is lossless integer division) and plain `timestamp[us]` (read as
+    * TIMESTAMP_NTZ). Branch on the footer type so both load to the same
+    * session-zoned TimestampType column; the NTZ→TZ cast is
+    * value-preserving because the harness runs in UTC. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

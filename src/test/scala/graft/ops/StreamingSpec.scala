@@ -13,18 +13,27 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming source over the fixture dir (ts read as raw nanos → µs). */
+  /** Streaming source over the fixture dir. `readStream` needs an explicit
+    * schema, so probe the batch footer for `ts`'s physical form (the
+    * fixture has shipped both `timestamp[ns]`-as-long and `timestamp[us]`
+    * NTZ — see Tables.events) and normalize to TimestampType either way. */
   private def streamEvents() = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
+    val tsPhysical = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf)
+      .schema("ts").dataType
+    val eventsSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsPhysical),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(TestSpark.sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsPhysical match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   test("streaming tumbling window agg matches batch twin") {
