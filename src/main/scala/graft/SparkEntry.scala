@@ -17,6 +17,7 @@ object SparkEntry {
     ops.Windows,
     ops.SetOps,
     ops.Scalars,
+    ops.TpchShapes,
     ops.Events,
     ops.LlmText,
     ops.LlmSimilarity,
