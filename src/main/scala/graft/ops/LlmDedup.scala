@@ -501,7 +501,28 @@ object LlmDedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source duplication report — the curation dashboard number that
+    * decides which sources get deduped harder (e.g. a crawl slice with 40%
+    * exact dups vs a curated set at 2%). Exact-hash grouping (same policy
+    * as `dd_exact`: keep the min doc_id per content hash), then one small
+    * aggregate per source; dup_rate is one double division of exact counts.
+    * Two linear shuffles (content hash, then source) — carries to 100 TB. */
+  def dupStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val firsts = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    docs.join(firsts, Seq("h"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dups"),
+        (sum(col("is_dup")).cast("double") / count(lit(1)).cast("double"))
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_dup_stats"         -> (dupStats _),
     "dd_chunk_dedup"       -> (chunkDedup _),
     "dd_bloom_incremental" -> (bloomIncremental _),
     "dd_dup_groups"     -> (dupGroups _),
@@ -524,6 +545,19 @@ object LlmDedup extends QueryModule {
     s"CAST(('0x' || substring(md5('$seed:' || $e), 1, 8)) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "dd_dup_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents),
+        |firsts AS (SELECT h, MIN(doc_id) AS keep_id FROM docs GROUP BY h)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.doc_id <> f.keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dups,
+        |  CAST(SUM(CASE WHEN d.doc_id <> f.keep_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        |FROM docs d JOIN firsts f ON d.h = f.h
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
     "dd_chunk_dedup" ->
       s"""WITH toksT AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |ch AS (SELECT doc_id, i AS chunk_idx,

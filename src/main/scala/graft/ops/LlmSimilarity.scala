@@ -512,7 +512,52 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("pos"))
   }
 
+  /** Radius (range) search: every corpus vector within a cosine threshold
+    * of each query — the retrieval twin of top-k (top-k bounds count,
+    * range search bounds similarity). Exact baseline form: the 3-row query
+    * set broadcasts, the corpus side stays map-only, and the threshold
+    * comparison is on bit-identical scores (same sequential dot fold as
+    * the oracle), so the cut is deterministic. The scale path for large
+    * query sets is the LSH/IVF bucketing above — same contract, bucketed
+    * candidates instead of the full corpus. */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      sqrt(dotd(col("embedding"), col("embedding"))).as("c_norm"))
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("score",
+        dotd(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .filter(col("score") >= 0.1)
+      .select(col("q_id"), col("c_id"), col("score"))
+      .orderBy(col("q_id"), col("c_id"))
+  }
+
+  /** Per-vector symmetric int8 quantization (the 4× memory-reduction step
+    * before ANN at 100 TB: float32 → int8 codes + one scale per vector).
+    * Row-local and map-only: scale = max|x|, code = ⌊127·x/scale + 0.5⌋.
+    * floor(+0.5) is used instead of round() because Spark HALF_UP and
+    * DuckDB round-half-away disagree on negative halves; floor/×/÷ are all
+    * IEEE-exact so codes are bit-identical. Codes emit as a joined string
+    * (array hashing is driver-dialect-sensitive; the string is not). */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("scale") > 0)
+      .withColumn("codes", transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) / col("scale") + lit(0.5))
+          .cast("int").cast("string")))
+      .select(col("vec_id"), col("label"),
+        array_join(col("codes"), "|").as("codes"))
+      .orderBy(col("vec_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_range_search" -> (rangeSearch _),
+    "vec_quantize_int8" -> (quantizeInt8 _),
     "vec_pca_power"   -> (pcaPower _),
     "sim_pq_topk"     -> (pqTopK _),
     "dd_embed_neardup_ann" -> (embeddingNearDupAnn _),
@@ -801,5 +846,23 @@ object LlmSimilarity extends QueryModule {
          |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,
          |  len(embedding) AS dim
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sim_range_search" ->
+      s"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |  ${sqlCos("q.embedding", "c.embedding")} AS score
+         |FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |WHERE q.vec_id < 3
+         |  AND ${sqlCos("q.embedding", "c.embedding")} >= 0.1
+         |ORDER BY q_id, c_id""".stripMargin,
+    "vec_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, label,
+        |  array_to_string(list_transform(embedding,
+        |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+        |      AS INT) AS VARCHAR)), '|') AS codes
+        |FROM s WHERE scale > 0 ORDER BY vec_id""".stripMargin,
   )
 }

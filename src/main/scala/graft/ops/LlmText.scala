@@ -219,7 +219,84 @@ object LlmText extends QueryModule {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** Char-unigram entropy over [a-z] letters (Gopher-style quality signal —
+    * low-entropy docs are boilerplate/repetition): explode letters →
+    * per-(doc, char) counts → H = Σ (c/n)·ln(n/c), folded in char order so
+    * the float add order is deterministic (the DuckDB twin prepends the
+    * same 0.0 init and reduces over `list(term ORDER BY ch)` — identical op
+    * sequence). Spark's ln is StrictMath.log while DuckDB's is the libm
+    * intrinsic — they differ by 1 ulp on some inputs — so the sum is
+    * rounded to 6 decimals on both sides (round(double, k) is bit-portable:
+    * both engines produce the correctly-rounded double of the k-decimal
+    * value). The positive ln(n/c) form keeps every term ≥ +0.0, avoiding a
+    * -0.0 single-term hash mismatch. One shuffle on doc_id; per-group state
+    * is bounded by the 26-letter alphabet, so the plan carries to 100 TB. */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]"), lit(0)))
+          .as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_letters"),
+        count(lit(1)).as("n_distinct_letters"))
+    counts.join(totals, Seq("doc_id"))
+      .withColumn("term",
+        (col("c").cast("double") / col("n_letters").cast("double")) *
+          log(col("n_letters").cast("double") / col("c").cast("double")))
+      .groupBy(col("doc_id"), col("n_letters"), col("n_distinct_letters"))
+      .agg(max(col("c")).as("max_char_count"),
+        round(
+          aggregate(array_sort(collect_list(struct(col("ch"), col("term")))),
+            lit(0.0), (a, t) => a + t.getField("term")),
+          6).as("entropy_nats"))
+      .select(col("doc_id"), col("n_letters"), col("n_distinct_letters"),
+        col("max_char_count"), col("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Char-bigram language-model scoring (the CCNet-style "train a small LM
+    * on the corpus, rank docs by perplexity" quality filter, with the
+    * n-gram LM standing in for KenLM): bigram counts over the whole corpus
+    * → add-one-smoothed log-probs → per-doc mean log-prob. Low scores mark
+    * gibberish/outlier docs. The LM table is ≤ ~729 rows (27² bigrams over
+    * [a-z ]), so it broadcasts; corpus counting is one aggregation and
+    * per-doc scoring one doc_id shuffle — both linear, carries to 100 TB.
+    * Per-doc sums fold over ≤ 729 (bigram, term) pairs in bigram order
+    * (deterministic float order); ln differs from DuckDB's by ≤ 1 ulp →
+    * round(6) as in charEntropy. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val norm = Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""),
+          " +", " ").as("ntext"))
+      .filter(length(col("ntext")) >= 2)
+    val bi = norm.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, length(ntext) - 1), i -> substr(ntext, i, 2))"))
+        .as("bg"))
+    val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val lm = counts.crossJoin(tot)
+      .select(col("bg"),
+        log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double"))
+          .as("logp"))
+    val docBg = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("dc"))
+    docBg.join(broadcast(lm), Seq("bg"))
+      .withColumn("term", col("dc").cast("double") * col("logp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        round(
+          aggregate(array_sort(collect_list(struct(col("bg"), col("term")))),
+            lit(0.0), (a, t) => a + t.getField("term"))
+            / sum(col("dc")).cast("double"),
+          6).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (lmScore _),
+    "text_char_entropy" -> (charEntropy _),
     "text_quality_classifier" -> (qualityClassifier _),
     "pipeline_prep"    -> (prepPipeline _),
     "text_normalize"   -> (normalize _),
@@ -237,6 +314,55 @@ object LlmText extends QueryModule {
     s"len(list_filter($sqlToks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   override def oracleSql: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+        |      ' +', ' ', 'g') AS ntext
+        |  FROM documents),
+        |norm2 AS (SELECT * FROM norm WHERE length(ntext) >= 2),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, length(ntext) - 1),
+        |      i -> substr(ntext, i, 2))) AS bg
+        |  FROM norm2),
+        |counts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY bg),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM counts),
+        |lm AS (SELECT bg,
+        |    ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) AS logp
+        |  FROM counts CROSS JOIN tot),
+        |docbg AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS dc
+        |  FROM bi GROUP BY doc_id, bg)
+        |SELECT d.doc_id, CAST(SUM(d.dc) AS BIGINT) AS n_bigrams,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(d.dc AS DOUBLE) * l.logp ORDER BY d.bg)),
+        |      (a, x) -> a + x)
+        |    / CAST(SUM(d.dc) AS DOUBLE), 6) AS avg_logp
+        |FROM docbg d JOIN lm l ON d.bg = l.bg
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_char_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z]')) AS ch
+        |        FROM documents)
+        |  GROUP BY doc_id, ch),
+        |tot AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_letters,
+        |    COUNT(*) AS n_distinct_letters
+        |  FROM counts GROUP BY doc_id)
+        |SELECT c.doc_id, t.n_letters, t.n_distinct_letters,
+        |  MAX(c.c) AS max_char_count,
+        |  round(list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |      list((CAST(c.c AS DOUBLE) / CAST(t.n_letters AS DOUBLE))
+        |        * ln(CAST(t.n_letters AS DOUBLE) / CAST(c.c AS DOUBLE))
+        |        ORDER BY c.ch)),
+        |    (a, x) -> a + x), 6) AS entropy_nats
+        |FROM counts c JOIN tot t ON c.doc_id = t.doc_id
+        |GROUP BY c.doc_id, t.n_letters, t.n_distinct_letters
+        |ORDER BY c.doc_id""".stripMargin,
     "text_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id,
          |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 16 AS bucket

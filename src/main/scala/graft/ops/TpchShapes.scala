@@ -61,8 +61,8 @@ object TpchShapes extends QueryModule {
         |  JOIN customer c ON c.c_custkey = o.o_custkey
         |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+        |  WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |     OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) t
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
@@ -185,10 +185,13 @@ object TpchShapes extends QueryModule {
         |        AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
   }
 
-  /** Q22 shape — above-average balances with no orders: global-average
-    * scalar subquery (one broadcast row) + NOT EXISTS anti join; the
-    * country-code stand-in is `c_custkey % 7`. Balance math in integer
-    * cents; the threshold is one double division of exact BIGINTs. */
+  /** Q22 shape — above-average balances with no high-value orders:
+    * global-average scalar subquery (one broadcast row) + NOT EXISTS anti
+    * join; the country-code stand-in is `c_custkey % 7`. (Classic Q22 uses
+    * "no orders at all", which is empty on this fixture — every customer
+    * orders — so the anti-join predicate is price-scoped instead, the same
+    * 400k idiom as `sql_exists_shape`.) Balance math in integer cents; the
+    * threshold is one double division of exact BIGINTs. */
   def q22(s: SparkSession, d: String): DataFrame = {
     views(s, d, "customer", "orders")
     s.sql(
@@ -203,7 +206,7 @@ object TpchShapes extends QueryModule {
         |FROM c CROSS JOIN t
         |WHERE CAST(cents AS DOUBLE) > thr
         |  AND NOT EXISTS (SELECT 1 FROM orders o
-        |    WHERE o.o_custkey = c.c_custkey)
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin)
   }
@@ -245,8 +248,8 @@ object TpchShapes extends QueryModule {
         |  JOIN customer c ON c.c_custkey = o.o_custkey
         |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) t
+        |  WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |     OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')) t
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "sql_q8_shape" ->
@@ -342,7 +345,7 @@ object TpchShapes extends QueryModule {
         |FROM c CROSS JOIN t
         |WHERE CAST(cents AS DOUBLE) > thr
         |  AND NOT EXISTS (SELECT 1 FROM orders o
-        |    WHERE o.o_custkey = c.c_custkey)
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         |GROUP BY cntrycode
         |ORDER BY cntrycode""".stripMargin,
   )

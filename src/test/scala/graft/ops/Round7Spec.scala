@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the round-7 operators — invariants the DuckDB
+  * oracle can't express (it only pins equality of one run). */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("sql_q8_shape: market share is a valid fraction of the total") {
+    val rows = SparkEntry.queries("sql_q8_shape")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nation = r.getLong(1); val total = r.getLong(2); val share = r.getDouble(3)
+      assert(nation >= 0 && nation <= total)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - nation.toDouble / total.toDouble) == 0.0)
+    }
+  }
+
+  test("sql_q4_shape: per-priority counts bounded by orders in the window") {
+    val rows = SparkEntry.queries("sql_q4_shape")(spark, TestSpark.sf).collect()
+    val windowTotal = Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-07-01")).count()
+    assert(rows.map(_.getLong(1)).sum <= windowTotal)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("sql_q22_shape: only customers with no orders are counted") {
+    // numcust summed over codes == direct anti-join count above threshold
+    val rows = SparkEntry.queries("sql_q22_shape")(spark, TestSpark.sf).collect()
+    val c = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"))
+    val thr = c.filter(col("cents") > 0)
+      .agg((sum(col("cents")).cast("double") / count(lit(1))).as("thr"))
+    val expected = c.crossJoin(thr)
+      .filter(col("cents").cast("double") > col("thr"))
+      .join(Tables.orders(spark, TestSpark.sf)
+          .filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(rows.map(_.getLong(1)).sum == expected)
+  }
+
+  test("sql_q10_shape: top-20 uses TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("sql_q10_shape")(spark, TestSpark.sf)
+    assert(df.count() <= 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in plan:\n$plan")
+  }
+
+  test("text_char_entropy: bounds and degenerate cases") {
+    val rows = SparkEntry.queries("text_char_entropy")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val dist = r.getLong(2)
+      val maxC = r.getLong(3); val h = r.getDouble(4)
+      assert(dist >= 1 && dist <= 26)
+      assert(maxC >= 1 && maxC <= n)
+      assert(h >= 0.0 && h <= math.log(26.0) + 1e-12)
+      if (dist == 1) assert(h == 0.0)
+      else assert(h > 0.0)
+      // entropy of a distribution over `dist` symbols is at most ln(dist)
+      assert(h <= math.log(dist.toDouble) + 1e-12)
+    }
+  }
+
+  test("sim_range_search: exactly the pairs above threshold, no extras") {
+    val out = SparkEntry.queries("sim_range_search")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.values.foreach(s => assert(s >= 0.1))
+    // brute-force recompute: every (q < 3, c) pair above threshold is present
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    for (q <- e.keys.filter(_ < 3); c <- e.keys if c != q) {
+      val s = cos(e(q), e(c))
+      if (s >= 0.1 + 1e-9) assert(out.contains((q, c)), s"missing pair ($q,$c) score=$s")
+      if (s < 0.1 - 1e-9) assert(!out.contains((q, c)), s"extra pair ($q,$c) score=$s")
+    }
+  }
+
+  test("text_lm_score: all log-probs negative, gibberish scores lower") {
+    val rows = SparkEntry.queries("text_lm_score")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, "every doc has at least one bigram")
+      assert(r.getDouble(2) < 0.0, "smoothed bigram log-probs are < 0")
+      // mean log-prob over a 27^2 alphabet can never drop below ln of the
+      // floor probability 1/(n+v)
+      assert(r.getDouble(2) >= -25.0)
+    }
+  }
+
+  test("dd_dup_stats: rates consistent with dd_exact group sizes") {
+    val rows = SparkEntry.queries("dd_dup_stats")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val totalDocs = Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_._2).sum == totalDocs, "sources partition the corpus")
+    val totalDups = totalDocs -
+      SparkEntry.queries("dd_exact")(spark, TestSpark.sf).count()
+    assert(rows.map(_._3).sum == totalDups,
+      "per-source dups must sum to corpus dups (copies beyond group firsts)")
+    rows.foreach { case (_, n, dups, rate) =>
+      assert(dups <= n)
+      assert(rate == dups.toDouble / n.toDouble)
+    }
+  }
+
+  test("vec_quantize_int8: codes in [-127,127], scale element hits ±127") {
+    val rows = SparkEntry.queries("vec_quantize_int8")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val codes = r.getString(2).split('|').map(_.toInt)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // the max-|x| element quantizes to exactly ±127
+      assert(codes.exists(c => c == 127 || c == -127))
+    }
+  }
+}
