@@ -257,7 +257,43 @@ object Events extends QueryModule {
       .orderBy(col("user_id"), col("day_id"))
   }
 
+  /** A/B experiment readout: users split by `user_id % 2`, conversion per
+    * goal = "has an event of that type with value > 150", two-proportion
+    * pooled z-score per goal. Counting is exact-integer; the rates and the
+    * z statistic are a fixed dag of IEEE correctly-rounded double ops
+    * (÷, ×, −, sqrt) over those integers, written with identical
+    * association in the oracle — bit-identical without rounding. Per-goal
+    * distinct + two tiny aggregates (one broadcast) — scan-bound at
+    * 100 TB. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val conv = ev.filter(col("value") > 150)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("variant", col("user_id") % 2)
+    val goals = conv.groupBy(col("event_type"))
+      .agg(count(when(col("variant") === 0, 1)).as("conv_a"),
+        count(when(col("variant") === 1, 1)).as("conv_b"))
+    val pop = ev.select(col("user_id")).distinct()
+      .withColumn("variant", col("user_id") % 2)
+      .agg(count(when(col("variant") === 0, 1)).as("n_a"),
+        count(when(col("variant") === 1, 1)).as("n_b"))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt((pPool * (lit(1.0) - pPool)) *
+      ((lit(1.0) / col("n_a").cast("double")) +
+        (lit(1.0) / col("n_b").cast("double"))))
+    goals.crossJoin(broadcast(pop))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        pA.as("rate_a"), pB.as("rate_b"),
+        ((pB - pA) / se).as("z_score"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_test" -> (abTest _),
     "ev_cap_per_entity" -> (capPerEntity _),
     "ev_ewma"      -> (ewma _),
     "ev_anomaly"   -> (anomaly _),
@@ -274,6 +310,34 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_ab_test" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT event_type, user_id FROM events WHERE value > 150),
+        |goals AS (SELECT event_type,
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM conv GROUP BY event_type),
+        |pop AS (SELECT
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT)
+        |      AS n_b
+        |  FROM (SELECT DISTINCT user_id FROM events))
+        |SELECT event_type, n_a, n_b, conv_a, conv_b,
+        |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |  ((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      - (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+        |    / sqrt(((CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - (CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))))
+        |      * ((1.0 / CAST(n_a AS DOUBLE)) + (1.0 / CAST(n_b AS DOUBLE))))
+        |    AS z_score
+        |FROM goals CROSS JOIN pop
+        |ORDER BY event_type""".stripMargin,
     "ev_cap_per_entity" ->
       """WITH r AS (SELECT user_id, event_id,
         |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_id,

@@ -145,7 +145,53 @@ object PiiQueries extends QueryModule {
       .orderBy(col("c_custkey"))
   }
 
+  /** K-anonymity ENFORCEMENT (the action `pii_k_anonymity`'s audit asks
+    * for): a generalize-then-suppress ladder over the quasi-identifiers
+    * (nation, balance band, market segment) with k = 10. Level 1 keeps
+    * (nation, $1000 band, segment) when its group already has ≥ k members;
+    * undersized groups escalate to level 2 (region, $2000 band, segment)
+    * re-counted over the escalated rows only; still-undersized groups are
+    * fully suppressed ('*'). Deterministic — no noise — so the oracle
+    * reproduces it exactly. Plan: two broadcast dim joins + two keyed
+    * counts over progressively smaller remainders; nothing holds more than
+    * a group count, so it carries to 100 TB. */
+  def generalizeK(s: SparkSession, d: String): DataFrame = {
+    val k = 10
+    val cust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name"),
+        col("r_name"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band1"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("band2"))
+    val s1 = cust.groupBy(col("n_name"), col("band1"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz1"))
+    val j1 = cust.join(s1, Seq("n_name", "band1", "c_mktsegment"))
+    val lvl1 = j1.filter(col("sz1") >= k)
+      .select(col("c_custkey"), lit(1).as("gen_level"),
+        col("n_name").as("gen_geo"),
+        concat(lit("b1k_"), col("band1")).as("gen_bal"),
+        col("c_mktsegment").as("gen_segment"))
+    val rest = j1.filter(col("sz1") < k)
+    val s2 = rest.groupBy(col("r_name"), col("band2"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz2"))
+    val j2 = rest.join(s2, Seq("r_name", "band2", "c_mktsegment"))
+    val lvl2 = j2.filter(col("sz2") >= k)
+      .select(col("c_custkey"), lit(2).as("gen_level"),
+        col("r_name").as("gen_geo"),
+        concat(lit("b2k_"), col("band2")).as("gen_bal"),
+        col("c_mktsegment").as("gen_segment"))
+    val lvl3 = j2.filter(col("sz2") < k)
+      .select(col("c_custkey"), lit(3).as("gen_level"),
+        lit("*").as("gen_geo"), lit("*").as("gen_bal"),
+        lit("*").as("gen_segment"))
+    lvl1.unionByName(lvl2).unionByName(lvl3).orderBy(col("c_custkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_generalize" -> (generalizeK _),
     "pii_k_anonymity" -> (kAnonymity _),
     "pii_fpe_tokenize" -> (fpeTokenize _),
     "pii_text_scrub"  -> (textScrub _),
@@ -159,6 +205,34 @@ object PiiQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pii_generalize" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment, n_name, r_name,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band1,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band2
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |s1 AS (SELECT n_name, band1, c_mktsegment, COUNT(*) AS sz1
+        |  FROM cust GROUP BY n_name, band1, c_mktsegment),
+        |j1 AS (SELECT cust.*, s1.sz1 FROM cust
+        |  JOIN s1 USING (n_name, band1, c_mktsegment)),
+        |rest AS (SELECT * FROM j1 WHERE sz1 < 10),
+        |s2 AS (SELECT r_name, band2, c_mktsegment, COUNT(*) AS sz2
+        |  FROM rest GROUP BY r_name, band2, c_mktsegment),
+        |j2 AS (SELECT rest.*, s2.sz2 FROM rest
+        |  JOIN s2 USING (r_name, band2, c_mktsegment))
+        |SELECT c_custkey, 1 AS gen_level, n_name AS gen_geo,
+        |  'b1k_' || CAST(band1 AS VARCHAR) AS gen_bal,
+        |  c_mktsegment AS gen_segment
+        |FROM j1 WHERE sz1 >= 10
+        |UNION ALL
+        |SELECT c_custkey, 2, r_name, 'b2k_' || CAST(band2 AS VARCHAR),
+        |  c_mktsegment
+        |FROM j2 WHERE sz2 >= 10
+        |UNION ALL
+        |SELECT c_custkey, 3, '*', '*', '*' FROM j2 WHERE sz2 < 10
+        |ORDER BY c_custkey""".stripMargin,
     "pii_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_n,
         |  CAST(COUNT(DISTINCT CAST(floor(c_acctbal/1000.0) AS BIGINT)) AS BIGINT)

@@ -118,6 +118,40 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("pii_generalize: k-anonymity holds on every non-suppressed group") {
+    val rows = SparkEntry.queries("pii_generalize")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    val total = Tables.customer(spark, TestSpark.sf).count()
+    assert(rows.length == total, "exactly one row per customer")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // anonymity: every emitted level-1/2 quasi-identifier combo has >= k
+    rows.filter(_._2 != 3).groupBy(t => (t._2, t._3, t._4, t._5))
+      .foreach { case (key, members) =>
+        assert(members.length >= 10, s"group $key has ${members.length} < k")
+      }
+    rows.filter(_._2 == 3).foreach { case (_, _, g, b, s) =>
+      assert(g == "*" && b == "*" && s == "*", "level 3 must fully suppress")
+    }
+  }
+
+  test("ev_ab_test: valid rates, z sign matches the rate difference") {
+    val rows = SparkEntry.queries("ev_ab_test")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(1), r.getLong(2))
+      val (ca, cb) = (r.getLong(3), r.getLong(4))
+      val (ra, rb, z) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(na + nb == users)
+      assert(ca <= na && cb <= nb)
+      assert(ra >= 0.0 && ra <= 1.0 && rb >= 0.0 && rb <= 1.0)
+      assert(!z.isNaN && !z.isInfinite)
+      assert(math.signum(z) == math.signum(rb - ra))
+    }
+  }
+
   test("vec_quantize_int8: codes in [-127,127], scale element hits ±127") {
     val rows = SparkEntry.queries("vec_quantize_int8")(spark, TestSpark.sf)
       .collect()
