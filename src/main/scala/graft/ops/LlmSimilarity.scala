@@ -555,7 +555,40 @@ object LlmSimilarity extends QueryModule {
         array_join(col("codes"), "|").as("codes"))
       .orderBy(col("vec_id"))
 
+  /** k-NN graph construction (k=3) from multi-table LSH candidates — the
+    * precursor structure for NN-descent refinement, graph-based ANN
+    * serving, and density-based dedup clustering. Candidates are pairs
+    * sharing an SRP bucket in either band table (distinct union — same
+    * amplification as `dd_embed_neardup_ann`); each vector ranks only its
+    * candidates by exact cosine and keeps the top 3. Never all-pairs: cost
+    * is Σ|bucket|² per table, and bucket width (planes per table) is the
+    * knob that holds |bucket| bounded as the corpus grows. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sig = srpSignatures(s, d)
+    def tableJoin(bucket: String): DataFrame = {
+      val a = sig.select(col(bucket).as("bkt"), col("vec_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_norm"))
+      val b = sig.select(col(bucket).as("bkt"), col("vec_id").as("nb_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_norm"))
+      a.join(b, Seq("bkt"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .select(col("vec_id"), col("nb_id"),
+          (dotd(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+            .as("score"))
+    }
+    import org.apache.spark.sql.expressions.Window
+    val cand = tableJoin("bucket0").unionByName(tableJoin("bucket1")).distinct()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("nb_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("nb_id"), col("score"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> (knnGraph _),
     "sim_range_search" -> (rangeSearch _),
     "vec_quantize_int8" -> (quantizeInt8 _),
     "vec_pca_power"   -> (pcaPower _),
@@ -846,6 +879,28 @@ object LlmSimilarity extends QueryModule {
          |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,
          |  len(embedding) AS dim
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sim_knn_graph" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+         |    $sqlBucketT0 AS bucket0, $sqlBucketT1 AS bucket1
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+         |  FROM sig a JOIN sig b
+         |    ON a.bucket0 = b.bucket0 AND a.vec_id <> b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+         |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+         |  FROM sig a JOIN sig b
+         |    ON a.bucket1 = b.bucket1 AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, rank, nb_id, score FROM (
+         |  SELECT vec_id, nb_id, score,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, nb_id) AS rank
+         |  FROM cand) t
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "sim_range_search" ->
       s"""SELECT q.vec_id AS q_id, c.vec_id AS c_id,
          |  ${sqlCos("q.embedding", "c.embedding")} AS score

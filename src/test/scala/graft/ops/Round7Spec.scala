@@ -54,6 +54,22 @@ class Round7Spec extends AnyFunSuite {
       s"expected TakeOrderedAndProject in plan:\n$plan")
   }
 
+  test("TpchShapes decorrelation plans: semi/anti/broadcast as designed") {
+    def plan(q: String): String =
+      SparkEntry.queries(q)(spark, TestSpark.sf)
+        .queryExecution.executedPlan.toString
+    // Q4's EXISTS must decorrelate to a semi join (no per-row subquery)
+    assert(plan("sql_q4_shape").contains("LeftSemi"))
+    // Q22's NOT EXISTS must decorrelate to an anti join
+    assert(plan("sql_q22_shape").contains("LeftAnti"))
+    // Q8/Q14 dimension sides must broadcast, and nothing may cartesian
+    val p8 = plan("sql_q8_shape"); val p14 = plan("sql_q14_shape")
+    assert(p8.contains("BroadcastHashJoin"))
+    assert(p14.contains("BroadcastHashJoin"))
+    Seq(p8, p14).foreach(p =>
+      assert(!p.contains("CartesianProduct"), "no cartesian in Q8/Q14"))
+  }
+
   test("text_char_entropy: bounds and degenerate cases") {
     val rows = SparkEntry.queries("text_char_entropy")(spark, TestSpark.sf)
       .collect()
