@@ -134,6 +134,25 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_graph: ranks dense from 1, neighbors distinct, scores sorted") {
+    val rows = SparkEntry.queries("sim_knn_graph")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (v, nbs) =>
+      val sorted = nbs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to nbs.length),
+        s"ranks of $v must be dense from 1")
+      assert(nbs.length <= 3)
+      assert(nbs.map(_._3).distinct.length == nbs.length,
+        s"neighbors of $v must be distinct")
+      assert(!nbs.map(_._3).contains(v), "no self-loops")
+      // scores non-increasing in rank
+      sorted.map(_._4).toSeq.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1))
+      }
+    }
+  }
+
   test("pii_generalize: k-anonymity holds on every non-suppressed group") {
     val rows = SparkEntry.queries("pii_generalize")(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
