@@ -275,13 +275,15 @@ object LlmText extends QueryModule {
       explode(expr(
         "transform(sequence(1, length(ntext) - 1), i -> substr(ntext, i, 2))"))
         .as("bg"))
-    val counts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    // one explode feeds everything: corpus counts roll up from the per-doc
+    // partial counts instead of re-exploding the text
+    val docBg = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("dc"))
+    val counts = docBg.groupBy(col("bg")).agg(sum(col("dc")).as("c"))
     val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     val lm = counts.crossJoin(tot)
       .select(col("bg"),
         log((col("c") + 1).cast("double") / (col("n") + col("v")).cast("double"))
           .as("logp"))
-    val docBg = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("dc"))
     docBg.join(broadcast(lm), Seq("bg"))
       .withColumn("term", col("dc").cast("double") * col("logp"))
       .groupBy(col("doc_id"))

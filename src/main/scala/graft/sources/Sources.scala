@@ -142,7 +142,38 @@ object Sources extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** Whole-file ingestion via the `binaryFile` source — how image/audio/
+    * video corpora enter a pipeline before any decode (§2.11 multimodal):
+    * each file becomes one (path, modificationTime, length, content) row.
+    * Five payload files derive from the region table; each task writes its
+    * own row's file (`foreach` — executor-side content-addressed writes,
+    * the object-store put pattern; no driver collect), then binaryFile
+    * reads them back and the query emits (key, length, md5(content)). The
+    * oracle recomputes length/md5 from the source table, proving the
+    * file-level round-trip lossless. */
+  def binaryFiles(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("binfiles", d)
+    if (!Files.exists(Paths.get(dir, "_DONE"))) {
+      Files.createDirectories(Paths.get(dir))
+      Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+        .foreach { r =>
+          Files.write(Paths.get(dir, s"region_${r.getInt(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+          ()
+        }
+      Files.write(Paths.get(dir, "_DONE"), Array.emptyByteArray)
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+      .select(
+        regexp_extract(col("path"), "region_([0-9]+)\\.bin", 1)
+          .cast("int").as("r_regionkey"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("r_regionkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_binary_files" -> (binaryFiles _),
     "src_file_provenance" -> (fileProvenance _),
     "layout_zorder"      -> (zorderKey _),
     "src_xml_roundtrip"  -> (xmlRoundTrip _),
@@ -157,6 +188,10 @@ object Sources extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "src_binary_files" ->
+      """SELECT r_regionkey, CAST(length(r_name) AS BIGINT) AS length,
+        |  md5(r_name) AS content_md5
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "src_file_provenance" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
