@@ -337,7 +337,29 @@ object Scalars extends QueryModule {
         |ORDER BY part_value DESC, l_partkey""".stripMargin)
   }
 
+  /** URL parsing battery (`parse_url` — log/clickstream sanitation):
+    * URLs are constructed from part columns ('#' in brand names swapped
+    * out — it would start the fragment), then every component is parsed
+    * back out. The oracle reconstructs each component directly from the
+    * source columns, proving parse_url inverts the construction. Map-only. */
+  def urlFuncs(s: SparkSession, d: String): DataFrame = {
+    val brand = translate(col("p_brand"), "#", "_")
+    val url = concat(lit("https://shop.example.com/p/"), brand,
+      lit("?q="), col("p_partkey"), lit("&s="), col("p_size"), lit("#top"))
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      url.as("url"),
+      parse_url(url, lit("PROTOCOL")).as("protocol"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY")).as("query"),
+      parse_url(url, lit("QUERY"), lit("q")).as("q_param"),
+      parse_url(url, lit("REF")).as("fragment"))
+      .orderBy(col("p_partkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_url"     -> (urlFuncs _),
     "sql_q21_shape"  -> (sqlQ21Shape _),
     "sql_q11_shape"  -> (sqlQ11Shape _),
     "scalar_regex"   -> (regexFuncs _),
@@ -358,6 +380,19 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "scalar_url" ->
+      """SELECT p_partkey,
+        |  'https://shop.example.com/p/' || replace(p_brand, '#', '_')
+        |    || '?q=' || CAST(p_partkey AS VARCHAR)
+        |    || '&s=' || CAST(p_size AS VARCHAR) || '#top' AS url,
+        |  'https' AS protocol,
+        |  'shop.example.com' AS host,
+        |  '/p/' || replace(p_brand, '#', '_') AS path,
+        |  'q=' || CAST(p_partkey AS VARCHAR)
+        |    || '&s=' || CAST(p_size AS VARCHAR) AS query,
+        |  CAST(p_partkey AS VARCHAR) AS q_param,
+        |  'top' AS fragment
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "sql_q21_shape" ->
       """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
         |FROM supplier s

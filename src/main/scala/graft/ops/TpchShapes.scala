@@ -211,7 +211,29 @@ object TpchShapes extends QueryModule {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** EXISTS used as a VALUE (not a filter): segment × has-big-order
+    * counts. Catalyst plans the non-filtering EXISTS as an ExistenceJoin —
+    * a semi join that emits a boolean instead of dropping rows — the third
+    * decorrelation form after left-semi (Q4) and left-anti (Q22). One hash
+    * join + one aggregate; no per-row subquery. */
+  def existsFlag(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "customer", "orders")
+    s.sql(
+      """SELECT c_mktsegment,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |    THEN 1 ELSE 0 END AS has_big_order,
+        |  COUNT(*) AS n_customers
+        |FROM customer c
+        |GROUP BY c_mktsegment,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |    THEN 1 ELSE 0 END
+        |ORDER BY c_mktsegment, has_big_order""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_exists_flag" -> (existsFlag _),
     "sql_q4_shape"  -> (q4 _),
     "sql_q7_shape"  -> (q7 _),
     "sql_q8_shape"  -> (q8 _),
@@ -223,6 +245,18 @@ object TpchShapes extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_exists_flag" ->
+      """SELECT c_mktsegment,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |    THEN 1 ELSE 0 END AS has_big_order,
+        |  COUNT(*) AS n_customers
+        |FROM customer c
+        |GROUP BY c_mktsegment,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |    THEN 1 ELSE 0 END
+        |ORDER BY c_mktsegment, has_big_order""".stripMargin,
     "sql_q4_shape" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders o
