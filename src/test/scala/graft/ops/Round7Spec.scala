@@ -62,6 +62,8 @@ class Round7Spec extends AnyFunSuite {
     assert(plan("sql_q4_shape").contains("LeftSemi"))
     // Q22's NOT EXISTS must decorrelate to an anti join
     assert(plan("sql_q22_shape").contains("LeftAnti"))
+    // EXISTS-as-value must plan as an ExistenceJoin (boolean-emitting)
+    assert(plan("sql_exists_flag").contains("ExistenceJoin"))
     // Q8/Q14 dimension sides must broadcast, and nothing may cartesian
     val p8 = plan("sql_q8_shape"); val p14 = plan("sql_q14_shape")
     assert(p8.contains("BroadcastHashJoin"))
