@@ -172,7 +172,25 @@ object Sources extends QueryModule {
       .orderBy(col("r_regionkey"))
   }
 
+  /** Line-oriented `text` source round-trip (raw logs / plain-text
+    * corpora): each document row becomes one line, read back as `value`
+    * lines and verified content-addressed — md5 multiset equality via
+    * group counts, since the writer does not preserve row order. Line
+    * framing is lossless only for newline-free rows (true of the fixture;
+    * rows with embedded newlines belong on the json or binaryFile path). */
+  def textRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("text_docs", d)
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .groupBy(md5(col("value")).as("line_md5"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("line_md5"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_text_roundtrip" -> (textRoundTrip _),
     "src_binary_files" -> (binaryFiles _),
     "src_file_provenance" -> (fileProvenance _),
     "layout_zorder"      -> (zorderKey _),
@@ -188,6 +206,9 @@ object Sources extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "src_text_roundtrip" ->
+      """SELECT md5(text) AS line_md5, COUNT(*) AS n_lines
+        |FROM documents GROUP BY md5(text) ORDER BY line_md5""".stripMargin,
     "src_binary_files" ->
       """SELECT r_regionkey, CAST(length(r_name) AS BIGINT) AS length,
         |  md5(r_name) AS content_md5
