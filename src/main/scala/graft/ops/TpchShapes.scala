@@ -211,6 +211,212 @@ object TpchShapes extends QueryModule {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  /** Q2 shape — min-cost supplier. The fixture has no `partsupp`, so the
+    * part-supplier cost relation is derived from lineitem: unit price =
+    * min(extendedprice/quantity) in integer cents per (part, supplier) —
+    * same correlated-MIN-per-part decorrelation as classic Q2. The
+    * region-filtered cost CTE is referenced twice (outer join + correlated
+    * MIN); Catalyst decorrelates the scalar subquery into an aggregate
+    * joined on p_partkey, so the plan is two shuffles over the derived cost
+    * table, never a per-row subquery. */
+  def q2(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "part", "supplier", "lineitem", "nation", "region")
+    s.sql(tpchSql("sql_q2_shape"))
+  }
+
+  /** Q6 shape — forecasting revenue change: pure scan-filter-aggregate, no
+    * join. The three pushed predicates (date range, discount band, quantity
+    * cap) all reach the parquet scan; revenue in integer cents so the
+    * single-row sum is bit-exact. The simplest query in the set — and the
+    * one where pushdown matters most at 100 TB (row-group min/max skipping
+    * does almost all the work). */
+  def q6(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem")
+    s.sql(tpchSql("sql_q6_shape"))
+  }
+
+  /** Q9 shape — product-type profit by nation × year. No `partsupp`
+    * supplycost either, so cost is proxied as 10% of `p_retailprice` (in
+    * integer cents — the economics differ from stock Q9, the plan shape
+    * does not). lineitem shuffles once on each fact join key; part /
+    * supplier / nation broadcast; profit = revenue_cents − cost_cents is
+    * all-integer so SUM is add-order-free. */
+  def q9(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "lineitem", "supplier", "part", "orders", "nation")
+    s.sql(tpchSql("sql_q9_shape"))
+  }
+
+  /** Q12 shape — shipping-mode priority counts. The fixture has no
+    * l_shipmode/commitdate/receiptdate; l_linestatus stands in as the mode
+    * and `l_shipdate > o_orderdate` as the lateness ordering predicate.
+    * The CASE-count pivot (high/low priority per group) is the point of
+    * the shape: conditional aggregation after a fact-fact join, two output
+    * rows. */
+  def q12(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "orders", "lineitem")
+    s.sql(tpchSql("sql_q12_shape"))
+  }
+
+  /** Q13 shape — customer order-count distribution: LEFT OUTER join with
+    * the filter in the JOIN CONDITION (not WHERE — customers with zero
+    * qualifying orders must survive with c_count = 0), then a second
+    * aggregate over the first. Two shuffles: o_custkey, then c_count. */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "customer", "orders")
+    s.sql(tpchSql("sql_q13_shape"))
+  }
+
+  /** Q15 shape — top supplier by quarterly revenue: the revenue CTE is an
+    * aggregate view consumed twice (join + MAX scalar subquery). The MAX
+    * side collapses to one broadcast row; integer cents make the
+    * max-equality cut exact, so ties (if any) all surface — no
+    * LIMIT-by-float nondeterminism. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "supplier", "lineitem")
+    s.sql(tpchSql("sql_q15_shape"))
+  }
+
+  /** Q16 shape — supplier-count by part attribute with a NOT IN exclusion
+    * list. The part-supplier relation is the DISTINCT (l_partkey,
+    * l_suppkey) projection of lineitem (fixture has no partsupp). NOT IN
+    * over a non-nullable key plans as a null-aware anti join against a
+    * broadcast exclusion set; COUNT(DISTINCT) adds the usual two-phase
+    * expand — all linear in the pair table. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "part", "supplier", "lineitem")
+    s.sql(tpchSql("sql_q16_shape"))
+  }
+
+  /** Q20 shape — dominant-supplier selection: IN over a grouped subquery
+    * whose HAVING compares the group's own sum against a correlated
+    * per-part total (stock Q20's excess-stock predicate re-expressed
+    * without partsupp: "supplier ships > 12% of a part's volume").
+    * Catalyst decorrelates the HAVING scalar into a per-part aggregate
+    * joined back on l_partkey, and the IN becomes a left-semi hash join —
+    * three aggregates, zero per-row subqueries. Quantities are integral
+    * doubles, so both sums and the 0.12× threshold are bit-exact. */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    views(s, d, "supplier", "nation", "lineitem", "part")
+    s.sql(tpchSql("sql_q20_shape"))
+  }
+
+  /** The SQL for the round-7b shapes is engine-shared: every string below
+    * is valid and value-identical in BOTH Spark SQL and DuckDB (integer
+    * cents everywhere, no STRING/VARCHAR casts, shared function subset), so
+    * the oracle twin IS the query text. */
+  private def tpchSql(name: String): String = sharedSql(name)
+
+  private val sharedSql: Map[String, String] = Map(
+    "sql_q2_shape" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)
+        |      AS BIGINT)) AS unit_cents
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eu AS (
+        |  SELECT t.l_partkey, t.l_suppkey, t.unit_cents, s.s_name, n.n_name
+        |  FROM cost t
+        |  JOIN supplier s ON s.s_suppkey = t.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'EUROPE')
+        |SELECT p.p_partkey, p.p_name, e.s_name, e.n_name, e.unit_cents
+        |FROM part p
+        |JOIN eu e ON e.l_partkey = p.p_partkey
+        |WHERE p.p_size BETWEEN 1 AND 10
+        |  AND e.unit_cents = (SELECT MIN(e2.unit_cents) FROM eu e2
+        |    WHERE e2.l_partkey = p.p_partkey)
+        |ORDER BY e.unit_cents, p.p_partkey, e.s_name
+        |LIMIT 100""".stripMargin,
+    "sql_q6_shape" ->
+      """SELECT
+        |  CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "sql_q9_shape" ->
+      """SELECT nation, o_year,
+        |  CAST(SUM(amount_cents) AS BIGINT) AS profit_cents,
+        |  COUNT(*) AS n_lines
+        |FROM (
+        |  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |    CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+        |      AS BIGINT)
+        |      - CAST(floor(p.p_retailprice * 10.0 + 0.5) AS BIGINT)
+        |        * CAST(l.l_quantity AS BIGINT) AS amount_cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  WHERE p.p_name LIKE '%gear%') t
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "sql_q12_shape" ->
+      """SELECT l.l_linestatus,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate > o.o_orderdate
+        |GROUP BY l.l_linestatus
+        |ORDER BY l.l_linestatus""".stripMargin,
+    "sql_q13_shape" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "sql_q15_shape" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, r.total_cents
+        |FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "sql_q16_shape" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |  AND p.p_size IN (1, 5, 11, 15, 23, 28, 37, 42)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0.0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+    "sql_q20_shape" ->
+      """SELECT s.s_suppkey, s.s_name, n.n_name
+        |FROM supplier s
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT l.l_suppkey
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_name LIKE 'small%'
+        |  GROUP BY l.l_suppkey, l.l_partkey
+        |  HAVING SUM(l.l_quantity) > 0.12 * (
+        |    SELECT SUM(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s.s_suppkey""".stripMargin,
+  )
+
   /** EXISTS used as a VALUE (not a filter): segment × has-big-order
     * counts. Catalyst plans the non-filtering EXISTS as an ExistenceJoin —
     * a semi join that emits a boolean instead of dropping rows — the third
@@ -234,6 +440,14 @@ object TpchShapes extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists_flag" -> (existsFlag _),
+    "sql_q2_shape"  -> (q2 _),
+    "sql_q6_shape"  -> (q6 _),
+    "sql_q9_shape"  -> (q9 _),
+    "sql_q12_shape" -> (q12 _),
+    "sql_q13_shape" -> (q13 _),
+    "sql_q15_shape" -> (q15 _),
+    "sql_q16_shape" -> (q16 _),
+    "sql_q20_shape" -> (q20 _),
     "sql_q4_shape"  -> (q4 _),
     "sql_q7_shape"  -> (q7 _),
     "sql_q8_shape"  -> (q8 _),
@@ -244,7 +458,7 @@ object TpchShapes extends QueryModule {
     "sql_q22_shape" -> (q22 _),
   )
 
-  override def oracleSql: Map[String, String] = Map(
+  override def oracleSql: Map[String, String] = sharedSql ++ Map(
     "sql_exists_flag" ->
       """SELECT c_mktsegment,
         |  CASE WHEN EXISTS (SELECT 1 FROM orders o

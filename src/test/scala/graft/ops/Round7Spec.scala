@@ -72,6 +72,94 @@ class Round7Spec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), "no cartesian in Q8/Q14"))
   }
 
+  test("TPC-H shape coverage is complete: all 22 query shapes registered") {
+    val qs = SparkEntry.queries.keySet
+    // Q1 and Q3 carry their original flagship names; the rest are sql_qN.
+    assert(qs.contains("q1_pricing_summary") && qs.contains("q3_top_revenue"))
+    val rest = Seq(2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+      19, 20, 21, 22)
+    rest.foreach(n => assert(qs.contains(s"sql_q${n}_shape"), s"missing Q$n"))
+  }
+
+  test("sql_q13_shape: zero-order customers survive the left join") {
+    val rows = SparkEntry.queries("sql_q13_shape")(spark, TestSpark.sf).collect()
+    // every customer lands in exactly one c_count bucket
+    val nCustomers = Tables.customer(spark, TestSpark.sf).count()
+    assert(rows.map(_.getLong(1)).sum == nCustomers)
+  }
+
+  test("sql_q15_shape: winners carry exactly the global max revenue") {
+    val rows = SparkEntry.queries("sql_q15_shape")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100.0 + 0.5).cast("long")).as("cents"))
+    val maxCents = li.agg(max(col("cents"))).head().getLong(0)
+    rows.foreach(r => assert(r.getLong(2) == maxCents))
+  }
+
+  test("sql_q20_shape: IN-with-correlated-HAVING decorrelates to joins") {
+    val df = SparkEntry.queries("sql_q20_shape")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi in plan:\n$plan")
+    // each selected supplier really dominates some small-part's volume
+    val selected = df.collect().map(_.getLong(0)).toSet
+    assert(selected.nonEmpty)
+    val li = Tables.lineitem(spark, TestSpark.sf).join(
+      Tables.part(spark, TestSpark.sf).filter(col("p_name").startsWith("small")),
+      col("p_partkey") === col("l_partkey"))
+    val perPair = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("tot"))
+    val dominant = perPair.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("q") > col("tot") * 0.12)
+      .select(col("l_suppkey")).distinct().collect().map(_.getLong(0)).toSet
+    assert(selected == dominant)
+  }
+
+  test("sql_q6_shape: all three predicates reach the parquet scan") {
+    val df = SparkEntry.queries("sql_q6_shape")(spark, TestSpark.sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    // the scan's pushed-filter list must mention every predicate column
+    val scanLine = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(scanLine.contains(c), s"$c not pushed: $scanLine"))
+  }
+
+  test("text_classifier_train: GD reduces in-sample MSE below the w=0 loss") {
+    val w = SparkEntry.queries("text_classifier_train")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.nonEmpty && w.values.exists(_ != 0.0))
+    // rebuild the feature table the same way and score both models
+    val docs = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("lang"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 16)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val byDoc = docs.groupBy(_.getLong(0))
+    var mse0 = 0.0; var mseT = 0.0; var n = 0
+    byDoc.foreach { case (_, rows) =>
+      val tot = rows.map(_.getLong(3)).sum.toDouble
+      val y = if (rows.head.getString(1) == "en") 1.0 else 0.0
+      val pred = rows.map(r =>
+        r.getLong(3) / tot * w.getOrElse(r.getLong(2), 0.0)).sum
+      mse0 += y * y; mseT += (pred - y) * (pred - y); n += 1
+    }
+    assert(mseT / n < mse0 / n,
+      s"trained MSE ${mseT / n} not below baseline ${mse0 / n}")
+  }
+
   test("text_char_entropy: bounds and degenerate cases") {
     val rows = SparkEntry.queries("text_char_entropy")(spark, TestSpark.sf)
       .collect()
