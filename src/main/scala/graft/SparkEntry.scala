@@ -18,6 +18,7 @@ object SparkEntry {
     ops.SetOps,
     ops.Scalars,
     ops.TpchShapes,
+    ops.Recursive,
     ops.Events,
     ops.LlmText,
     ops.LlmSimilarity,

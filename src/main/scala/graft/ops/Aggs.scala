@@ -229,6 +229,27 @@ object Aggs extends QueryModule {
       .orderBy(col("o_custkey"))
   }
 
+  /** Bounded-state heap top-k per group via [[graft.functions.TopK3]] —
+    * identical results to the `row_number() <= 3` window form
+    * (`win_topk_per_group` — same oracle SQL), but the window shuffles
+    * EVERY order row to its customer's partition and sorts, while this
+    * aggregate's partial phase keeps at most k=3 rows per key per map
+    * task: shuffle volume k·|keys| instead of |rows|, and a hot key can
+    * never skew a sort partition. This is the top-k form that carries to
+    * 100 TB; plan-asserted window-free in Round8Spec. */
+  def topKHeap(s: SparkSession, d: String): DataFrame = {
+    val tk = udaf(graft.functions.TopK3,
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.TopKEntry]())
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(tk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rk"),
+        col("e.id").as("o_orderkey"), col("e.value").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
   /** Pivot: status × priority count matrix (explicit pivot values — at
     * scale never let pivot scan for distinct values). */
   def pivotStatusPriority(s: SparkSession, d: String): DataFrame =
@@ -413,6 +434,7 @@ object Aggs extends QueryModule {
     "agg_booleans"      -> (booleanAggs _),
     "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
+    "agg_topk_heap"     -> (topKHeap _),
     "agg_pivot"         -> (pivotStatusPriority _),
     "agg_unpivot"       -> (unpivotPartMetrics _),
     "agg_variance"      -> (varianceStats _),
@@ -548,6 +570,13 @@ object Aggs extends QueryModule {
         |      * CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sum_x2
         |  FROM orders GROUP BY o_orderstatus) t
         |ORDER BY o_orderstatus""".stripMargin,
+    "agg_topk_heap" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "agg_argmax_udaf" ->
       """SELECT o_custkey, o_orderkey AS best_order FROM (
         |  SELECT o_custkey, o_orderkey, row_number() OVER (

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QueryModule, Tables}
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.11).
@@ -587,7 +588,44 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** MMR-diversified retrieval: brute cosine top-20 per query (broadcast
+    * query set, map-only scoring — same shape as [[cosineTopK]]), then the
+    * greedy Maximal-Marginal-Relevance pick of 5 diverse results via the
+    * typed [[graft.functions.MmrAggregator]]. The aggregation group is the
+    * BOUNDED top-20 candidate list, never the corpus — per-group state is
+    * O(20·dim) at any scale, and the sequential greedy loop runs only over
+    * that bounded set (the same bounded-group contract as the rolling
+    * median / argmax aggregates). Rows-only: greedy MMR isn't reasonably
+    * SQL-expressible; pinned against an independent reference
+    * implementation in Round8Spec. */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") % 251 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      sqrt(dotd(col("embedding"), col("embedding"))).as("c_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("c_id"))
+    val mmr = udaf(graft.functions.MmrAggregator,
+      ExpressionEncoder[graft.functions.MmrCand]())
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("rel",
+        dotd(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .groupBy(col("q_id"))
+      .agg(mmr(col("c_id"), col("rel"), col("c_emb")).as("picks"))
+      .select(col("q_id"), explode(col("picks")).as("p"))
+      .select(col("q_id"), col("p.rank").as("rank"),
+        col("p.cand_id").as("cand_id"), col("p.mmr_score").as("mmr_score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mmr_rerank" -> (mmrRerank _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_range_search" -> (rangeSearch _),
     "vec_quantize_int8" -> (quantizeInt8 _),

@@ -296,7 +296,146 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Learned-filter TRAINING: batch gradient descent for a linear
+    * classifier over the same 16 hashed bag-of-words features
+    * [[qualityClassifier]] scores with (label y = 1 for English docs) —
+    * the fastText-style "train the quality model on the corpus itself"
+    * step. Three GD steps as a driver loop over lazy plans (the
+    * [[LlmSimilarity.kmeans]] idiom — nothing executes until the caller's
+    * action, no collect()): predict = per-doc bucket-ordered fold of
+    * x·w against the broadcast 16-row weight table; gradient = 2/n·Σ
+    * err·x per bucket, summed in exact DECIMAL so the update is
+    * add-order-free; n enters as a broadcast 1-row aggregate (never a
+    * driver-side count()). Every iteration is one corpus-feature join +
+    * two keyed aggs — linear, carries to 100 TB; the model is always 16
+    * rows. Rows-only (iterative training has no SQL twin); Round7Spec
+    * pins that the trained weights beat the zero model in-sample. */
+  def classifierTrain(s: SparkSession, d: String): DataFrame = {
+    val lr = 0.5
+    val buck = conv(substring(md5(col("tok")), 1, 8), 16, 10)
+      .cast("long") % 16
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"), buck.as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("tot"))
+    val x = counts.join(tot, "doc_id")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        col("bucket"), (col("c").cast("double") / col("tot")).as("x"))
+      .repartition(col("doc_id"))
+    val n = broadcast(x.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n")))
+    var w: DataFrame = s.range(16)
+      .select(col("id").as("bucket"), lit(0.0).as("wgt"))
+    for (_ <- 1 to 3) {
+      val pred = x.join(broadcast(w), "bucket")
+        .groupBy(col("doc_id"), col("y"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("bucket"), (col("x") * col("wgt")).as("t")))),
+          lit(0.0), (a, t) => a + t.getField("t")).as("pred"))
+      val err = pred.select(col("doc_id"), (col("pred") - col("y")).as("err"))
+      val grad = x.join(err, "doc_id").crossJoin(n)
+        .groupBy(col("bucket"))
+        .agg(sum((lit(2.0) * col("err") * col("x") / col("n"))
+          .cast("decimal(32,18)")).cast("string").cast("double").as("g"))
+      w = w.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (col("wgt") - lit(lr) * coalesce(col("g"), lit(0.0))).as("wgt"))
+        .repartition(col("bucket"))
+    }
+    w.orderBy(col("bucket"))
+  }
+
+  /** Single-round BPE pair statistics — the oracle-gated anchor for the
+    * trainer below: vocabulary (distinct word → corpus frequency, ONE
+    * corpus explode/groupBy — after this everything operates on the bounded
+    * vocab, never the corpus) → adjacent char-pair counts weighted by word
+    * frequency → top 30 (count desc, pair asc). This is exactly the pair
+    * count BPE round 1 maximizes. */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+      .orderBy(col("cnt").desc, col("pair"))
+  }
+
+  /** BPE merge-rule training (6 rounds) — the tokenizer-training step of a
+    * training-data pipeline, expressed as lazy iterative plans (the same
+    * driver-loop-over-lazy-plans idiom as [[LlmSimilarity.kmeans]] — no
+    * collect(), no eager job at plan-build time). Round r: count adjacent
+    * symbol pairs over the vocabulary weighted by word frequency, take the
+    * top pair (count desc, then lexicographic — fully deterministic), and
+    * apply the merge with a greedy left-to-right `aggregate` fold over each
+    * word's symbol array (the standard BPE merge order; `try_element_at`
+    * keeps the fold ANSI-safe on the empty accumulator). The 1-row top pair
+    * enters both the merge fold and the output via crossJoin(broadcast) —
+    * a scalar in the plan, not a driver value. Each round's vocabulary ends
+    * in a LAZY `localCheckpoint(eager=false)`: nothing runs at plan-build
+    * time, but on the caller's first action each round materializes once
+    * and every consumer (next round's fold + this round's pair counts +
+    * the merge-table union) reads the checkpoint instead of re-deriving
+    * the lineage — without it the plan tree doubles per round (measured
+    * 126 parquet scans and ~14 s of pure plan/codegen overhead for 6
+    * rounds; with it the final plan holds a single scan — asserted in
+    * Round8Spec). Checkpoint blocks are released by the harness's
+    * [[graft.CacheHygiene]] between queries.
+    *
+    * Scale: the corpus is touched once (vocab build); every round is a fold
+    * over the bounded vocabulary. Rows-only — multi-round merge recursion
+    * has no reasonable SQL twin; pinned against an independent plain-Scala
+    * BPE reference in Round8Spec, and round 1 is hash-anchored by
+    * [[bpePairs]]. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val rounds = 6
+    var vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+      .select(col("freq"), col("syms"))
+      .localCheckpoint(false)
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> named_struct('l', element_at(syms, i),
+            |                    'r', element_at(syms, i + 1)))""".stripMargin)).as("p"))
+        .select(col("freq"), col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).cast("long").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+      val step = top.withColumn("rank", lit(r))
+      merges = if (merges == null) step else merges.unionByName(step)
+      vocab = vocab.crossJoin(broadcast(top))
+        .withColumn("syms", expr(
+          """aggregate(syms, cast(array() as array<string>),
+            |  (acc, x) -> if(try_element_at(acc, -1) = l AND x = r,
+            |    concat(slice(acc, 1, size(acc) - 1), array(concat(l, r))),
+            |    concat(acc, array(x))))""".stripMargin))
+        .select(col("freq"), col("syms"))
+        .localCheckpoint(false)
+    }
+    merges
+      .select(col("rank"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_train" -> (classifierTrain _),
+    "text_bpe_pairs" -> (bpePairs _),
+    "text_bpe_merges" -> (bpeMerges _),
     "text_lm_score" -> (lmScore _),
     "text_char_entropy" -> (charEntropy _),
     "text_quality_classifier" -> (qualityClassifier _),
@@ -316,6 +455,18 @@ object LlmText extends QueryModule {
     s"len(list_filter($sqlToks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   override def oracleSql: Map[String, String] = Map(
+    // text_classifier_train: rows-only (iterative GD; see Scaladoc)
+    // text_bpe_merges: rows-only (multi-round merge recursion; see Scaladoc)
+    "text_bpe_pairs" ->
+      s"""WITH vocab AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest($sqlToks) AS w FROM documents) t
+         |  WHERE length(w) >= 2 GROUP BY w),
+         |pairs AS (
+         |  SELECT freq, unnest(list_transform(generate_series(1, length(w) - 1),
+         |    i -> substr(w, i, 2))) AS pair FROM vocab)
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "text_lm_score" ->
       """WITH norm AS (
         |  SELECT doc_id,

@@ -358,7 +358,32 @@ object Scalars extends QueryModule {
       .orderBy(col("p_partkey"))
   }
 
+  /** Spark-4 collation battery: UTF8_LCASE-collated grouping and equality
+    * over a deterministically mixed-case segment column (case-insensitive
+    * comparison as a TYPE property, not a lower() rewrite — Catalyst keeps
+    * pushdown/codegen, and at 100 TB the collated groupBy shuffles exactly
+    * like a binary one). The emitted key is re-cast to a plain binary
+    * string (lower-cased) so the output schema is collation-free and the
+    * DuckDB twin is the semantically equal lower() grouping. */
+  def collationFuncs(s: SparkSession, d: String): DataFrame = {
+    // title-case built from upper/substr (not initcap — DuckDB lacks it)
+    val seg = when(col("c_custkey") % 2 === 0,
+        concat(upper(expr("substr(c_mktsegment, 1, 1)")),
+          lower(expr("substr(c_mktsegment, 2)"))))
+      .otherwise(col("c_mktsegment"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), seg.as("seg"))
+      .groupBy(collate(col("seg"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("seg") === collate(lit("automobile"), "UTF8_LCASE"), 1)
+          .otherwise(0)).cast("long").as("n_auto_ci"))
+      .select(lower(col("k")).cast("string").as("segment"),
+        col("n"), col("n_auto_ci"))
+      .orderBy(col("segment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_collation" -> (collationFuncs _),
     "scalar_url"     -> (urlFuncs _),
     "sql_q21_shape"  -> (sqlQ21Shape _),
     "sql_q11_shape"  -> (sqlQ11Shape _),
@@ -380,6 +405,17 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "scalar_collation" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0
+        |      THEN upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+        |      ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT lower(seg) AS segment, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN lower(seg) = 'automobile' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_auto_ci
+        |FROM t GROUP BY lower(seg) ORDER BY segment""".stripMargin,
     "scalar_url" ->
       """SELECT p_partkey,
         |  'https://shop.example.com/p/' || replace(p_brand, '#', '_')
