@@ -229,6 +229,28 @@ object Aggs extends QueryModule {
       .orderBy(col("o_custkey"))
   }
 
+  /** Exact DISCRETE percentiles per group (ANSI `percentile_disc`: the
+    * smallest group element whose cume_dist ≥ p — an actual data value,
+    * never interpolated, so the emitted double is a raw passthrough and
+    * bit-exact across engines with no decimal routing). Computed as one
+    * cume_dist window + a min-over-threshold aggregate — no collect_list,
+    * per-row state O(1), one shuffle on the group key; the complement of
+    * [[quantiles]] (interpolated `percentile_cont` semantics). */
+  def percentileDisc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(when(col("cd") >= 0.25, col("o_totalprice"))).as("p25_disc"),
+        min(when(col("cd") >= 0.5, col("o_totalprice"))).as("p50_disc"),
+        min(when(col("cd") >= 0.9, col("o_totalprice"))).as("p90_disc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Bounded-state heap top-k per group via [[graft.functions.TopK3]] —
     * identical results to the `row_number() <= 3` window form
     * (`win_topk_per_group` — same oracle SQL), but the window shuffles
@@ -435,6 +457,7 @@ object Aggs extends QueryModule {
     "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
     "agg_topk_heap"     -> (topKHeap _),
+    "agg_percentile_disc" -> (percentileDisc _),
     "agg_pivot"         -> (pivotStatusPriority _),
     "agg_unpivot"       -> (unpivotPartMetrics _),
     "agg_variance"      -> (varianceStats _),
@@ -570,6 +593,18 @@ object Aggs extends QueryModule {
         |      * CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sum_x2
         |  FROM orders GROUP BY o_orderstatus) t
         |ORDER BY o_orderstatus""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  MIN(CASE WHEN cd >= 0.25 THEN o_totalprice END) AS p25_disc,
+        |  MIN(CASE WHEN cd >= 0.5 THEN o_totalprice END) AS p50_disc,
+        |  MIN(CASE WHEN cd >= 0.9 THEN o_totalprice END) AS p90_disc,
+        |  COUNT(*) AS n
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice) AS cd
+        |  FROM orders) t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_topk_heap" ->
       """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -245,6 +245,39 @@ object Joins extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-direction as-of join (pandas `merge_asof(direction='nearest')`
+    * parity — completes the backward [[asofJoin]] / forward
+    * [[asofForwardJoin]] trio): each click matched to the closest purchase
+    * within ±24 h, ties toward the earlier (backward) purchase. Both
+    * directional candidates come from RANGE frames over the SAME
+    * (user_id, us) window ordering, so Catalyst evaluates them in one
+    * Window operator over one user_id exchange — never a join, never a
+    * pair explosion, identical shuffle shape at any scale. */
+  def asofNearestJoin(s: SparkSession, d: String): DataFrame = {
+    val day = 86400000000L
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-day, 0L)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(0L, day)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_p",
+        max(when(col("event_type") === "purchase", col("us"))).over(wB))
+      .withColumn("next_p",
+        min(when(col("event_type") === "purchase", col("us"))).over(wF))
+      .filter(col("event_type") === "click")
+      .withColumn("nearest_us",
+        when(col("prev_p").isNull, col("next_p"))
+          .when(col("next_p").isNull, col("prev_p"))
+          .when(col("us") - col("prev_p") <= col("next_p") - col("us"),
+            col("prev_p"))
+          .otherwise(col("next_p")))
+      .select(col("event_id"), col("us"), col("prev_p"), col("next_p"),
+        col("nearest_us"), (col("nearest_us") - col("us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Interval-overlap PAIR COUNTING by sweep line — the scale-safe form of
     * an interval×interval self-join. Intervals are each user's daily active
     * span [first event, last event]; the question is "how many user pairs
@@ -284,6 +317,7 @@ object Joins extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_interval_overlap" -> (intervalOverlap _),
     "join_asof_fwd"        -> (asofForwardJoin _),
+    "join_asof_nearest"    -> (asofNearestJoin _),
     "join_fuzzy_name"      -> (fuzzyNameJoin _),
     "join_asof_native"     -> (asofJoinNative _),
     "join_salted_skew"     -> (saltedSkewJoin _),
@@ -327,6 +361,27 @@ object Joins extends QueryModule {
         |        RANGE BETWEEN CURRENT ROW AND 86400000000 FOLLOWING)
         |      AS next_purchase_us
         |  FROM events) t
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT event_id, us, prev_p, next_p,
+        |  CASE WHEN prev_p IS NULL THEN next_p
+        |       WHEN next_p IS NULL THEN prev_p
+        |       WHEN us - prev_p <= next_p - us THEN prev_p
+        |       ELSE next_p END AS nearest_us,
+        |  CASE WHEN prev_p IS NULL THEN next_p
+        |       WHEN next_p IS NULL THEN prev_p
+        |       WHEN us - prev_p <= next_p - us THEN prev_p
+        |       ELSE next_p END - us AS gap_us
+        |FROM (
+        |  SELECT event_id, event_type, us,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |        RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS prev_p,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |        RANGE BETWEEN CURRENT ROW AND 86400000000 FOLLOWING) AS next_p
+        |  FROM (SELECT event_id, event_type, user_id, epoch_us(ts) AS us
+        |        FROM events) e) t
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
     "join_fuzzy_name" ->
       """WITH p AS (

@@ -144,6 +144,41 @@ class Round8Spec extends AnyFunSuite {
     assert(auto.getLong(2) == auto.getLong(1))
   }
 
+  test("join_asof_nearest: nearest is whichever directional candidate is closer") {
+    val rows = SparkEntry.queries("join_asof_nearest")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val us = r.getLong(1)
+      val prev = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val next = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val nearest = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val expected = (prev, next) match {
+        case (None, n) => n
+        case (p, None) => p
+        case (Some(p), Some(n)) => Some(if (us - p <= n - us) p else n)
+      }
+      assert(nearest == expected)
+      prev.foreach(p => assert(p <= us && us - p <= 86400000000L))
+      next.foreach(n => assert(n >= us && n - us <= 86400000000L))
+    }
+  }
+
+  test("agg_percentile_disc: every percentile is an actual group value at the right rank") {
+    val rows = SparkEntry.queries("agg_percentile_disc")(spark, TestSpark.sf).collect()
+    val groups = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(rows.length == groups.size)
+    rows.foreach { r =>
+      val vs = groups(r.getString(0)); val n = vs.length
+      assert(r.getLong(4) == n)
+      for ((p, i) <- Seq(0.25 -> 1, 0.5 -> 2, 0.9 -> 3)) {
+        val want = vs(math.ceil(p * n).toInt - 1) // smallest v with cume_dist >= p
+        assert(r.getDouble(i) == want, s"${r.getString(0)} p=$p")
+      }
+    }
+  }
+
   test("sim_mmr_rerank: 5 distinct picks per query; rank 1 is the relevance argmax") {
     val rows = SparkEntry.queries("sim_mmr_rerank")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
