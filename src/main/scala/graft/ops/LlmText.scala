@@ -262,9 +262,12 @@ object LlmText extends QueryModule {
     * gibberish/outlier docs. The LM table is ≤ ~729 rows (27² bigrams over
     * [a-z ]), so it broadcasts; corpus counting is one aggregation and
     * per-doc scoring one doc_id shuffle — both linear, carries to 100 TB.
-    * Per-doc sums fold over ≤ 729 (bigram, term) pairs in bigram order
-    * (deterministic float order); ln differs from DuckDB's by ≤ 1 ulp →
-    * round(6) as in charEntropy. */
+    * Per-doc sums go through exact DECIMAL(38,18) (add-order-free AND
+    * partial-aggregation-friendly — measured 2× vs the earlier
+    * collect_list sorted fold, which built and sorted ≤ 729 structs per
+    * doc); the double→decimal(38,18) rounding of each term is identical
+    * on both engines (nearest, non-tie), and ln's ≤ 1-ulp StrictMath vs
+    * libm gap is absorbed by round(6) as in charEntropy. */
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val norm = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -289,8 +292,7 @@ object LlmText extends QueryModule {
       .groupBy(col("doc_id"))
       .agg(sum(col("dc")).as("n_bigrams"),
         round(
-          aggregate(array_sort(collect_list(struct(col("bg"), col("term")))),
-            lit(0.0), (a, t) => a + t.getField("term"))
+          sum(col("term").cast("decimal(38,18)")).cast("string").cast("double")
             / sum(col("dc")).cast("double"),
           6).as("avg_logp"))
       .orderBy(col("doc_id"))
@@ -487,9 +489,8 @@ object LlmText extends QueryModule {
         |docbg AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS dc
         |  FROM bi GROUP BY doc_id, bg)
         |SELECT d.doc_id, CAST(SUM(d.dc) AS BIGINT) AS n_bigrams,
-        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(CAST(d.dc AS DOUBLE) * l.logp ORDER BY d.bg)),
-        |      (a, x) -> a + x)
+        |  round(CAST(CAST(SUM(CAST(CAST(d.dc AS DOUBLE) * l.logp
+        |        AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
         |    / CAST(SUM(d.dc) AS DOUBLE), 6) AS avg_logp
         |FROM docbg d JOIN lm l ON d.bg = l.bg
         |GROUP BY d.doc_id
