@@ -250,9 +250,10 @@ object Joins extends QueryModule {
     * [[asofForwardJoin]] trio): each click matched to the closest purchase
     * within ±24 h, ties toward the earlier (backward) purchase. Both
     * directional candidates come from RANGE frames over the SAME
-    * (user_id, us) window ordering, so Catalyst evaluates them in one
-    * Window operator over one user_id exchange — never a join, never a
-    * pair explosion, identical shuffle shape at any scale. */
+    * (user_id, us) window ordering, so both Window operators share ONE
+    * user_id exchange (no re-shuffle between the frames; plan-asserted) —
+    * never a join, never a pair explosion, identical shuffle shape at any
+    * scale. */
   def asofNearestJoin(s: SparkSession, d: String): DataFrame = {
     val day = 86400000000L
     val wB = Window.partitionBy(col("user_id")).orderBy(col("us"))

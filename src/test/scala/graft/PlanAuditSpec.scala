@@ -220,6 +220,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"in-neighbor folds must be aggregates, not windows:\n$p")
   }
 
+  test("sql_recursive_series: UnionLoop spine joins the pre-aggregated daily " +
+    "side as a broadcast — the fact table never shuffles for the join") {
+    val p = plan("sql_recursive_series")
+    assert(p.contains("UnionLoop"), s"recursive CTE must plan as UnionLoop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"daily aggregate must broadcast against the spine:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join expected:\n$p")
+  }
+
+  test("join_asof_nearest: both directional frames share one user_id exchange") {
+    val p = plan("join_asof_nearest")
+    val hashEx = "hashpartitioning".r.findAllMatchIn(p).size
+    assert(hashEx == 1,
+      s"backward+forward frames must reuse a single hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"nearest as-of must not plan a join:\n$p")
+  }
+
+  test("agg_percentile_disc: the groupBy reuses the window's partitioning — one hash exchange total") {
+    val p = plan("agg_percentile_disc")
+    val hashEx = "hashpartitioning".r.findAllMatchIn(p).size
+    assert(hashEx == 1,
+      s"cume_dist window and the min-over-threshold agg share one exchange, got $hashEx:\n$p")
+    assert(!p.contains("collect_list"), s"discrete percentile must not collect:\n$p")
+  }
+
   test("text_quality_classifier: the collect_list fold is bounded by the " +
     "16-bucket key, and the weight table never materializes as a join") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
