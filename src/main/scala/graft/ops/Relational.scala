@@ -273,6 +273,43 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Incremental JOIN maintenance (insert-only IVM — the join twin of
+    * [[incrementalAgg]]): with appends ΔA to orders and ΔB to customer,
+    * the new join state is maintained as
+    * Q_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB — three delta joins whose
+    * inputs are only the new rows (plus one old-side probe each), never a
+    * re-join of the full tables. At 100 TB this is the difference between
+    * touching a day's increment and recomputing the fact⋈dim join from
+    * scratch; deletions/updates need retraction counting and are served by
+    * the latest-wins [[cdcApply]] instead. The registered query emits a
+    * per-segment summary OF THE INCREMENTALLY-MAINTAINED union, and the
+    * oracle recomputes the same summary from the full join — the gate
+    * proves the delta algebra equals the recompute. Splits are
+    * deterministic: orders before/after 1996-07-01, customers by key mod
+    * 7 (late-arriving dimension rows). */
+  def incrementalJoin(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1996-07-01").cast("date")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val aOld = o.filter(col("o_orderdate").cast("date") < cut)
+    val aNew = o.filter(col("o_orderdate").cast("date") >= cut)
+    val bOld = c.filter(col("c_custkey") % 7 =!= 0)
+    val bNew = c.filter(col("c_custkey") % 7 === 0)
+    def j(a: DataFrame, b: DataFrame) =
+      a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+    val qNew = j(aOld, bOld)            // Q_old (materialized state)
+      .unionByName(j(aNew, bOld))       // ΔA ⋈ B_old
+      .unionByName(j(aOld, bNew))       // A_old ⋈ ΔB
+      .unionByName(j(aNew, bNew))       // ΔA ⋈ ΔB
+    qNew.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("long").as("cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Snapshot reconciliation (table diff): compare two versions of a table
     * by primary key and classify every key as added / removed / changed,
     * with the exact set of changed columns. Both snapshots derive
@@ -386,6 +423,7 @@ object Relational extends QueryModule {
     "rel_checksums"      -> (tableChecksums _),
     "rel_skew_report"    -> (skewReport _),
     "rel_incr_agg"       -> (incrementalAgg _),
+    "rel_incr_join"      -> (incrementalJoin _),
   )
 
   private def profileSqlFor(c: String): String =
@@ -535,6 +573,12 @@ object Relational extends QueryModule {
         |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
         |FROM events GROUP BY user_id
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "rel_incr_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "rel_incr_agg" ->
       """SELECT user_id, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)

@@ -359,6 +359,68 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming bounded top-k state via transformWithState matches the " +
+    "batch heap aggregate") {
+    // The streaming twin of agg_topk_heap: per-user top-3 events by value
+    // held as a k-bounded ValueState, REUSING TopK3.reduce — the same
+    // aggregator object drives the batch ObjectHashAggregate and the
+    // streaming state transition, so the two paths cannot drift. State
+    // emissions are cumulative; every element of the final top-3 appears
+    // in some emission (an entry only leaves state when dominated by 3
+    // forever-better ones), so distinct-emissions → top-3 reproduces the
+    // final state under ANY micro-batching.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import graft.functions.{TopK3, TopKEntry}
+    class TopKProcessor extends StatefulProcessor[Long, (Long, Double, Long), (Long, Double, Long)] {
+      @transient private var st: ValueState[Seq[TopKEntry]] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Seq[TopKEntry]]("top",
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKEntry]](),
+          TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double, Long)],
+          timers: TimerValues): Iterator[(Long, Double, Long)] = {
+        val prev = if (st.exists()) st.get() else TopK3.zero
+        val merged = rows.foldLeft(prev)((b, r) => TopK3.reduce(b, TopKEntry(r._2, r._3)))
+        st.update(merged)
+        merged.iterator.map(e => (key, e.value, e.id))
+      }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val top = streamEvents()
+        .select($"user_id", $"value", $"event_id").as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TopKProcessor, TimeMode.None(), OutputMode.Update())
+      val q = top.toDF("user_id", "value", "event_id")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("topk_stream_out").start()
+      q.processAllAvailable(); q.stop()
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+      val streamed = spark.table("topk_stream_out").distinct()
+        .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"user_id", $"rk", $"event_id", $"value")
+      val tk = udaf(TopK3,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKEntry]())
+      val batch = Tables.events(spark, TestSpark.sf)
+        .groupBy($"user_id").agg(tk($"value", $"event_id").as("top"))
+        .select($"user_id", posexplode($"top").as(Seq("pos", "e")))
+        .select($"user_id", ($"pos" + 1).cast("int").as("rk"),
+          $"e.id".as("event_id"), $"e.value".as("value"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streaming top-k state must equal the batch heap aggregate")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog once; checkpoint restart is a no-op") {
     import org.apache.spark.sql.streaming.Trigger
     val out = java.nio.file.Files.createTempDirectory("avnow_out").toString
