@@ -624,7 +624,45 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Matryoshka / adaptive-dimension retrieval: rank the corpus by a
+    * 16-dim PREFIX dot product first (MRL embeddings front-load
+    * information, so the prefix is a cheap usable score — and at 100 TB
+    * the stage-1 scan reads 1/4 of the vector bytes; with dimension-
+    * sliced storage, only the prefix columns), keep the top-20, then
+    * rerank ONLY those 20 with the full 64-dim cosine for the final
+    * top-5. Same broadcast-query/map-only shape as [[cosineTopK]]; the
+    * stage-2 window is over 20 rows per query. Both stages' folds are
+    * sequential and shared with the oracle, so scores are bit-exact. */
+  def matryoshkaTopK(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") % 211 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        slice(col("embedding"), 1, 16).as("q_pre"),
+        sqrt(dotd(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      slice(col("embedding"), 1, 16).as("c_pre"),
+      sqrt(dotd(col("embedding"), col("embedding"))).as("c_norm"))
+    val w1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("pre_score").desc, col("c_id"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .withColumn("pre_score", dotd(col("q_pre"), col("c_pre")))
+      .withColumn("pre_rank", row_number().over(w1))
+      .filter(col("pre_rank") <= 20)
+      .withColumn("score",
+        dotd(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("pre_rank"),
+        col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_topk" -> (matryoshkaTopK _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_range_search" -> (rangeSearch _),
@@ -835,6 +873,24 @@ object LlmSimilarity extends QueryModule {
          |  FROM probes p JOIN assign a ON p.cell = a.cell
          |  WHERE p.q_id <> a.c_id) t
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+    "sim_matryoshka_topk" -> {
+      val preDot = "list_reduce(list_transform(generate_series(1, 16), " +
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), " +
+        "(acc, x) -> acc + x)"
+      s"""SELECT q_id, rank, c_id, pre_rank, score FROM (
+         |  SELECT q_id, c_id, pre_rank, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, c_id) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      ${sqlCos("q.embedding", "c.embedding")} AS score,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY $preDot DESC, c.vec_id) AS pre_rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 211 = 0) s
+         |  WHERE pre_rank <= 20) t
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
     "sim_cosine_topk" ->
       s"""SELECT q_id, rank, c_id, score FROM (

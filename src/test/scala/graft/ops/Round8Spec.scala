@@ -144,6 +144,32 @@ class Round8Spec extends AnyFunSuite {
     assert(auto.getLong(2) == auto.getLong(1))
   }
 
+  test("SQL-defined scalar UDF (CREATE FUNCTION ... RETURN) inlines into the plan") {
+    // Spark 4 SQL UDFs resolve by substituting the body into the query
+    // (Analyzer.ResolveSQLFunctions) — declarative reuse with ZERO runtime
+    // cost: the plan below must contain no UDF call, just the folded
+    // expression, so codegen and pushdown are identical to writing the
+    // expression inline.
+    Tables.lineitem(spark, TestSpark.sf).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        |RETURNS DOUBLE RETURN p * (1.0 - d)""".stripMargin)
+    val viaUdf = spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+        |    AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    val direct = Tables.lineitem(spark, TestSpark.sf)
+      .withColumn("x", (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("x")).cast("string").cast("double").as("rev"))
+      .orderBy(col("l_returnflag"))
+    assert(viaUdf.collect().toSeq.map(_.toSeq) == direct.collect().toSeq.map(_.toSeq))
+    assert(!viaUdf.queryExecution.executedPlan.toString.contains("UDF"),
+      "SQL UDF must inline, not execute as an opaque call")
+  }
+
   test("join_asof_nearest: nearest is whichever directional candidate is closer") {
     val rows = SparkEntry.queries("join_asof_nearest")(spark, TestSpark.sf).collect()
     assert(rows.nonEmpty)
@@ -176,6 +202,35 @@ class Round8Spec extends AnyFunSuite {
         val want = vs(math.ceil(p * n).toInt - 1) // smallest v with cume_dist >= p
         assert(r.getDouble(i) == want, s"${r.getString(0)} p=$p")
       }
+    }
+  }
+
+  test("MmrAggregator / TopK3 edge cases: groups smaller than k, exact ties") {
+    import graft.functions._
+    // MMR: group smaller than k -> emits only what exists; rel tie -> id asc
+    val tiny = Seq(MmrCand(7, 0.9, Seq(1f, 0f)), MmrCand(3, 0.9, Seq(0f, 1f)))
+    val picks = MmrAggregator.finish(tiny)
+    assert(picks.length == 2)
+    assert(picks.head.cand_id == 3)
+    // TopK: value tie -> id asc, regardless of merge order
+    val a = TopK3.reduce(TopK3.zero, TopKEntry(5.0, 9))
+    val b = TopK3.reduce(TopK3.zero, TopKEntry(5.0, 2))
+    assert(TopK3.merge(a, b) == Seq(TopKEntry(5.0, 2), TopKEntry(5.0, 9)))
+    assert(TopK3.merge(b, a) == Seq(TopKEntry(5.0, 2), TopKEntry(5.0, 9)))
+    // k-cap holds under any arrival order
+    val many = (1 to 5).map(i => TopKEntry(i.toDouble, i.toLong))
+    val buf = many.foldLeft(TopK3.zero)(TopK3.reduce)
+    assert(buf == Seq(TopKEntry(5.0, 5), TopKEntry(4.0, 4), TopKEntry(3.0, 3)))
+  }
+
+  test("sim_matryoshka_topk: stage-2 survivors all come from the stage-1 prefix top-20") {
+    val rows = SparkEntry.queries("sim_matryoshka_topk")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, picks) =>
+      assert(picks.length == 5)
+      assert(picks.forall(_.getInt(3) <= 20)) // pre_rank within stage-1 cut
+      val scores = picks.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
     }
   }
 
