@@ -102,6 +102,30 @@ object Corpus extends QueryModule {
         explode(transform(sequence(lit(1), size(col("toks")) - 7),
           i => array_join(slice(col("toks"), i, lit(8)), " "))).as("sh"))
 
+  /** Length-bucketed batch packing — the batching-efficiency step of a
+    * training pipeline: within each lang, docs sort by token count and
+    * fill fixed-size batches of 8, so sequences in a batch have similar
+    * lengths and padding (to the batch max) is minimized. Emits per-batch
+    * stats including `pad_waste` = 8·max − sum, the tokens a padded batch
+    * burns — the number this op exists to shrink vs random batching. One
+    * rank window per lang (same partitioning note as [[packSequences]]:
+    * at extreme scale the key becomes (lang, length-band) with the offset
+    * algebra; the per-lang form is the oracle-provable baseline). Integer
+    * arithmetic end-to-end. */
+  def lengthBatches(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("batch_id", expr("(row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) - 1) div 8"))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .withColumn("pad_waste",
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).cast("long"))
+      .orderBy(col("lang"), col("batch_id"))
+  }
+
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val bench = sh.filter(col("doc_id") % 53 === 0).select(col("sh")).distinct()
@@ -413,6 +437,7 @@ object Corpus extends QueryModule {
     "pipeline_corpus"     -> (corpusBuild _),
     "corpus_split"        -> (hashSplit _),
     "corpus_pack"         -> (packSequences _),
+    "corpus_length_batches" -> (lengthBatches _),
     "corpus_source_quota" -> (sourceQuota _),
     "corpus_global_ids"   -> (globalIds _),
     "corpus_interleave"   -> (interleave _),
@@ -596,6 +621,18 @@ object Corpus extends QueryModule {
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  MAX(cum) AS budget_used
          |FROM c WHERE cum <= 2000 GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_length_batches" ->
+      s"""SELECT lang, batch_id, COUNT(*) AS n_docs,
+         |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+         |FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    (row_number() OVER (PARTITION BY lang
+         |       ORDER BY n_tokens, doc_id) - 1) // 8 AS batch_id
+         |  FROM (SELECT doc_id, lang, len($sqlToks) AS n_tokens
+         |        FROM documents) u) t
+         |GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin,
     "corpus_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, len($sqlToks) AS n_tokens FROM documents),

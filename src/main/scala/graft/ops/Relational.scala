@@ -273,6 +273,42 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Foreign-key candidate discovery (schema profiling): for each proposed
+    * child→parent column pair, the containment ratio — the fraction of the
+    * child's DISTINCT values present in the parent key set. True FKs score
+    * 1.0; the deliberately wrong pair (o_orderkey→c_custkey) scores low,
+    * showing the discriminator works. Each pair is one distinct on the
+    * child (partial-agg shuffle at |distinct| volume, never |rows|) and a
+    * left-anti join against the parent keys; counts are exact integers and
+    * the ratio one IEEE division — bit-portable. This is the profiling
+    * pass that recovers join keys on an undocumented lake. */
+  def fkDiscovery(s: SparkSession, d: String): DataFrame = {
+    def pair(name: String, child: DataFrame, childCol: String,
+        parent: DataFrame, parentCol: String): DataFrame = {
+      val cd = child.select(col(childCol).cast("long").as("v")).distinct()
+      val pd = parent.select(col(parentCol).cast("long").as("v")).distinct()
+      val missing = cd.join(pd, Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      cd.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(missing)
+        .select(lit(name).as("candidate"), col("n_child_distinct"),
+          col("n_missing"),
+          ((col("n_child_distinct") - col("n_missing")).cast("double")
+            / col("n_child_distinct").cast("double")).as("containment"))
+    }
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    pair("l_orderkey->o_orderkey", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(pair("l_partkey->p_partkey", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .unionByName(pair("l_suppkey->s_suppkey", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(pair("o_custkey->c_custkey", o, "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionByName(pair("o_orderkey->c_custkey", o, "o_orderkey",
+        Tables.customer(s, d), "c_custkey"))
+      .orderBy(col("candidate"))
+  }
+
   /** Incremental JOIN maintenance (insert-only IVM — the join twin of
     * [[incrementalAgg]]): with appends ΔA to orders and ΔB to customer,
     * the new join state is maintained as
@@ -424,6 +460,7 @@ object Relational extends QueryModule {
     "rel_skew_report"    -> (skewReport _),
     "rel_incr_agg"       -> (incrementalAgg _),
     "rel_incr_join"      -> (incrementalJoin _),
+    "rel_fk_discovery"   -> (fkDiscovery _),
   )
 
   private def profileSqlFor(c: String): String =
@@ -573,6 +610,23 @@ object Relational extends QueryModule {
         |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
         |FROM events GROUP BY user_id
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "rel_fk_discovery" ->
+      (Seq(
+        ("l_orderkey->o_orderkey", "l_orderkey", "lineitem", "o_orderkey", "orders"),
+        ("l_partkey->p_partkey", "l_partkey", "lineitem", "p_partkey", "part"),
+        ("l_suppkey->s_suppkey", "l_suppkey", "lineitem", "s_suppkey", "supplier"),
+        ("o_custkey->c_custkey", "o_custkey", "orders", "c_custkey", "customer"),
+        ("o_orderkey->c_custkey", "o_orderkey", "orders", "c_custkey", "customer"))
+        .map { case (name, cc, ct, pc, pt) =>
+          s"""SELECT '$name' AS candidate, n_child_distinct, n_missing,
+             |  CAST(n_child_distinct - n_missing AS DOUBLE)
+             |    / CAST(n_child_distinct AS DOUBLE) AS containment
+             |FROM (
+             |  SELECT COUNT(*) AS n_child_distinct,
+             |    CAST(SUM(CASE WHEN v NOT IN (SELECT $pc FROM $pt)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+             |  FROM (SELECT DISTINCT $cc AS v FROM $ct) c) t""".stripMargin }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")),
     "rel_incr_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
