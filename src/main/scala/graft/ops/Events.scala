@@ -292,7 +292,63 @@ object Events extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Last-touch revenue attribution: each purchase's value is credited to
+    * the channel (= event type) of the user's latest preceding
+    * non-purchase event within 24 h. The preceding signal is recovered
+    * with the as-of union trick ([[Joins.asofJoin]] shape): one backward
+    * RANGE frame carrying max of a zero-padded "us|channel" string —
+    * string max ≡ (us, channel) lexicographic max on both engines, so the
+    * tie rule (same-µs signals → lexicographically larger channel) is
+    * explicit and portable. One user_id shuffle, then a tiny channel
+    * aggregate; revenue summed in integer cents. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0L)
+    val tagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"), us.as("us"))
+      .withColumn("sig",
+        when(col("event_type") =!= "purchase",
+          concat(lpad(col("us").cast("string"), 20, "0"), lit("|"),
+            col("event_type"))))
+      .withColumn("last_sig", max(col("sig")).over(wB))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        coalesce(expr("split_part(last_sig, '|', 2)"), lit("none")))
+    tagged.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("long")
+          .as("revenue_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Longest daily activity streak per user — the gaps-and-islands
+    * pattern: distinct active days, island id = day_no − row_number
+    * (consecutive days share it), longest island per user. Integer-only,
+    * one user_id shuffle for the ordering window, bounded per-key state.
+    * Top-25 streaks (length desc, user asc) keep the output stable. */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_no"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_no"))
+      .distinct()
+      .withColumn("island", col("day_no") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_days"),
+        min(col("day_no")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("streak_days"), col("start_day"))).as("best"))
+      .select(col("user_id"), col("best.streak_days").as("streak_days"),
+        col("best.start_day").as("start_day"))
+      .orderBy(col("streak_days").desc, col("user_id"))
+      .limit(25)
+      .orderBy(col("streak_days").desc, col("user_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_attribution" -> (attribution _),
+    "ev_streaks" -> (streaks _),
     "ev_ab_test" -> (abTest _),
     "ev_cap_per_entity" -> (capPerEntity _),
     "ev_ewma"      -> (ewma _),
@@ -310,6 +366,47 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_attribution" ->
+      """SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM (
+        |  -- DuckDB split_part(NULL, ...) yields '' (not NULL) — test the
+        |  -- source expression, not the split result
+        |  SELECT CASE WHEN last_sig IS NULL THEN 'none'
+        |              ELSE split_part(last_sig, '|', 2) END AS channel,
+        |    value
+        |  FROM (
+        |    SELECT user_id, event_type, value, us,
+        |      MAX(CASE WHEN event_type <> 'purchase'
+        |        THEN lpad(CAST(us AS VARCHAR), 20, '0') || '|' || event_type
+        |        END) OVER (PARTITION BY user_id ORDER BY us
+        |          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |        AS last_sig
+        |    FROM (SELECT user_id, event_type, value, epoch_us(ts) AS us
+        |          FROM events) e) t
+        |  WHERE event_type = 'purchase') p
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+    "ev_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_no
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day_no,
+        |    day_no - row_number() OVER (PARTITION BY user_id ORDER BY day_no)
+        |      AS island
+        |  FROM days),
+        |st AS (
+        |  SELECT user_id, island, COUNT(*) AS streak_days,
+        |    MIN(day_no) AS start_day
+        |  FROM isl GROUP BY user_id, island),
+        |best AS (
+        |  SELECT user_id, streak_days, start_day,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY streak_days DESC, start_day DESC) AS rk
+        |  FROM st)
+        |SELECT user_id, streak_days, start_day FROM best WHERE rk = 1
+        |ORDER BY streak_days DESC, user_id LIMIT 25""".stripMargin,
     "ev_ab_test" ->
       """WITH conv AS (
         |  SELECT DISTINCT event_type, user_id FROM events WHERE value > 150),
