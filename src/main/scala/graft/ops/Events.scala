@@ -47,6 +47,24 @@ object Events extends QueryModule {
       .select(col("user_id"), col("first_us"), col("last_us"), col("n_events"))
       .orderBy(col("user_id"), col("first_us"))
 
+  /** DYNAMIC-gap session windows (Spark 4 `session_window(ts, gapExpr)`):
+    * engagement events (click/view) time out after 30 min, everything else
+    * after 1 h — per-event gap, so sessions are unions of overlapping
+    * [ts, ts+gap) intervals. The oracle reproduces the merge with a
+    * running MAX(us+gap) over preceding rows (ends are NOT monotone under
+    * per-event gaps, so the fixed-gap lag() trick is insufficient — this
+    * is the general interval-union sessionization). Same one-shuffle
+    * gaps-and-islands scale shape as [[sessions]]. */
+  def sessionsDynamic(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"),
+        when(col("event_type").isin("click", "view"), "30 minutes")
+          .otherwise("1 hour")).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("first_us"),
+        unix_micros(col("w.end")).as("session_end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("first_us"))
+
   /** Deterministic dedup: first event per (user, type) by (ts, event_id) —
     * the oracle-safe form of dropDuplicates (which keeps an arbitrary row). */
   def dedupFirstPerKey(s: SparkSession, d: String): DataFrame = {
@@ -361,6 +379,7 @@ object Events extends QueryModule {
     "ev_tumbling"  -> (tumbling _),
     "ev_sliding"   -> (sliding _),
     "ev_sessions"  -> (sessions _),
+    "ev_sessions_dynamic" -> (sessionsDynamic _),
     "ev_dedup"     -> (dedupFirstPerKey _),
     "ev_daily_funnel" -> (dailyFunnel _),
   )
@@ -568,6 +587,32 @@ object Events extends QueryModule {
         |WHERE epoch_us(ts) < ((epoch_us(ts) // 900000000) * 900000000
         |    - k * 900000000 + 3600000000)
         |GROUP BY 1 ORDER BY window_start_us""".stripMargin,
+    "ev_sessions_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type IN ('click', 'view')
+        |      THEN 1800000000 ELSE 3600000000 END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, us, gap,
+        |    MAX(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, event_id, us, gap,
+        |    CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, us, gap,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(us) AS first_us,
+        |  CAST(MAX(us + gap) AS BIGINT) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, first_us""".stripMargin,
     "ev_sessions" ->
       """WITH gaps AS (
         |  SELECT user_id, ts,

@@ -382,7 +382,21 @@ object Scalars extends QueryModule {
       .orderBy(col("segment"))
   }
 
+  /** SQL PIVOT clause (parser-level pivot — the SQL twin of the
+    * DataFrame-API `agg_pivot`): order counts per priority × status.
+    * Explicit IN values as always (never let pivot scan for distincts at
+    * scale); empty cells are NULL in Spark's pivot, so the oracle wraps
+    * its CASE-counts in NULLIF(.., 0). */
+  def sqlPivot(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_pivot" -> (sqlPivot _),
     "scalar_collation" -> (collationFuncs _),
     "scalar_url"     -> (urlFuncs _),
     "sql_q21_shape"  -> (sqlQ21Shape _),
@@ -405,6 +419,16 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_pivot" ->
+      """SELECT o_orderpriority,
+        |  NULLIF(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0)
+        |    AS st_o,
+        |  NULLIF(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
+        |    AS st_f,
+        |  NULLIF(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0)
+        |    AS st_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "scalar_collation" ->
       """WITH t AS (
         |  SELECT c_custkey,
