@@ -102,6 +102,39 @@ object Corpus extends QueryModule {
         explode(transform(sequence(lit(1), size(col("toks")) - 7),
           i => array_join(slice(col("toks"), i, lit(8)), " "))).as("sh"))
 
+  /** Mixture upsampling with FRACTIONAL epoch weights (the "repeat
+    * underrepresented sources 2.3×" step of corpus mixing): every doc
+    * appears floor(w) times, plus one more iff its md5-uniform falls under
+    * frac(w) — deterministic, shard-stable, no RNG state (the same
+    * md5-rank idiom as [[hashSplit]]). The repeat is a genuine map-only
+    * `explode(sequence(1, n))` — linear output, no shuffle until the
+    * summary aggregate; weights ≥ 1 keep n ≥ 1 (Spark's sequence(1, 0)
+    * would descend, SURVEY §5.3 hazard). The fractional parts used
+    * (.0/.5) are binary-exact, so the u < frac(w) cut is bit-identical
+    * across engines. */
+  def epochRepeat(s: SparkSession, d: String): DataFrame = {
+    val w = when(col("lang") === "en", 1.0)
+      .when(col("lang") === "zh", 2.5)
+      .when(col("lang") === "fr", 1.5)
+      .when(col("lang") === "es", 2.0)
+      .otherwise(3.0)
+    val u = md5bucket(concat(lit("rep:"), col("doc_id").cast("string")), 1000)
+      .cast("double") / 1000.0
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), w.as("w"), u.as("u"))
+      .withColumn("n",
+        floor(col("w")).cast("long") +
+          when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n"))).as("copy_id"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"))
+      .withColumn("realized_epochs",
+        col("n_copies").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("lang"))
+  }
+
   /** Length-bucketed batch packing — the batching-efficiency step of a
     * training pipeline: within each lang, docs sort by token count and
     * fill fixed-size batches of 8, so sequences in a batch have similar
@@ -438,6 +471,7 @@ object Corpus extends QueryModule {
     "corpus_split"        -> (hashSplit _),
     "corpus_pack"         -> (packSequences _),
     "corpus_length_batches" -> (lengthBatches _),
+    "corpus_epoch_repeat" -> (epochRepeat _),
     "corpus_source_quota" -> (sourceQuota _),
     "corpus_global_ids"   -> (globalIds _),
     "corpus_interleave"   -> (interleave _),
@@ -621,6 +655,38 @@ object Corpus extends QueryModule {
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  MAX(cum) AS budget_used
          |FROM c WHERE cum <= 2000 GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_epoch_repeat" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5
+        |      WHEN 'fr' THEN 1.5 WHEN 'es' THEN 2.0 ELSE 3.0 END AS w,
+        |    CAST(CAST(('0x' || substring(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS u
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(w) AS BIGINT)
+        |      + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n
+        |  FROM r)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_copies,
+        |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS realized_epochs
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_epoch_repeat" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5
+        |      WHEN 'fr' THEN 1.5 WHEN 'es' THEN 2.0 ELSE 3.0 END AS w,
+        |    CAST(CAST(('0x' || substring(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS u
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(w) AS BIGINT)
+        |      + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n
+        |  FROM r)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_copies,
+        |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS realized_epochs
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_length_batches" ->
       s"""SELECT lang, batch_id, COUNT(*) AS n_docs,
          |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,

@@ -273,6 +273,27 @@ object Relational extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** Period-over-period reporting: monthly order revenue with
+    * month-over-month growth. Cents are exact integers, so prev-month
+    * revenue is carried by a lag window over the TINY monthly aggregate
+    * (|months| rows — the window runs after the reduction, never on the
+    * fact table) and growth is one IEEE division of exact integers —
+    * bit-portable with no decimal scaffolding. */
+  def momGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("month"))
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("long").as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("mom_growth",
+        (col("cents").cast("double") / col("prev_cents").cast("double"))
+          - 1.0)
+      .orderBy(col("month"))
+  }
+
   /** Foreign-key candidate discovery (schema profiling): for each proposed
     * child→parent column pair, the containment ratio — the fraction of the
     * child's DISTINCT values present in the parent key set. True FKs score
@@ -461,6 +482,7 @@ object Relational extends QueryModule {
     "rel_incr_agg"       -> (incrementalAgg _),
     "rel_incr_join"      -> (incrementalJoin _),
     "rel_fk_discovery"   -> (fkDiscovery _),
+    "rel_mom_growth"     -> (momGrowth _),
   )
 
   private def profileSqlFor(c: String): String =
@@ -610,6 +632,19 @@ object Relational extends QueryModule {
         |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS share
         |FROM events GROUP BY user_id
         |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "rel_mom_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month, n_orders, cents,
+        |  lag(cents, 1) OVER (ORDER BY month) AS prev_cents,
+        |  (CAST(cents AS DOUBLE)
+        |    / CAST(lag(cents, 1) OVER (ORDER BY month) AS DOUBLE)) - 1.0
+        |    AS mom_growth
+        |FROM m ORDER BY month""".stripMargin,
     "rel_fk_discovery" ->
       (Seq(
         ("l_orderkey->o_orderkey", "l_orderkey", "lineitem", "o_orderkey", "orders"),
