@@ -190,7 +190,34 @@ object PiiQueries extends QueryModule {
     lvl1.unionByName(lvl2).unionByName(lvl3).orderBy(col("c_custkey"))
   }
 
+  /** Differentially-private count release (ε = 1 Laplace mechanism, the
+    * noisy-histogram publication step after k-anonymity): per-segment
+    * customer counts plus Laplace(1/ε) noise derived from a SEEDED
+    * md5-uniform via the inverse CDF — deterministic and reproducible
+    * across runs/engines (real DP deployments would use a fresh RNG; the
+    * seeded form keeps the release auditable and the oracle exact). The
+    * noise dag is u → −sign(u−½)·b·ln(1−2|u−½|); ln is the one
+    * transcendental, so the released value rounds to 6 dp on both engines
+    * (the repo's standard StrictMath-vs-libm absorption). Counts reduce
+    * BEFORE noise — the noisy projection touches |segments| rows. */
+  def dpCounts(s: SparkSession, d: String): DataFrame = {
+    val eps = 1.0
+    val u = (conv(substring(md5(concat(lit("dp:"), col("c_mktsegment"))), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("u", u)
+      .withColumn("noise",
+        round(-signum(col("u") - 0.5) * lit(1.0 / eps) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6))
+      .select(col("c_mktsegment"), col("true_n"),
+        col("noise"), round(col("true_n") + col("noise"), 6).as("released_n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_dp_counts" -> (dpCounts _),
     "pii_generalize" -> (generalizeK _),
     "pii_k_anonymity" -> (kAnonymity _),
     "pii_fpe_tokenize" -> (fpeTokenize _),
@@ -205,6 +232,19 @@ object PiiQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pii_dp_counts" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment, COUNT(*) AS true_n,
+        |    (CAST(CAST(('0x' || substring(md5('dp:' || c_mktsegment), 1, 8))
+        |       AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, true_n,
+        |  round(-sign(u - 0.5) * 1.0 * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+        |    AS noise,
+        |  round(true_n
+        |    + round(-sign(u - 0.5) * 1.0 * ln(1.0 - 2.0 * abs(u - 0.5)), 6),
+        |    6) AS released_n
+        |FROM t ORDER BY c_mktsegment""".stripMargin,
     "pii_generalize" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_mktsegment, n_name, r_name,
