@@ -395,7 +395,22 @@ object Scalars extends QueryModule {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** SQL UNPIVOT clause (parser twin of the DataFrame `agg_unpivot` melt):
+    * wide part metrics → long (metric, val) rows. Spark's UNPIVOT excludes
+    * NULL values by default — both source columns are non-null here, and
+    * the oracle's UNION ALL form makes the equivalence explicit. */
+  def sqlUnpivot(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+        |    p_retailprice AS price FROM part)
+        |UNPIVOT (val FOR metric IN (size, price))
+        |ORDER BY p_partkey, metric""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_unpivot" -> (sqlUnpivot _),
     "sql_pivot" -> (sqlPivot _),
     "scalar_collation" -> (collationFuncs _),
     "scalar_url"     -> (urlFuncs _),
@@ -419,6 +434,12 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price' AS metric, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "sql_pivot" ->
       """SELECT o_orderpriority,
         |  NULLIF(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0)
