@@ -42,6 +42,31 @@ object LlmDedup extends QueryModule {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_doc_id"))
 
+  /** Policy-pluggable dedup representative: keep the HIGHEST-QUALITY copy
+    * of each duplicate group instead of the arbitrary min-id ([[exact]]'s
+    * policy) — the curation rule real pipelines want ("when a doc appears
+    * on three domains, keep the longest/cleanest capture"). Quality here
+    * is (token count desc, then min doc_id) — any scoring column drops in
+    * without changing the plan: one window over the content-hash
+    * partition, same single shuffle as keep-min. Emits only groups with a
+    * real choice (n_copies > 1) plus the decision delta. */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_md5"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        size(toks(col("text"))).as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("content_md5"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+        min(when(col("rn") === 1, col("n_tokens"))).as("keep_tokens"),
+        min(col("doc_id")).as("min_id_policy_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("content_md5"))
+  }
+
   /** MinHash signatures (16 md5-based hash functions over 3-gram shingles)
     * + 4 banded LSH keys of 4 rows each — the per-doc map-only stage of
     * near-dup detection, fully oracle-checkable. */
@@ -530,6 +555,7 @@ object LlmDedup extends QueryModule {
     "dd_clusters"       -> (clusterComponents _),
     "dd_lsh_clusters"   -> (lshClusters _),
     "dd_exact"          -> (exact _),
+    "dd_keep_best"      -> (keepBest _),
     "dd_minhash_sig"    -> (minhashSignatures _),
     "dd_minhash_pairs"  -> (minhashCandidatePairs _),
     "dd_simhash"        -> (simhash _),
@@ -704,6 +730,21 @@ object LlmDedup extends QueryModule {
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
     },
+    "dd_keep_best" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(text) AS content_md5, len($sqlToks) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, content_md5, n_tokens,
+         |    row_number() OVER (PARTITION BY content_md5
+         |      ORDER BY n_tokens DESC, doc_id) AS rn
+         |  FROM t)
+         |SELECT content_md5, COUNT(*) AS n_copies,
+         |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+         |  MIN(CASE WHEN rn = 1 THEN n_tokens END) AS keep_tokens,
+         |  MIN(doc_id) AS min_id_policy_doc
+         |FROM r GROUP BY content_md5 HAVING COUNT(*) > 1
+         |ORDER BY content_md5""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
         |  COUNT(*) AS n_copies
