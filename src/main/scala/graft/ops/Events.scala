@@ -106,6 +106,42 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Linear-interpolation resampling — the smooth twin of [[gapfill]]'s
+    * forward fill: missing hours on the (event_type × hour) grid take
+    * prev + (next − prev)·(h − ph)/(nh − ph) between the surrounding
+    * observed hourly means. The bracket values come from two IGNORE-NULLS
+    * windows over the grid (|types|×|hours| rows — event volume only hits
+    * the hourly aggregate), and the interpolation is pure IEEE arithmetic
+    * on engine-identical inputs (hour indexes are exact integers, hourly
+    * means exact-decimal), so no rounding is needed. Ends beyond the
+    * observed bracket stay NULL — interpolation, not extrapolation. */
+  def interpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("h"), col("value"))
+    val hourly = ev.groupBy(col("h")).agg(davg(col("value")).as("v"))
+    val hours = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val wB = Window.orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hours.join(hourly, Seq("h"), "left")
+      .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wB))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wF))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+      .select(col("h"), col("v").as("observed"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("ph").isNotNull && col("nh").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("h") - col("ph")).cast("double")
+                / (col("nh") - col("ph")).cast("double")))
+          .as("v_interp"))
+      .orderBy(col("h"))
+  }
+
   /** Z-score anomaly detection per event type: flag events whose value sits
     * more than 2.5σ from the type mean. Moments are exact-decimal sums
     * (add-order-independent), so μ/σ are bit-identical across engines and
@@ -367,6 +403,7 @@ object Events extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_attribution" -> (attribution _),
     "ev_streaks" -> (streaks _),
+    "ev_interpolate" -> (interpolate _),
     "ev_ab_test" -> (abTest _),
     "ev_cap_per_entity" -> (capPerEntity _),
     "ev_ewma"      -> (ewma _),
@@ -385,6 +422,38 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_interpolate" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |hourly AS (
+        |  SELECT h, CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) / COUNT(value) AS v
+        |  FROM ev GROUP BY h),
+        |hours AS (
+        |  SELECT unnest(generate_series((SELECT MIN(h) FROM ev),
+        |    (SELECT MAX(h) FROM ev))) AS h),
+        |g AS (SELECT hours.h, hourly.v FROM hours LEFT JOIN hourly USING (h)),
+        |b AS (
+        |  SELECT h, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wb AS ph,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wf AS nh,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv
+        |  FROM g
+        |  WINDOW wb AS (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT h, v AS observed,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN ph IS NOT NULL AND nh IS NOT NULL
+        |         THEN pv + (nv - pv)
+        |           * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        |  END AS v_interp
+        |FROM b ORDER BY h""".stripMargin,
     "ev_attribution" ->
       """SELECT channel, COUNT(*) AS n_purchases,
         |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
