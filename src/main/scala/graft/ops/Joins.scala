@@ -245,6 +245,27 @@ object Joins extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** NULL-safe equality as a JOIN key (`<=>` / IS NOT DISTINCT FROM):
+    * both sides derive a nullable bucket (NULLIF(key % 97, 0)), aggregate
+    * per bucket FIRST (the join then touches ≤ 98 rows per side at any
+    * scale), and join with `<=>` so the NULL buckets match each other —
+    * the semantics an ordinary equi join silently drops. Catalyst treats
+    * EqualNullSafe as a hash-join key (plan stays a broadcast/hash join,
+    * never a nested loop). Output ordered NULLS FIRST explicitly — Spark
+    * and DuckDB disagree on default null order. */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d)
+      .select(expr("nullif(o_custkey % 97, 0)").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+    val b = Tables.customer(s, d)
+      .select(expr("nullif(c_custkey % 97, 0)").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_customers"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("n_orders"), col("n_customers"),
+        (col("n_orders") * col("n_customers")).as("n_pairs"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   /** Nearest-direction as-of join (pandas `merge_asof(direction='nearest')`
     * parity — completes the backward [[asofJoin]] / forward
     * [[asofForwardJoin]] trio): each click matched to the closest purchase
@@ -319,6 +340,7 @@ object Joins extends QueryModule {
     "join_interval_overlap" -> (intervalOverlap _),
     "join_asof_fwd"        -> (asofForwardJoin _),
     "join_asof_nearest"    -> (asofNearestJoin _),
+    "join_null_safe"       -> (nullSafeJoin _),
     "join_fuzzy_name"      -> (fuzzyNameJoin _),
     "join_asof_native"     -> (asofJoinNative _),
     "join_salted_skew"     -> (saltedSkewJoin _),
@@ -363,6 +385,17 @@ object Joins extends QueryModule {
         |      AS next_purchase_us
         |  FROM events) t
         |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+    "join_null_safe" ->
+      """WITH a AS (
+        |  SELECT nullif(o_custkey % 97, 0) AS k, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT nullif(c_custkey % 97, 0) AS k, COUNT(*) AS n_customers
+        |  FROM customer GROUP BY 1)
+        |SELECT a.k AS k, n_orders, n_customers,
+        |  n_orders * n_customers AS n_pairs
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
     "join_asof_nearest" ->
       """SELECT event_id, us, prev_p, next_p,
         |  CASE WHEN prev_p IS NULL THEN next_p
