@@ -48,8 +48,10 @@ object LlmDedup extends QueryModule {
     * on three domains, keep the longest/cleanest capture"). Quality here
     * is (token count desc, then min doc_id) — any scoring column drops in
     * without changing the plan: one window over the content-hash
-    * partition, same single shuffle as keep-min. Emits only groups with a
-    * real choice (n_copies > 1) plus the decision delta. */
+    * partition, same single shuffle as keep-min. Every group is emitted
+    * (small fixtures may contain no duplicates at all); n_copies > 1
+    * marks the groups where the policy made a real choice, and
+    * min_id_policy_doc shows the decision delta vs keep-min. */
   def keepBest(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("content_md5"))
@@ -63,7 +65,6 @@ object LlmDedup extends QueryModule {
         min(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
         min(when(col("rn") === 1, col("n_tokens"))).as("keep_tokens"),
         min(col("doc_id")).as("min_id_policy_doc"))
-      .filter(col("n_copies") > 1)
       .orderBy(col("content_md5"))
   }
 
@@ -743,7 +744,7 @@ object LlmDedup extends QueryModule {
          |  MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
          |  MIN(CASE WHEN rn = 1 THEN n_tokens END) AS keep_tokens,
          |  MIN(doc_id) AS min_id_policy_doc
-         |FROM r GROUP BY content_md5 HAVING COUNT(*) > 1
+         |FROM r GROUP BY content_md5
          |ORDER BY content_md5""".stripMargin,
     "dd_exact" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
