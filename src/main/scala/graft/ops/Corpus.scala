@@ -102,6 +102,27 @@ object Corpus extends QueryModule {
         explode(transform(sequence(lit(1), size(col("toks")) - 7),
           i => array_join(slice(col("toks"), i, lit(8)), " "))).as("sh"))
 
+  /** Content-addressed shard manifest — the reproducibility artifact a
+    * corpus release ships with: per shard (doc_id div 64), the doc count,
+    * token total, id range, and an ORDER-FREE content checksum (sum of
+    * per-doc 32-bit md5 hashes — the [[graft.ops.Relational]] checksum
+    * idiom, so re-shards and re-partitions never change a shard's line).
+    * A consumer re-derives the manifest and diffs it to prove they hold
+    * exactly the published corpus. One groupBy on the shard key; all
+    * integer arithmetic. */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(expr("doc_id div 64").as("shard_id"), col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h32"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("h32")).cast("long").as("content_checksum"))
+      .orderBy(col("shard_id"))
+
   /** Mixture upsampling with FRACTIONAL epoch weights (the "repeat
     * underrepresented sources 2.3×" step of corpus mixing): every doc
     * appears floor(w) times, plus one more iff its md5-uniform falls under
@@ -472,6 +493,7 @@ object Corpus extends QueryModule {
     "corpus_pack"         -> (packSequences _),
     "corpus_length_batches" -> (lengthBatches _),
     "corpus_epoch_repeat" -> (epochRepeat _),
+    "corpus_shard_manifest" -> (shardManifest _),
     "corpus_source_quota" -> (sourceQuota _),
     "corpus_global_ids"   -> (globalIds _),
     "corpus_interleave"   -> (interleave _),
@@ -655,6 +677,14 @@ object Corpus extends QueryModule {
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  MAX(cum) AS budget_used
          |FROM c WHERE cum <= 2000 GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_shard_manifest" ->
+      s"""SELECT doc_id // 64 AS shard_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($sqlToks)) AS BIGINT) AS total_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |  CAST(SUM(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT))
+         |    AS BIGINT) AS content_checksum
+         |FROM documents GROUP BY doc_id // 64
+         |ORDER BY shard_id""".stripMargin,
     "corpus_epoch_repeat" ->
       """WITH r AS (
         |  SELECT doc_id, lang,
