@@ -61,6 +61,10 @@ object MmrAggregator extends Aggregator[MmrCand, Seq[MmrCand], Seq[MmrPick]] {
         }
         i += 1
       }
+      // All remaining scores NaN (zero-norm emb → cos = 0/0, or NaN rel):
+      // no candidate beats -Inf, bestIdx stays -1 — stop rather than index
+      // out of bounds.
+      if (bestIdx < 0) return picks.toSeq
       selected += bestIdx
       picks += MmrPick(selected.size, cands(bestIdx).cand_id, bestScore)
     }

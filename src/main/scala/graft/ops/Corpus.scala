@@ -146,6 +146,10 @@ object Corpus extends QueryModule {
       .withColumn("n",
         floor(col("w")).cast("long") +
           when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L))
+      // sequence(1, 0) DESCENDS in Spark (emits [1,0]) — a weight < 1
+      // would inflate copies instead of dropping the doc. Filter first so
+      // n = 0 fails safe to zero copies.
+      .filter(col("n") >= 1L)
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("n"))).as("copy_id"))
       .groupBy(col("lang"))
@@ -685,22 +689,6 @@ object Corpus extends QueryModule {
          |    AS BIGINT) AS content_checksum
          |FROM documents GROUP BY doc_id // 64
          |ORDER BY shard_id""".stripMargin,
-    "corpus_epoch_repeat" ->
-      """WITH r AS (
-        |  SELECT doc_id, lang,
-        |    CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5
-        |      WHEN 'fr' THEN 1.5 WHEN 'es' THEN 2.0 ELSE 3.0 END AS w,
-        |    CAST(CAST(('0x' || substring(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS u
-        |  FROM documents),
-        |n AS (
-        |  SELECT doc_id, lang,
-        |    CAST(floor(w) AS BIGINT)
-        |      + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n
-        |  FROM r)
-        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_copies,
-        |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS realized_epochs
-        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_epoch_repeat" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -442,12 +442,12 @@ object Scalars extends QueryModule {
         |ORDER BY p_partkey, metric""".stripMargin,
     "sql_pivot" ->
       """SELECT o_orderpriority,
-        |  NULLIF(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0)
-        |    AS st_o,
-        |  NULLIF(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0)
-        |    AS st_f,
-        |  NULLIF(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0)
-        |    AS st_p
+        |  NULLIF(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS st_o,
+        |  NULLIF(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS st_f,
+        |  NULLIF(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+        |    AS BIGINT), 0) AS st_p
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "scalar_collation" ->

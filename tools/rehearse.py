@@ -64,6 +64,21 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
             continue
+        # dtype-strict: the driver hashes formatted VALUES, so int64 1002
+        # vs float64 1002.0 hash-mismatch even though pandas' == coerces
+        # them equal. Fail on cross-family numeric kinds (int vs float vs
+        # bool) so HUGEINT-class oracle bugs (DuckDB SUM over ints) can't
+        # pass a local rehearsal (they did once: sql_pivot, round 7).
+        kind_fail = []
+        for c in g.columns:
+            gk, ek = g[c].dtype.kind, e[c].dtype.kind
+            fam = lambda k: "i" if k in "iu" else k
+            if fam(gk) != fam(ek) and {fam(gk), fam(ek)} <= {"i", "f", "b"}:
+                kind_fail.append(f"{c}: got dtype {g[c].dtype} want {e[c].dtype}")
+        if kind_fail:
+            print(f"FAIL {name}: dtype mismatch: " + "; ".join(kind_fail))
+            n_fail += 1
+            continue
         # strict compare; report first few diffs per column
         bad = []
         for c in g.columns:
