@@ -137,14 +137,130 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Image asset table with REAL container headers: each payload starts
+    * with a well-formed PNG signature+IHDR chunk (even doc_id) or a JPEG
+    * SOI → APP0 → COM → SOF0 marker sequence (odd doc_id), followed by the
+    * document bytes as the "compressed stream". Dimensions and the
+    * variable APP0/COM segment lengths derive from doc_id, so the header
+    * layout differs per row — a parser cannot cheat with one global
+    * offset for JPEG. */
+  def imageAssets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("h"),
+        (pmod(col("doc_id"), lit(8)) + 16).cast("int").as("app0_len"),
+        (pmod(col("doc_id"), lit(5)) + 4).cast("int").as("com_len"))
+      .withColumn("header_hex",
+        when(col("doc_id") % 2 === 0,
+          // PNG: 8-byte signature, IHDR length (13), "IHDR", w/h as
+          // 4-byte big-endian, bit depth 8 / color type 6 / 0 / 0 / 0.
+          concat(lit("89504E470D0A1A0A0000000D49484452"),
+            expr("lpad(hex(w), 8, '0')"), expr("lpad(hex(h), 8, '0')"),
+            lit("0806000000")))
+          .otherwise(
+            // JPEG: SOI, APP0(var len, zero body), COM(var len), SOF0
+            // (len 17, precision 8, height, width, 3 components).
+            concat(
+              lit("FFD8FFE0"), expr("lpad(hex(app0_len), 4, '0')"),
+              expr("repeat('00', app0_len - 2)"),
+              lit("FFFE"), expr("lpad(hex(com_len), 4, '0')"),
+              expr("repeat('00', com_len - 2)"),
+              lit("FFC0001108"), expr("lpad(hex(h), 4, '0')"),
+              expr("lpad(hex(w), 4, '0')"), lit("03014100021101031101"))))
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("format"),
+        concat(unhex(col("header_hex")), col("text").cast("binary"))
+          .as("payload"))
+
+  /** Parse image width/height FROM THE BYTES — no formula shortcut on the
+    * query side. PNG reads the IHDR fixed offsets (the PNG spec guarantees
+    * IHDR is the first chunk: width at bytes 16-19, height 20-23). JPEG
+    * needs a real marker scan: segments between SOI and SOF0 carry 2-byte
+    * big-endian lengths, so the parser walks marker→skip-length until it
+    * hits FFC0/FFC2 — expressed as a bounded `aggregate` fold over the
+    * hex of the payload HEAD (first 256 bytes; headers live there, so a
+    * 100 TB scan never hexes whole payloads). Map-only, zero shuffle; the
+    * oracle reconstructs the header hex independently in SQL and slices at
+    * the closed-form offsets it knows from the synthesis formulas, so the
+    * scan is verified against offsets it never saw. */
+  def imageDims(s: SparkSession, d: String): DataFrame =
+    imageAssets(s, d)
+      .withColumn("hx", hex(expr("substring(payload, 1, 256)")))
+      .withColumn("sof", expr(
+        """CASE WHEN format = 'jpeg' THEN
+          |  aggregate(sequence(1, 6),
+          |    named_struct('off', 2, 'sof', -1),
+          |    (acc, i) -> CASE
+          |      WHEN acc.sof >= 0 THEN acc
+          |      WHEN substring(hx, acc.off * 2 + 1, 4) IN ('FFC0', 'FFC2')
+          |        THEN named_struct('off', acc.off, 'sof', acc.off)
+          |      ELSE named_struct('off', acc.off + 2 +
+          |          CAST(conv(substring(hx, acc.off * 2 + 5, 4), 16, 10)
+          |            AS INT),
+          |        'sof', -1) END).sof
+          |ELSE -1 END""".stripMargin))
+      .select(col("doc_id"), col("format"),
+        expr(
+          """CAST(CASE WHEN format = 'png'
+            |  THEN conv(substring(hx, 33, 8), 16, 10)
+            |  ELSE conv(substring(hx, sof * 2 + 15, 4), 16, 10) END AS INT)
+            |""".stripMargin).as("width"),
+        expr(
+          """CAST(CASE WHEN format = 'png'
+            |  THEN conv(substring(hx, 41, 8), 16, 10)
+            |  ELSE conv(substring(hx, sof * 2 + 11, 4), 16, 10) END AS INT)
+            |""".stripMargin).as("height"),
+        expr("CAST(CASE WHEN format = 'png' THEN 16 ELSE sof + 7 END AS BIGINT)")
+          .as("dims_off"))
+      .orderBy(col("doc_id"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features"    -> (features _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize"      -> (resize _),
+    "mm_image_dims"  -> (imageDims _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "mm_image_dims" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    (doc_id % 4) * 160 + 320 AS w,
+        |    (doc_id % 3) * 120 + 240 AS h,
+        |    (doc_id % 8) + 16 AS app0_len,
+        |    (doc_id % 5) + 4 AS com_len
+        |  FROM documents),
+        |hdr AS (
+        |  SELECT doc_id, format, app0_len, com_len,
+        |    CASE WHEN format = 'png'
+        |      THEN '89504E470D0A1A0A0000000D49484452'
+        |        || lpad(upper(to_hex(w)), 8, '0')
+        |        || lpad(upper(to_hex(h)), 8, '0') || '0806000000'
+        |      ELSE 'FFD8FFE0' || lpad(upper(to_hex(app0_len)), 4, '0')
+        |        || repeat('00', app0_len - 2)
+        |        || 'FFFE' || lpad(upper(to_hex(com_len)), 4, '0')
+        |        || repeat('00', com_len - 2)
+        |        || 'FFC0001108' || lpad(upper(to_hex(h)), 4, '0')
+        |        || lpad(upper(to_hex(w)), 4, '0') || '03014100021101031101'
+        |    END AS header_hex,
+        |    CASE WHEN format = 'png' THEN -1
+        |      ELSE 2 + 2 + app0_len + 2 + com_len END AS sof_off
+        |  FROM base)
+        |SELECT doc_id, format,
+        |  CAST(CASE WHEN format = 'png'
+        |    THEN CAST(('0x' || substring(header_hex, 33, 8)) AS BIGINT)
+        |    ELSE CAST(('0x' || substring(header_hex, sof_off * 2 + 15, 4))
+        |      AS BIGINT) END AS INT) AS width,
+        |  CAST(CASE WHEN format = 'png'
+        |    THEN CAST(('0x' || substring(header_hex, 41, 8)) AS BIGINT)
+        |    ELSE CAST(('0x' || substring(header_hex, sof_off * 2 + 11, 4))
+        |      AS BIGINT) END AS INT) AS height,
+        |  CAST(CASE WHEN format = 'png' THEN 16 ELSE sof_off + 7 END
+        |    AS BIGINT) AS dims_off
+        |FROM hdr ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  length(text) AS n_bytes,
