@@ -434,7 +434,50 @@ object LlmText extends QueryModule {
       .orderBy(col("rank"))
   }
 
+  /** The frozen BPE merge table [[bpeEncode]] applies, in rank order. Each
+    * rule's left/right part is a single char or the output of a STRICTLY
+    * earlier rule — the invariant real BPE training guarantees, and the
+    * one that makes "apply each rule once, exhaustively, in rank order"
+    * equivalent to the canonical lowest-rank-first encode loop. */
+  private[ops] val frozenMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r",
+    "a" -> "t", "o" -> "r", "s" -> "t", "a" -> "n")
+
+  /** BPE ENCODE — apply a frozen merge table to the corpus: the production
+    * tokenizer step the [[bpeMerges]] training half presupposes (a 100 TB
+    * pipeline trains once, encodes daily). Greedy left-to-right merge of
+    * each rule is expressed as plain string algebra instead of a fold:
+    * every symbol is wrapped as `<sym>`, and rule (l, r) is
+    * `replace('<l><r>' -> '<lr>')`. The wrapper brackets (absent from the
+    * a-z corpus) make symbol boundaries explicit, so a match can't start
+    * mid-symbol, and `replace`'s left-to-right non-overlapping scan IS the
+    * greedy BPE merge order. Whole-stage-codegen'd string ops, map-only,
+    * zero shuffle; per-doc outputs are the encoded-stream md5, symbol
+    * counts, and the compression ratio the tokenizer exists to improve.
+    * Round9Spec pins the encode against an independent plain-Scala BPE
+    * reference loop. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val enc = frozenMerges.foldLeft("regexp_replace(w, '(.)', '<$1>')") {
+      case (acc, (l, r)) => s"replace($acc, '<$l><$r>', '<$l$r>')"
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        expr(s"transform(ws, w -> $enc)").as("encs"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("n_chars"),
+        size(col("ws")).cast("long").as("n_words"))
+      .select(col("doc_id"), col("lang"), col("n_words"), col("n_chars"),
+        expr("""aggregate(encs, 0L,
+          |  (a, e) -> a + length(e) - length(replace(e, '<', '')))"""
+          .stripMargin).as("n_symbols"),
+        md5(concat_ws("|", col("encs"))).as("enc_md5"))
+      .withColumn("chars_per_symbol",
+        round(col("n_chars").cast("double") / col("n_symbols"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_encode" -> (bpeEncode _),
     "text_classifier_train" -> (classifierTrain _),
     "text_bpe_pairs" -> (bpePairs _),
     "text_bpe_merges" -> (bpeMerges _),
@@ -456,7 +499,32 @@ object LlmText extends QueryModule {
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter($sqlToks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
+  /** DuckDB twin of [[bpeEncode]]'s per-word encode expression. */
+  private val sqlBpeEnc: String =
+    frozenMerges.foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
+      case (acc, (l, r)) => s"replace($acc, '<$l><$r>', '<$l$r>')"
+    }
+
   override def oracleSql: Map[String, String] = Map(
+    "text_bpe_encode" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $sqlToks AS ws FROM documents),
+         |e AS (
+         |  SELECT doc_id, lang,
+         |    list_transform(ws, w -> $sqlBpeEnc) AS encs,
+         |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+         |      AS n_chars,
+         |    CAST(len(ws) AS BIGINT) AS n_words
+         |  FROM t)
+         |SELECT doc_id, lang, n_words, n_chars,
+         |  CAST(list_sum(list_transform(encs,
+         |    e -> length(e) - length(replace(e, '<', '')))) AS BIGINT)
+         |    AS n_symbols,
+         |  md5(array_to_string(encs, '|')) AS enc_md5,
+         |  round(CAST(n_chars AS DOUBLE) / CAST(list_sum(list_transform(encs,
+         |    e -> length(e) - length(replace(e, '<', '')))) AS DOUBLE), 6)
+         |    AS chars_per_symbol
+         |FROM e ORDER BY doc_id""".stripMargin,
     // text_classifier_train: rows-only (iterative GD; see Scaladoc)
     // text_bpe_merges: rows-only (multi-round merge recursion; see Scaladoc)
     "text_bpe_pairs" ->

@@ -32,6 +32,64 @@ class Round9Spec extends AnyFunSuite {
     assert(jpegOffs.length >= 2)
   }
 
+  test("text_bpe_encode: equals a canonical lowest-rank-first BPE encode loop") {
+    // Independent reference: the textbook BPE encode — repeatedly find the
+    // LOWEST-RANK merge rule whose pair occurs in the word and merge its
+    // occurrences greedily left-to-right, until no rule applies. The query
+    // instead applies each rule once in rank order via string replaces;
+    // the two are equivalent because every rule's parts are built only
+    // from strictly earlier rules (asserted below).
+    val merges = LlmText.frozenMerges
+    val built = scala.collection.mutable.Set[String]()
+    merges.foreach { case (l, r) =>
+      assert(l.length == 1 || built.contains(l), s"left part $l out of order")
+      assert(r.length == 1 || built.contains(r), s"right part $r out of order")
+      built += (l + r)
+    }
+    def canonical(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      var done = false
+      while (!done) {
+        val applicable = merges.zipWithIndex.filter { case ((l, r), _) =>
+          syms.indices.dropRight(1).exists(i => syms(i) == l && syms(i + 1) == r)
+        }
+        if (applicable.isEmpty) done = true
+        else {
+          val ((l, r), _) = applicable.minBy(_._2)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(50)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("text_bpe_encode")(spark, TestSpark.sf)
+      .filter(col("doc_id") < 50).collect()
+    assert(got.length == docs.size.min(50))
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val toks = docs(id).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val encoded = toks.map(canonical)
+      assert(r.getLong(2) == toks.length.toLong, s"n_words doc $id")
+      assert(r.getLong(3) == toks.map(_.length).sum.toLong, s"n_chars doc $id")
+      assert(r.getLong(4) == encoded.map(_.length).sum.toLong, s"n_symbols doc $id")
+      val stream = encoded
+        .map(_.map(sym => "<" + sym + ">").mkString).mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(stream.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(5) == md, s"enc_md5 doc $id")
+    }
+  }
+
   test("mm_image_dims: payload bytes carry a real PNG signature / JPEG SOI") {
     val payloads = Multimodal.imageAssets(spark, TestSpark.sf)
       .orderBy("doc_id").limit(4).collect()
