@@ -588,6 +588,99 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** One NN-descent refinement round over [[knnGraph]] — the step that
+    * completes the graph-ANN story: "my neighbors' neighbors are probably
+    * my neighbors". The current graph is undirected (out-edges plus
+    * REVERSE edges capped at 3 per node — the cap is what bounds a hot
+    * node's fan-in, and with it the whole round: ≤ 6 adjacency edges per
+    * node, so ≤ 36 neighbor-of-neighbor candidates). Candidates =
+    * distinct(adjacency ∪ adjacency⋈adjacency on the middle node), scored
+    * by exact cosine via two equi-joins to the embeddings, re-top-3. All
+    * joins are keyed, never all-pairs; recall lift over the SRP-only graph
+    * is measured by [[knnRecall]]. */
+  def knnDescent(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val g3 = knnGraph(s, d).select(
+      col("vec_id").as("u"), col("nb_id").as("v"), col("score"))
+    val wRev = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("v"))
+    val rev = g3.select(col("v").as("u"), col("u").as("v"), col("score"))
+      .withColumn("rk", row_number().over(wRev))
+      .filter(col("rk") <= 3)
+      .select(col("u"), col("v"))
+    val adj = g3.select(col("u"), col("v")).unionByName(rev).distinct()
+    val non = adj.as("x").join(adj.as("y"), col("x.v") === col("y.u"))
+      .filter(col("x.u") =!= col("y.v"))
+      .select(col("x.u").as("u"), col("y.v").as("w"))
+    val cands = non
+      .unionByName(adj.select(col("u"), col("v").as("w")))
+      .distinct()
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
+    val wTop = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("w"))
+    cands
+      .join(e.select(col("vec_id").as("u"), col("embedding").as("u_emb"),
+        col("nrm").as("u_nrm")), Seq("u"))
+      .join(e.select(col("vec_id").as("w"), col("embedding").as("w_emb"),
+        col("nrm").as("w_nrm")), Seq("w"))
+      .select(col("u"), col("w"),
+        (dotd(col("u_emb"), col("w_emb")) / (col("u_nrm") * col("w_nrm")))
+          .as("score"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("u").as("vec_id"), col("rank"), col("w").as("nb_id"),
+        col("score"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Recall monitor for the NN-descent round: for a deterministic node
+    * sample (vec_id % 7 = 0), the TRUE top-3 by exact cosine (broadcast
+    * sample × corpus — the documented eval-sample exact baseline, same
+    * shape as [[annRecall]]'s truth join, never corpus × corpus), then the
+    * fraction of truth edges present in the SRP-only graph vs the
+    * descended graph. One output row; recall_desc − recall_base is the
+    * lift the expansion round buys. */
+  def knnRecall(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
+    val sample = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("u"), col("embedding").as("u_emb"),
+        col("nrm").as("u_nrm"))
+    val wT = Window.partitionBy(col("u"))
+      .orderBy(col("score").desc, col("w"))
+    val truth = e.select(col("vec_id").as("w"), col("embedding").as("w_emb"),
+      col("nrm").as("w_nrm"))
+      .join(broadcast(sample), col("u") =!= col("w"))
+      .select(col("u"), col("w"),
+        (dotd(col("u_emb"), col("w_emb")) / (col("u_nrm") * col("w_nrm")))
+          .as("score"))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 3)
+      .select(col("u"), col("w"))
+    val base = knnGraph(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("u"), col("nb_id").as("w"), lit(1L).as("in_base"))
+    val desc = knnDescent(s, d).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("u"), col("nb_id").as("w"), lit(1L).as("in_desc"))
+    truth
+      .join(base, Seq("u", "w"), "left")
+      .join(desc, Seq("u", "w"), "left")
+      .agg(
+        countDistinct(col("u")).as("n_nodes"),
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("in_base"), lit(0L))).as("hit_base"),
+        sum(coalesce(col("in_desc"), lit(0L))).as("hit_desc"))
+      .select(col("n_nodes"), col("n_truth"), col("hit_base"), col("hit_desc"),
+        (col("hit_base").cast("double") / col("n_truth").cast("double"))
+          .as("recall_base"),
+        (col("hit_desc").cast("double") / col("n_truth").cast("double"))
+          .as("recall_desc"))
+      .orderBy(col("n_truth"))
+  }
+
   /** MMR-diversified retrieval: brute cosine top-20 per query (broadcast
     * query set, map-only scoring — same shape as [[cosineTopK]]), then the
     * greedy Maximal-Marginal-Relevance pick of 5 diverse results via the
@@ -665,6 +758,8 @@ object LlmSimilarity extends QueryModule {
     "sim_matryoshka_topk" -> (matryoshkaTopK _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_knn_graph" -> (knnGraph _),
+    "sim_knn_descent" -> (knnDescent _),
+    "sim_knn_recall" -> (knnRecall _),
     "sim_range_search" -> (rangeSearch _),
     "vec_quantize_int8" -> (quantizeInt8 _),
     "vec_pca_power"   -> (pcaPower _),
@@ -708,6 +803,46 @@ object LlmSimilarity extends QueryModule {
 
   private val sqlBucketT0: String = sqlBucketOf(hyperplanes.slice(0, 6))
   private val sqlBucketT1: String = sqlBucketOf(hyperplanes.slice(6, 12))
+
+  /** Shared CTE chain for the kNN-graph family: SRP signatures → bucket
+    * candidates → top-3 graph (g3) → capped reverse edges → undirected
+    * adjacency → neighbor-of-neighbor expansion → rescored descent graph
+    * (dsc). Mirrors [[knnGraph]]/[[knnDescent]] exactly, tiebreaks
+    * included. */
+  private lazy val sqlKnnCtes: String =
+    s"""sig AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm,
+       |    $sqlBucketT0 AS bucket0, $sqlBucketT1 AS bucket1
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+       |  FROM sig a JOIN sig b
+       |    ON a.bucket0 = b.bucket0 AND a.vec_id <> b.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+       |  FROM sig a JOIN sig b
+       |    ON a.bucket1 = b.bucket1 AND a.vec_id <> b.vec_id),
+       |g3 AS (SELECT vec_id AS u, nb_id AS v, score FROM (
+       |  SELECT vec_id, nb_id, score, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, nb_id) AS rank FROM cand) t WHERE rank <= 3),
+       |rev AS (SELECT nu AS u, nv AS v FROM (
+       |  SELECT v AS nu, u AS nv, row_number() OVER (PARTITION BY v
+       |    ORDER BY score DESC, u) AS rk FROM g3) t WHERE rk <= 3),
+       |adj AS (SELECT DISTINCT u, v FROM (
+       |  SELECT u, v FROM g3 UNION ALL SELECT u, v FROM rev) t),
+       |nn AS (SELECT x.u AS u, y.v AS w FROM adj x JOIN adj y ON x.v = y.u
+       |  WHERE x.u <> y.v),
+       |cands AS (SELECT DISTINCT u, w FROM (
+       |  SELECT u, w FROM nn UNION ALL SELECT u, v AS w FROM adj) t),
+       |dsc AS (SELECT u, w, score, row_number() OVER (PARTITION BY u
+       |    ORDER BY score DESC, w) AS rank FROM (
+       |  SELECT c.u AS u, c.w AS w,
+       |    ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS score
+       |  FROM cands c JOIN sig a ON a.vec_id = c.u
+       |  JOIN sig b ON b.vec_id = c.w) s)""".stripMargin
 
   private def pcaIter(vPrev: String, k: Int): String =
     s"""sc$k AS (SELECT vec_id, x, list_reduce(list_prepend(0.0,
@@ -973,6 +1108,35 @@ object LlmSimilarity extends QueryModule {
          |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,
          |  len(embedding) AS dim
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sim_knn_descent" ->
+      s"""WITH $sqlKnnCtes
+         |SELECT u AS vec_id, rank, w AS nb_id, score FROM dsc
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+    "sim_knn_recall" ->
+      s"""WITH $sqlKnnCtes,
+         |truth AS (SELECT u, w FROM (
+         |  SELECT u, w, row_number() OVER (PARTITION BY u
+         |    ORDER BY score DESC, w) AS rk FROM (
+         |    SELECT q.vec_id AS u, c.vec_id AS w,
+         |      ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |        AS score
+         |    FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 7 = 0) p) t WHERE rk <= 3),
+         |hits AS (SELECT t.u,
+         |    CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END AS hb,
+         |    CASE WHEN g.u IS NOT NULL THEN 1 ELSE 0 END AS hd
+         |  FROM truth t
+         |  LEFT JOIN (SELECT u, v FROM g3 WHERE u % 7 = 0) b
+         |    ON t.u = b.u AND t.w = b.v
+         |  LEFT JOIN (SELECT u, w FROM dsc WHERE rank <= 3 AND u % 7 = 0) g
+         |    ON t.u = g.u AND t.w = g.w)
+         |SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+         |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |  CAST(SUM(hb) AS BIGINT) AS hit_base,
+         |  CAST(SUM(hd) AS BIGINT) AS hit_desc,
+         |  CAST(SUM(hb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_base,
+         |  CAST(SUM(hd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_desc
+         |FROM hits ORDER BY n_truth""".stripMargin,
     "sim_knn_graph" ->
       s"""WITH sig AS (
          |  SELECT vec_id, embedding,

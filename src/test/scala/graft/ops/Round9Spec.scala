@@ -90,6 +90,27 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_descent: never worse than the base graph, and strictly refines somewhere") {
+    val base = SparkEntry.queries("sim_knn_graph")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val desc = SparkEntry.queries("sim_knn_descent")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(desc.nonEmpty)
+    // The candidate set is a superset of the base edges, so at each rank
+    // the descended score dominates the base score.
+    base.foreach { case (key @ (u, rank), (_, s0)) =>
+      desc.get(key).foreach { case (_, s1) =>
+        assert(s1 >= s0, s"rank-$rank score regressed for node $u: $s1 < $s0")
+      }
+    }
+    assert(desc.exists { case (k, (_, s1)) =>
+      base.get(k).exists { case (_, s0) => s1 > s0 } },
+      "descent round changed no score at all")
+    // And the recall monitor must agree: descended recall >= base recall.
+    val r = SparkEntry.queries("sim_knn_recall")(spark, TestSpark.sf).collect()(0)
+    assert(r.getDouble(5) >= r.getDouble(4))
+  }
+
   test("mm_image_dims: payload bytes carry a real PNG signature / JPEG SOI") {
     val payloads = Multimodal.imageAssets(spark, TestSpark.sf)
       .orderBy("doc_id").limit(4).collect()
