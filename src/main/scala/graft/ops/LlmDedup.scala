@@ -498,6 +498,78 @@ object LlmDedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** CROSS-RUN incremental dedup — the two-run twin of the in-plan
+    * [[bloomIncremental]], completing the incremental story: run 1 (the
+    * prior ingest) persists its dedup state as a parquet artifact — the
+    * 64-row (word, mask) bloom slice table (mergeable: OR the masks) plus
+    * the exact key store — and run 2 loads THAT STATE FROM DISK, probes
+    * the new batch against it (map-only bit tests, exact-verify join only
+    * for maybe-hits), and rolls the state forward (bit_or-merged bloom ∪
+    * batch keys written as next-run state) before returning the per-doc
+    * decisions. The prior run's raw rows are never re-read in run 2 —
+    * at 100 TB that's the point: state is O(keys), not O(corpus), and the
+    * bloom-word table merges associatively across any number of runs.
+    * Gate: the oracle recomputes everything from scratch in DuckDB, so a
+    * hash-exact pass IS the state∪batch ≡ full-recompute equivalence;
+    * Round9Spec additionally pins the rolled-forward artifacts against a
+    * from-scratch build over the whole corpus. */
+  def bloomStateRuns(s: SparkSession, d: String): DataFrame = {
+    val stateDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_bloom_state_" + java.lang.Integer.toHexString(d.hashCode))
+      .getAbsolutePath
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    def pos(j: Int): Column =
+      conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long") % 4096
+    def bloomWords(df: DataFrame): DataFrame = df
+      .select(explode(array((0 to 3).map(pos): _*)).as("p"))
+      .select(expr("p div 64").as("word"), (col("p") % 64).as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(bit AS INT))")).as("mask"))
+    // Run 1: persist the mergeable state artifact.
+    bloomWords(existing).write.mode("overwrite").parquet(s"$stateDir/bloom")
+    existing.select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/keys")
+    // Run 2: everything below reads only the artifact + the new batch.
+    val loadedWords = s.read.parquet(s"$stateDir/bloom")
+    val loadedKeys = s.read.parquet(s"$stateDir/keys")
+    val bloom = loadedWords
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+        .as("m"))
+      .select(transform(sequence(lit(0L), lit(63L)),
+        w => coalesce(element_at(col("m"), w), lit(0L))).as("bloom"))
+    def hit(j: Int): Column = expr(
+      s"(element_at(bloom, CAST(p$j div 64 AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(p$j % 64 AS INT))) != 0")
+    val probed = (0 to 3)
+      .foldLeft(incoming.crossJoin(broadcast(bloom))) {
+        (df, j) => df.withColumn(s"p$j", pos(j))
+      }
+      .withColumn("maybe_seen",
+        (0 to 3).map(hit).reduce(_ && _).cast("int"))
+      .select(col("doc_id"), col("h"), col("maybe_seen"))
+    // Roll the state forward for the next run: OR-merge the bloom words,
+    // union the key store.
+    bloomWords(incoming).unionByName(loadedWords)
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("mask"))
+      .write.mode("overwrite").parquet(s"$stateDir/bloom_next")
+    incoming.select(col("h")).unionByName(loadedKeys.select(col("h")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/keys_next")
+    val seen = loadedKeys.withColumn("dup_hit", lit(1))
+    val verified = probed.filter(col("maybe_seen") === 1)
+      .join(seen, Seq("h"), "left")
+      .select(col("doc_id"), col("maybe_seen"),
+        when(col("dup_hit").isNotNull, 1).otherwise(0).as("is_dup"))
+    probed.filter(col("maybe_seen") === 0)
+      .select(col("doc_id"), col("maybe_seen"), lit(0).as("is_dup"))
+      .unionByName(verified)
+      .orderBy(col("doc_id"))
+  }
+
   /** Paragraph-granularity exact dedup (C4/RefinedWeb-style): the corpus is
     * cut into fixed 16-token chunks (the fixture's text has no paragraph
     * breaks, so position-chunking stands in for split-on-newline — the
@@ -551,6 +623,7 @@ object LlmDedup extends QueryModule {
     "dd_dup_stats"         -> (dupStats _),
     "dd_chunk_dedup"       -> (chunkDedup _),
     "dd_bloom_incremental" -> (bloomIncremental _),
+    "dd_bloom_state" -> (bloomStateRuns _),
     "dd_dup_groups"     -> (dupGroups _),
     "dd_lsh_recall"     -> (lshRecall _),
     "dd_clusters"       -> (clusterComponents _),
@@ -597,6 +670,30 @@ object LlmDedup extends QueryModule {
          |    AS n_dup_chunks
          |FROM ch JOIN own USING (h)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dd_bloom_state shares dd_bloom_incremental's oracle verbatim: the
+    // oracle is a from-scratch recompute, so a hash-exact pass proves the
+    // through-disk state path is equivalent to full recomputation.
+    "dd_bloom_state" ->
+      """WITH pe AS (SELECT DISTINCT
+        |    CAST(('0x' || substring(md5(text), 1 + 8*j, 8)) AS BIGINT) % 4096 AS p
+        |  FROM documents CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+        |  WHERE doc_id % 5 <> 0),
+        |probes AS (SELECT doc_id, text,
+        |  CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 4096 AS p0,
+        |  CAST(('0x' || substring(md5(text), 9, 8)) AS BIGINT) % 4096 AS p1,
+        |  CAST(('0x' || substring(md5(text), 17, 8)) AS BIGINT) % 4096 AS p2,
+        |  CAST(('0x' || substring(md5(text), 25, 8)) AS BIGINT) % 4096 AS p3
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |mb AS (SELECT doc_id, text,
+        |  CASE WHEN p0 IN (SELECT p FROM pe) AND p1 IN (SELECT p FROM pe)
+        |        AND p2 IN (SELECT p FROM pe) AND p3 IN (SELECT p FROM pe)
+        |    THEN 1 ELSE 0 END AS maybe_seen
+        |  FROM probes)
+        |SELECT doc_id, maybe_seen,
+        |  CASE WHEN maybe_seen = 1 AND EXISTS (SELECT 1 FROM documents e
+        |    WHERE e.doc_id % 5 <> 0 AND md5(e.text) = md5(mb.text))
+        |    THEN 1 ELSE 0 END AS is_dup
+        |FROM mb ORDER BY doc_id""".stripMargin,
     "dd_bloom_incremental" ->
       """WITH pe AS (SELECT DISTINCT
         |    CAST(('0x' || substring(md5(text), 1 + 8*j, 8)) AS BIGINT) % 4096 AS p

@@ -111,6 +111,35 @@ class Round9Spec extends AnyFunSuite {
     assert(r.getDouble(5) >= r.getDouble(4))
   }
 
+  test("dd_bloom_state: rolled-forward state equals a from-scratch build over all docs") {
+    import org.apache.spark.sql.functions._
+    // Running the query materializes run-1 state AND run-2's merged state.
+    SparkEntry.queries("dd_bloom_state")(spark, TestSpark.sf).collect()
+    val stateDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_bloom_state_" +
+        java.lang.Integer.toHexString(TestSpark.sf.hashCode)).getAbsolutePath
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    // From-scratch bloom over the WHOLE corpus (existing ∪ batch).
+    val scratch = docs
+      .select(explode(array((0 to 3).map(j =>
+        conv(substring(col("h"), 1 + 8 * j, 8), 16, 10).cast("long") % 4096): _*))
+        .as("p"))
+      .select(expr("p div 64").as("word"), (col("p") % 64).as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(bit AS INT))")).as("mask"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rolled = spark.read.parquet(s"$stateDir/bloom_next")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rolled == scratch, "merged bloom words != from-scratch bloom words")
+    val scratchKeys = docs.select(col("h")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val rolledKeys = spark.read.parquet(s"$stateDir/keys_next")
+      .collect().map(_.getString(0)).toSet
+    assert(rolledKeys == scratchKeys, "merged key store != from-scratch keys")
+  }
+
   test("mm_image_dims: payload bytes carry a real PNG signature / JPEG SOI") {
     val payloads = Multimodal.imageAssets(spark, TestSpark.sf)
       .orderBy("doc_id").limit(4).collect()
