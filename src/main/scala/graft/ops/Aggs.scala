@@ -449,10 +449,34 @@ object Aggs extends QueryModule {
       .orderBy(col("bucket"))
   }
 
+  /** The 100 TB form of [[equidepthHistogram]]: identical downstream
+    * shape (broadcast boundary array, map-side bucket assignment, one
+    * groupBy), but boundaries come from the mergeable `percentile_approx`
+    * KLL/GK-style sketch instead of the exact `percentile` whose buffer
+    * holds every value of the single group. This is the RECOMMENDED
+    * production path; the exact twin exists because the oracle demands
+    * bit-determinism. Rows-only gate (sketch internals differ across
+    * engines); Round9Spec asserts every bucket holds n/8 within a 5%
+    * relative band at the 10k accuracy setting. */
+  def equidepthSketch(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("p"))
+    val bounds = li.agg(percentile_approx(col("p"),
+      array((1 to 7).map(i => lit(i / 8.0)): _*), lit(10000)).as("bs"))
+    val bucket = (1 to 7).map(i =>
+      when(col("p") > element_at(col("bs"), i), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    li.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("p")).as("lo"), max(col("p")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mode"          -> (mode _),
     "agg_skew_kurtosis" -> (skewKurtosis _),
     "agg_equidepth"     -> (equidepthHistogram _),
+    "agg_equidepth_sketch" -> (equidepthSketch _),
     "agg_booleans"      -> (booleanAggs _),
     "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
@@ -662,5 +686,7 @@ object Aggs extends QueryModule {
       """SELECT CAST(FLOOR(value / 20.0) AS BIGINT) AS bucket, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     // agg_approx_distinct: intentionally no oracle (engine-specific sketch)
+    // agg_equidepth_sketch: intentionally no oracle (KLL sketch boundaries
+    // are engine-specific); Round9Spec asserts the equal-frequency band.
   )
 }

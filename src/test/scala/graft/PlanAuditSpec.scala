@@ -259,4 +259,32 @@ class PlanAuditSpec extends AnyFunSuite {
         s"fold must group per doc (bounded by 16 buckets):\n${a.groupingExpressions}")
     }
   }
+
+  /** The global-window-on-reduced-table idiom: an unpartitioned Window is
+    * fine ONLY because its input is an already-aggregated grid (months /
+    * hours), never the fact table. Assert the Aggregate sits BELOW every
+    * Window so a refactor can't silently move the window onto raw rows. */
+  private def assertWindowReadsAggregated(name: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"$name: expected a Window in the plan:\n$lp")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"$name: unpartitioned Window consumes unreduced input:\n$lp")
+    }
+  }
+
+  test("rel_mom_growth: the global lag window runs on the monthly aggregate, not orders") {
+    assertWindowReadsAggregated("rel_mom_growth")
+  }
+
+  test("ev_interpolate: the fill windows run on the hourly grid, not raw events") {
+    assertWindowReadsAggregated("ev_interpolate")
+  }
+
+  test("ev_gapfill: the fill windows run on the hourly grid, not raw events") {
+    assertWindowReadsAggregated("ev_gapfill")
+  }
 }

@@ -140,6 +140,25 @@ class Round9Spec extends AnyFunSuite {
     assert(rolledKeys == scratchKeys, "merged key store != from-scratch keys")
   }
 
+  test("agg_equidepth_sketch: every bucket within 5% of equal frequency") {
+    val rows = SparkEntry.queries("agg_equidepth_sketch")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == 8)
+    val total = rows.map(_.getLong(1)).sum
+    val ideal = total / 8.0
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(math.abs(n - ideal) <= ideal * 0.05,
+        s"bucket ${r.getInt(0)} holds $n rows vs ideal $ideal")
+    }
+    // Bucket ranges must tile the value domain in order.
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2))
+      case _ =>
+    }
+  }
+
   test("mm_image_dims: payload bytes carry a real PNG signature / JPEG SOI") {
     val payloads = Multimodal.imageAssets(spark, TestSpark.sf)
       .orderBy("doc_id").limit(4).collect()
