@@ -489,7 +489,38 @@ object Corpus extends QueryModule {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Overlapping context-window chunking (the RAG / long-context prep
+    * step): each document's token stream is cut into windows of 32 tokens
+    * with stride 24 (8-token overlap, so no boundary loses context). The
+    * chunk count is closed-form (1 + ⌈(n−32)/24⌉ for n > 32), the windows
+    * come from one `explode(sequence)` + array slice — map-only, linear
+    * in corpus tokens × (1 + overlap fraction), no shuffle before the
+    * dump sort. Chunks are content-addressed (md5 of the joined window)
+    * so downstream chunk-level dedup ([[graft.ops.LlmDedup.chunkDedup]])
+    * composes directly. */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("n_chunks",
+        when(col("n") <= win, lit(1L))
+          .otherwise(floor((col("n") - win + stride - 1) / lit(stride)) + 1L))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(win), col("n") - col("chunk_idx") * stride).cast("long")
+          .as("n_toks"),
+        md5(array_join(slice(col("t"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(win)), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chunk_overlap" -> (chunkOverlap _),
     "corpus_temperature_mix" -> (temperatureMix _),
     "corpus_dsir"         -> (dsirScore _),
     "pipeline_corpus"     -> (corpusBuild _),
@@ -511,6 +542,24 @@ object Corpus extends QueryModule {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS ws, len($sqlToks) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, ws, n,
+         |    CASE WHEN n <= 32 THEN 1
+         |      ELSE CAST(floor((n - 32 + 23) / 24.0) AS BIGINT) + 1 END
+         |      AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, chunk_idx,
+         |  chunk_idx * 24 AS start_tok,
+         |  CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(list_slice(ws, CAST(chunk_idx * 24 + 1 AS INT),
+         |    CAST(chunk_idx * 24 + 32 AS INT)), ' ')) AS chunk_md5
+         |FROM (SELECT doc_id, ws, n,
+         |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+         |  FROM c) x
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "corpus_temperature_mix" ->
       """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
         |  FROM documents GROUP BY lang),

@@ -336,7 +336,42 @@ object Joins extends QueryModule {
       .orderBy(col("day_id"))
   }
 
+  /** Fuzzy (edit-distance ≤ 1) self-join via FastSS/SymSpell
+    * deletion-neighborhood blocking — the scalable form of a similarity
+    * join on strings: each distinct name explodes into its len+1 deletion
+    * variants (itself + drop-one-char), candidates are pairs sharing a
+    * variant (a plain equi-join on the variant key), and only candidates
+    * pay the exact `levenshtein` verify. For k=1 the blocking is
+    * lossless (two strings at distance ≤ 1 always share a variant), so
+    * the output EQUALS the brute-force all-pairs join the oracle runs —
+    * that independence is the gate. Cost is linear in Σ(len+1) with a
+    * bucketed join, never |names|²; the verify join's volume is the
+    * candidate count, which variant-key cardinality keeps bounded. */
+  def fuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val vars = names.select(col("name"), col("n_parts"),
+      explode(expr(
+        """transform(sequence(0, length(name)),
+          |  i -> if(i = 0, name,
+          |    concat(substring(name, 1, i - 1), substring(name, i + 1))))"""
+          .stripMargin)).as("v"))
+    val a = vars.select(col("v"), col("name").as("name_a"),
+      col("n_parts").as("n_a"))
+    val b = vars.select(col("v"), col("name").as("name_b"),
+      col("n_parts").as("n_b"))
+    a.join(b, Seq("v"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy" -> (fuzzyJoin _),
     "join_interval_overlap" -> (intervalOverlap _),
     "join_asof_fwd"        -> (asofForwardJoin _),
     "join_asof_nearest"    -> (asofNearestJoin _),
@@ -365,6 +400,19 @@ object Joins extends QueryModule {
       |ORDER BY p.event_id""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // Deliberately INDEPENDENT of the blocking: brute-force all-pairs
+    // levenshtein. A hash-exact match proves the deletion-neighborhood
+    // candidates are lossless at k=1.
+    "join_fuzzy" ->
+      """WITH n AS (
+        |  SELECT p_name AS name, COUNT(*) AS n_parts FROM part
+        |  GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  a.n_parts AS n_a, b.n_parts AS n_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "join_interval_overlap" ->
       """WITH iv AS (SELECT user_id,
         |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day_id,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (SURVEY.md §2.11): media payloads as opaque `binary`
@@ -215,7 +215,96 @@ object Multimodal extends QueryModule {
           .as("dims_off"))
       .orderBy(col("doc_id"))
 
+  /** Little-endian byte→hex swap: value column rendered as `bytes`-wide
+    * LE hex (the RIFF/WAV integer encoding). */
+  private def leHex(c: Column, bytes: Int): Column = {
+    val h = lpad(hex(c), bytes * 2, "0")
+    concat((bytes - 1 to 0 by -1).map(b => substring(h, b * 2 + 1, 2)): _*)
+  }
+
+  /** Audio asset table with REAL RIFF/WAVE containers: canonical 12-byte
+    * RIFF header, PCM fmt chunk, a variable-length LIST chunk (as real
+    * encoders emit) and the data chunk holding the document bytes.
+    * Channels / sample rate / bit depth derive from doc_id. All multi-byte
+    * integers are little-endian — the opposite byte order of the PNG/JPEG
+    * assets, so the parser family covers both. */
+  def audioAssets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int").as("ch"),
+        ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int").as("sr"),
+        ((pmod(col("doc_id"), lit(2)) + 1) * 8).cast("int").as("bits"),
+        (pmod(col("doc_id"), lit(5)) + 4).cast("int").as("list_body"),
+        octet_length(col("text").cast("binary")).as("data_len"))
+      .withColumn("br", (col("sr") * col("ch") * col("bits") / 8).cast("int"))
+      .withColumn("ba", (col("ch") * col("bits") / 8).cast("int"))
+      .withColumn("riff_size",
+        (lit(4 + 24) + 8 + col("list_body") + 8 + col("data_len")).cast("int"))
+      .withColumn("header_hex", concat(
+        lit("52494646"), leHex(col("riff_size"), 4),           // RIFF....
+        lit("57415645"), lit("666D7420"), lit("10000000"),     // WAVEfmt .
+        lit("0100"), leHex(col("ch"), 2),                      // PCM, channels
+        leHex(col("sr"), 4), leHex(col("br"), 4),              // rates
+        leHex(col("ba"), 2), leHex(col("bits"), 2),            // align, depth
+        lit("4C495354"), leHex(col("list_body"), 4),           // LIST chunk
+        expr("repeat('00', list_body)"),
+        lit("64617461"), leHex(col("data_len"), 4)))           // data chunk
+      .select(col("doc_id"),
+        concat(unhex(col("header_hex")), col("text").cast("binary"))
+          .as("payload"))
+
+  /** Parse WAV audio metadata FROM THE BYTES: fixed-offset little-endian
+    * fmt fields (the spec pins fmt directly after the RIFF header), then a
+    * bounded chunk walk — read fourcc + LE32 size, skip — to locate the
+    * `data` chunk past the variable-length LIST chunk, exactly as a real
+    * WAV reader must. Map-only; only the payload head is hexed. Emits the
+    * decoded rate/depth/layout plus two internal-consistency proofs
+    * (byte-rate algebra, data size vs actual payload bytes) and the clip
+    * duration. Oracle computes the expected values closed-form from the
+    * synthesis formulas — the parser never sees those formulas, only
+    * bytes; Round9Spec re-reads the same fields with an independent
+    * java.nio LITTLE_ENDIAN ByteBuffer decode. */
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    def le(at: String, bytes: Int): String = {
+      val parts = (bytes - 1 to 0 by -1)
+        .map(b => s"substring(hx, ($at) * 2 + ${2 * b + 1}, 2)")
+      s"CAST(conv(concat(${parts.mkString(", ")}), 16, 10) AS BIGINT)"
+    }
+    audioAssets(s, d)
+      .withColumn("hx", hex(expr("substring(payload, 1, 128)")))
+      .withColumn("valid",
+        (expr("substring(hx, 1, 8)") === "52494646" &&
+          expr("substring(hx, 17, 8)") === "57415645").cast("int"))
+      .withColumn("channels", expr(le("22", 2)))
+      .withColumn("sample_rate", expr(le("24", 4)))
+      .withColumn("byte_rate", expr(le("28", 4)))
+      .withColumn("bits_per_sample", expr(le("34", 2)))
+      .withColumn("data_off", expr(
+        s"""aggregate(sequence(1, 4),
+           |  named_struct('off', CAST(36 AS BIGINT), 'at', CAST(-1 AS BIGINT)),
+           |  (acc, i) -> CASE
+           |    WHEN acc.at >= 0 THEN acc
+           |    WHEN substring(hx, acc.off * 2 + 1, 8) = '64617461'
+           |      THEN named_struct('off', acc.off, 'at', acc.off)
+           |    ELSE named_struct('off',
+           |      acc.off + 8 + ${le("acc.off + 4", 4)}, 'at', CAST(-1 AS BIGINT))
+           |    END).at""".stripMargin))
+      .withColumn("data_len", expr(le("data_off + 4", 4)))
+      .select(col("doc_id"), col("valid"), col("channels"),
+        col("sample_rate"), col("bits_per_sample"),
+        when(col("byte_rate") ===
+          col("sample_rate") * col("channels") * col("bits_per_sample") / 8,
+          1).otherwise(0).as("byte_rate_ok"),
+        col("data_off"), col("data_len"),
+        when(col("data_len") ===
+          octet_length(col("payload")) - (col("data_off") + 8),
+          1).otherwise(0).as("len_ok"),
+        expr("data_len * 1000 div byte_rate").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_meta"  -> (audioMeta _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features"    -> (features _),
     "mm_frame_sample" -> (frameSample _),
@@ -224,6 +313,22 @@ object Multimodal extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Closed-form expected values from the synthesis formulas — the Spark
+    // side derives them only from the bytes (LE fmt fields + chunk walk).
+    "mm_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |    CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS sample_rate,
+        |    CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS bits_per_sample,
+        |    CAST(36 + 8 + (doc_id % 5 + 4) AS BIGINT) AS data_off,
+        |    CAST(length(text) AS BIGINT) AS data_len
+        |  FROM documents)
+        |SELECT doc_id, 1 AS valid, channels, sample_rate, bits_per_sample,
+        |  1 AS byte_rate_ok, data_off, data_len, 1 AS len_ok,
+        |  (data_len * 1000) // ((sample_rate * channels * bits_per_sample) // 8)
+        |    AS duration_ms
+        |FROM p ORDER BY doc_id""".stripMargin,
     "mm_image_dims" ->
       """WITH base AS (
         |  SELECT doc_id,

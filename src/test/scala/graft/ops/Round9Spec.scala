@@ -159,6 +159,34 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_meta: fields re-read by an independent java.nio LE decode") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val payloads = Multimodal.audioAssets(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val got = SparkEntry.queries("mm_audio_meta")(spark, TestSpark.sf)
+      .filter(col("doc_id") < 8).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = payloads(id)
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      assert(new String(bytes.slice(0, 4), "ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "ASCII") == "WAVE")
+      assert(r.getInt(1) == 1) // valid
+      assert(r.getLong(2) == (bb.getShort(22) & 0xffff).toLong, s"channels doc $id")
+      assert(r.getLong(3) == bb.getInt(24).toLong, s"sample_rate doc $id")
+      assert(r.getLong(4) == (bb.getShort(34) & 0xffff).toLong, s"bits doc $id")
+      // Walk chunks independently to find 'data'.
+      var off = 36
+      while (new String(bytes.slice(off, off + 4), "ASCII") != "data")
+        off += 8 + bb.getInt(off + 4)
+      assert(r.getLong(6) == off.toLong, s"data_off doc $id")
+      assert(r.getLong(7) == bb.getInt(off + 4).toLong, s"data_len doc $id")
+      assert(r.getInt(5) == 1 && r.getInt(8) == 1) // byte_rate_ok, len_ok
+    }
+  }
+
   test("mm_image_dims: payload bytes carry a real PNG signature / JPEG SOI") {
     val payloads = Multimodal.imageAssets(spark, TestSpark.sf)
       .orderBy("doc_id").limit(4).collect()
