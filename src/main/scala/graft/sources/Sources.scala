@@ -189,7 +189,35 @@ object Sources extends QueryModule {
       .orderBy(col("line_md5"))
   }
 
+  /** Schema evolution on read: batch 1 is written with the ORIGINAL
+    * 2-column schema, batch 2 with an added column — the layout every
+    * long-lived lake accumulates. `mergeSchema` reconciles the footers at
+    * read time (a small footer-only job, no data rewrite — which is why
+    * this is the right 100 TB evolution strategy vs rewriting history);
+    * legacy rows surface NULL for the new column and the aggregate buckets
+    * them under 'LEGACY'. The oracle recomputes from the unsplit fixture,
+    * proving the merged read loses nothing. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("evolve_orders", d)
+    if (!Files.exists(Paths.get(dir, "b2", "_SUCCESS"))) {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(dir + "/b1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(dir + "/b2")
+    }
+    s.read.option("mergeSchema", "true").parquet(dir + "/b1", dir + "/b2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("long").as("cents"))
+      .orderBy(col("priority"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_schema_evolution" -> (schemaEvolution _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binary_files" -> (binaryFiles _),
     "src_file_provenance" -> (fileProvenance _),
@@ -206,6 +234,13 @@ object Sources extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
+        |    ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
     "src_text_roundtrip" ->
       """SELECT md5(text) AS line_md5, COUNT(*) AS n_lines
         |FROM documents GROUP BY md5(text) ORDER BY line_md5""".stripMargin,
