@@ -519,7 +519,36 @@ object Corpus extends QueryModule {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of a 1M-token training
+    * budget across sources, proportional to each source's token mass —
+    * the integer-exact way to turn mixture WEIGHTS into per-source token
+    * QUOTAS that sum to the budget exactly (naive rounding over- or
+    * under-shoots). All algebra is integer (budget·toks div/mod total),
+    * so the result is bit-portable with no float apportionment drift.
+    * The ranking window runs over the per-source aggregate (a handful of
+    * rows), never the corpus — the window-on-reduced-table idiom. */
+  def apportion(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000000L
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text")))).cast("long").as("toks"))
+    val tot = bySource.agg(sum(col("toks")).as("total"))
+    val q = bySource.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"${budget}L * toks div total"))
+      .withColumn("rem", expr(s"(${budget}L * toks) % total"))
+    val leftover = q.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    q.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("toks"), col("base"), col("rem"),
+        col("extra"), (col("base") + col("extra")).as("quota"))
+      .orderBy(col("source"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_apportion" -> (apportion _),
     "corpus_chunk_overlap" -> (chunkOverlap _),
     "corpus_temperature_mix" -> (temperatureMix _),
     "corpus_dsir"         -> (dsirScore _),
@@ -542,6 +571,25 @@ object Corpus extends QueryModule {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_apportion" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(SUM(len($sqlToks)) AS BIGINT) AS toks
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM t),
+         |q AS (
+         |  SELECT source, toks,
+         |    CAST((1000000 * toks) // total AS BIGINT) AS base,
+         |    CAST((1000000 * toks) % total AS BIGINT) AS rem
+         |  FROM t, tot),
+         |l AS (SELECT CAST(1000000 - SUM(base) AS BIGINT) AS leftover FROM q),
+         |r AS (SELECT q.source, q.toks, q.base, q.rem, l.leftover,
+         |    row_number() OVER (ORDER BY q.rem DESC, q.source) AS rk
+         |  FROM q, l)
+         |SELECT source, toks, base, rem,
+         |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+         |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         |    AS quota
+         |FROM r ORDER BY source""".stripMargin,
     "corpus_chunk_overlap" ->
       s"""WITH t AS (
          |  SELECT doc_id, $sqlToks AS ws, len($sqlToks) AS n FROM documents),

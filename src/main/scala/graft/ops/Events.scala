@@ -400,7 +400,37 @@ object Events extends QueryModule {
       .orderBy(col("streak_days").desc, col("user_id"))
   }
 
+  /** Time-constrained conversion funnel: a user "enters" at their FIRST
+    * view, and converts iff a purchase lands within the next hour —
+    * the windowed-conversion semantics ad/product analytics actually use
+    * (the path funnel has no deadline; this one does). Per-user entry is
+    * one groupBy(user); the deadline check is a keyed join of entries to
+    * that user's purchases with the interval predicate evaluated
+    * join-side, folded by max() so multiple qualifying purchases count
+    * once. Both shuffles hash on user_id; nothing scans pairs across
+    * users. Daily rollup is exact integers + one IEEE division. */
+  def funnelTimebound(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val entry = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    entry.join(pur, Seq("user_id"), "left")
+      .withColumn("ok",
+        col("pts") > col("fv") &&
+          col("pts") <= col("fv") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"), col("fv"))
+      .agg(max(when(col("ok"), 1).otherwise(0)).as("conv"))
+      .groupBy(col("fv").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_entered"),
+        sum(col("conv")).cast("long").as("n_converted"))
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_entered").cast("double"))
+      .orderBy(col("day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_timebound" -> (funnelTimebound _),
     "ev_attribution" -> (attribution _),
     "ev_streaks" -> (streaks _),
     "ev_interpolate" -> (interpolate _),
@@ -422,6 +452,21 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_funnel_timebound" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(ts) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT f.user_id, CAST(f.fv AS DATE) AS day,
+        |    CASE WHEN EXISTS (SELECT 1 FROM events p
+        |      WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+        |        AND p.ts > f.fv AND p.ts <= f.fv + INTERVAL 1 HOUR)
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM fv f)
+        |SELECT day, COUNT(*) AS n_entered,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conv_rate
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
     "ev_interpolate" ->
       """WITH ev AS (
         |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h, value

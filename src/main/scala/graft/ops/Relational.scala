@@ -468,7 +468,37 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Full SCD2 HISTORY rebuild from the changelog — the interval twin of
+    * [[cdcApply]] (which keeps only the latest image): every I/U event
+    * becomes a version row whose validity closes at the NEXT event's seq
+    * (one `lead` per key — the window is partitioned by the key, so state
+    * is per-key event count, never table-wide); a D closes the prior
+    * version without emitting one, and `is_current` marks versions with
+    * no successor. This is how a warehouse reconstructs as-was history
+    * from a Debezium-style feed. One hash shuffle on the key. */
+  def cdcHistory(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+    val ins = o.select(col("o_orderkey"), lit(1L).as("seq"),
+      lit("I").as("op"), col("o_totalprice").as("price"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit(2L).as("seq"), lit("U").as("op"),
+        (col("o_totalprice") + 100.0).as("price"))
+    val del = o.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit(3L).as("seq"), lit("D").as("op"),
+        lit(null).cast("double").as("price"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("seq"))
+    ins.unionByName(upd).unionByName(del)
+      .withColumn("valid_to_seq", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(col("o_orderkey"), col("seq").as("valid_from_seq"),
+        col("price"), col("valid_to_seq"),
+        when(col("valid_to_seq").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from_seq"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cdc_history"    -> (cdcHistory _),
     "rel_cdc_apply"      -> (cdcApply _),
     "q1_pricing_summary" -> (pricingSummary _),
     "rel_diff"           -> (snapshotDiff _),
@@ -504,6 +534,25 @@ object Relational extends QueryModule {
        |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "rel_cdc_history" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op,
+        |    o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(2 AS BIGINT), 'U', o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(3 AS BIGINT), 'D', NULL
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |v AS (
+        |  SELECT o_orderkey, seq, op, price,
+        |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+        |      AS valid_to_seq
+        |  FROM log)
+        |SELECT o_orderkey, seq AS valid_from_seq, price, valid_to_seq,
+        |  CASE WHEN valid_to_seq IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY o_orderkey, valid_from_seq""".stripMargin,
     "rel_cdc_apply" ->
       """WITH log AS (
         |  SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price

@@ -409,7 +409,34 @@ object Scalars extends QueryModule {
         |ORDER BY p_partkey, metric""".stripMargin)
   }
 
+  /** Named WINDOW clause (SQL parser surface) + the nth_value analytic:
+    * one definition shared by several OVER references — rank on the
+    * frameless ranking window, first/nth/last on the full-partition
+    * frame. The ORDER BY (price DESC, key) is total, so nth_value is
+    * deterministic. Same SQL runs on DuckDB (oracle adds only a rank
+    * type cast). */
+  def sqlNamedWindow(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    rank() OVER w1 AS rk,
+        |    first_value(o_orderkey) OVER w2 AS first_key,
+        |    nth_value(o_orderkey, 2) OVER w2 AS second_key,
+        |    last_value(o_orderkey) OVER w2 AS last_key
+        |  FROM orders
+        |  WINDOW
+        |    w1 AS (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey),
+        |    w2 AS (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |) t WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_named_window" -> (sqlNamedWindow _),
     "sql_unpivot" -> (sqlUnpivot _),
     "sql_pivot" -> (sqlPivot _),
     "scalar_collation" -> (collationFuncs _),
@@ -434,6 +461,23 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_named_window" ->
+      """SELECT o_orderpriority, o_orderkey, CAST(rk AS INT) AS rk,
+        |  first_key, second_key, last_key FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    rank() OVER w1 AS rk,
+        |    first_value(o_orderkey) OVER w2 AS first_key,
+        |    nth_value(o_orderkey, 2) OVER w2 AS second_key,
+        |    last_value(o_orderkey) OVER w2 AS last_key
+        |  FROM orders
+        |  WINDOW
+        |    w1 AS (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey),
+        |    w2 AS (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |) t WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
     "sql_unpivot" ->
       """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
         |FROM part
