@@ -429,7 +429,30 @@ object Events extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams —
+    * the "what do users do next" model behind journey analysis and
+    * next-event prediction. One lead per user (hash shuffle on user_id,
+    * the sessionization exchange), pair counts in a partial+final
+    * aggregate, and row-normalization by a window over the TINY
+    * (|types|²-row) transition table, never the events. Counts are exact
+    * integers; prob is one IEEE division. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val wc = Window.partitionBy(col("cur"))
+    pairs
+      .withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(wc).cast("double"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_markov_transitions" -> (markovTransitions _),
     "ev_funnel_timebound" -> (funnelTimebound _),
     "ev_attribution" -> (attribution _),
     "ev_streaks" -> (streaks _),
@@ -452,6 +475,18 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS cur, nxt, COUNT(*) AS n,
+        |  CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(SUM(COUNT(*)) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    AS prob
+        |FROM e WHERE nxt IS NOT NULL
+        |GROUP BY cur, nxt ORDER BY cur, nxt""".stripMargin,
     "ev_funnel_timebound" ->
       """WITH fv AS (
         |  SELECT user_id, min(ts) AS fv FROM events

@@ -106,9 +106,40 @@ object Graph extends QueryModule {
       .orderBy(col("n_edges"))
   }
 
+  /** BFS levels (single-source shortest hop count, 4 bounded rounds) from
+    * nation 0 over the trade graph — the traversal primitive under
+    * reachability, impact analysis, and graph sampling. Each round is ONE
+    * keyed join of the current frontier against the edge list + distinct
+    * (the Pregel step); the union of all rounds min-folds to the level.
+    * Bounded rounds keep the plan closed-form for the oracle's recursive
+    * CTE (both sides cap at 4 hops, and min over ≤4-hop paths is the BFS
+    * level for everything within that radius). */
+  def bfsLevels(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val seed = Tables.nation(s, d).filter(col("n_nationkey") === 0)
+      .select(col("n_nationkey").as("id"), lit(0).as("lvl"))
+    var all = seed
+    var frontier = seed
+    for (i <- 1 to 4) {
+      frontier = frontier.join(edges, frontier("id") === edges("src"))
+        .select(col("dst").as("id"), lit(i).as("lvl"))
+        .distinct()
+      all = all.unionByName(frontier)
+    }
+    all.groupBy(col("id")).agg(min(col("lvl")).as("level"))
+      .orderBy(col("id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (triangles _),
     "graph_pagerank" -> (pagerank _),
+    "graph_bfs" -> (bfsLevels _),
   )
 
   private def prIter(prev: String): String =
@@ -136,6 +167,19 @@ object Graph extends QueryModule {
         |        JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
         |SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
         |       CAST((SELECT COUNT(*) FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
+    "graph_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |r AS (
+        |  SELECT n_nationkey AS id, 0 AS lvl FROM nation WHERE n_nationkey = 0
+        |  UNION
+        |  SELECT e.dst AS id, r.lvl + 1 AS lvl
+        |  FROM r JOIN e ON e.src = r.id WHERE r.lvl < 4)
+        |SELECT id, MIN(lvl) AS level FROM r GROUP BY id ORDER BY id""".stripMargin,
     "graph_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

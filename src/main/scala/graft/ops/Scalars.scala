@@ -435,7 +435,27 @@ object Scalars extends QueryModule {
         |ORDER BY o_orderpriority, rk""".stripMargin)
   }
 
+  /** Time-interval RANGE frame: per-user rolling 1-hour event count and
+    * spend — `RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW`
+    * over a timestamp ORDER BY, the frame type event analytics needs and
+    * numeric rangeBetween can't express. The window is partitioned by
+    * user (hash exchange on user_id); spend is summed in exact cents so
+    * the frame's add order can't matter. Timestamps are emitted as epoch
+    * micros per the portability rule. */
+  def sqlTimeRangeWindow(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(
+      """SELECT user_id, event_id, unix_micros(ts) AS us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_time_range_window" -> (sqlTimeRangeWindow _),
     "sql_named_window" -> (sqlNamedWindow _),
     "sql_unpivot" -> (sqlUnpivot _),
     "sql_pivot" -> (sqlPivot _),
@@ -461,6 +481,15 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "sql_time_range_window" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+        |    AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
     "sql_named_window" ->
       """SELECT o_orderpriority, o_orderkey, CAST(rk AS INT) AS rk,
         |  first_key, second_key, last_key FROM (

@@ -1,7 +1,7 @@
 package graft.pii
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Registered carpet-core queries: each exercises one Redact action over the
@@ -216,7 +216,30 @@ object PiiQueries extends QueryModule {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Cross-table consistent pseudonymization — the property that makes
+    * tokenization USEFUL, not just safe: the same salted-hash token
+    * replaces c_custkey in `customer` and o_custkey in `orders`, and the
+    * analytics join runs ON THE TOKENS. The oracle computes the same
+    * per-segment rollup through the CLEAR keys, so a hash-exact pass
+    * proves referential integrity survives tokenization (same key → same
+    * token everywhere, and no cross-key collisions merged groups). The
+    * token join is hash-partitioned exactly like the clear join would be —
+    * pseudonymization costs one map-side sha256 per side, nothing else. */
+  def xtableConsistency(s: SparkSession, d: String): DataFrame = {
+    def tok(c: Column): Column =
+      sha2(concat(c.cast("string"), lit("\u001f"), lit("pepper42")), 256)
+    val cust = Tables.customer(s, d)
+      .select(tok(col("c_custkey")).as("ctoken"), col("c_mktsegment"))
+    val ord = Tables.orders(s, d).select(tok(col("o_custkey")).as("otoken"))
+    cust.join(ord, cust("ctoken") === ord("otoken"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("ctoken")).as("n_customers"),
+        count(col("otoken")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_xtable_consistency" -> (xtableConsistency _),
     "pii_dp_counts" -> (dpCounts _),
     "pii_generalize" -> (generalizeK _),
     "pii_k_anonymity" -> (kAnonymity _),
@@ -232,6 +255,14 @@ object PiiQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Deliberately joins on the CLEAR keys: equality with the Spark side's
+    // token join proves cross-table pseudonym consistency.
+    "pii_xtable_consistency" ->
+      """SELECT c.c_mktsegment,
+        |  COUNT(DISTINCT c.c_custkey) AS n_customers,
+        |  CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "pii_dp_counts" ->
       """WITH t AS (
         |  SELECT c_mktsegment, COUNT(*) AS true_n,
