@@ -353,6 +353,37 @@ object Aggs extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Per-group OLS regression (slope / intercept / R²) of price on
+    * quantity — the trend-line aggregate (`regr_slope` family) computed
+    * from the SAME five exact-decimal moments as [[corrCov]], so the
+    * result is add-order-free and bit-portable where Spark's float
+    * `regr_*` builtins are partitioning-dependent. Final arithmetic is
+    * IEEE (+,−,×,÷) on bit-agreed doubles; one partial+final aggregate. */
+  def regression(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val sx  = sum(x.cast("decimal(18,4)")).cast("string").cast("double")
+    val sy  = sum(y.cast("decimal(18,4)")).cast("string").cast("double")
+    val sxy = sum(x.cast("decimal(8,4)") * y.cast("decimal(12,4)"))
+      .cast("string").cast("double")
+    val sx2 = sum(x.cast("decimal(8,4)") * x.cast("decimal(8,4)"))
+      .cast("string").cast("double")
+    val sy2 = sum(y.cast("decimal(12,4)") * y.cast("decimal(12,4)"))
+      .cast("string").cast("double")
+    val n = col("n").cast("double")
+    val vx = col("sum_x2") - col("sum_x") * col("sum_x") / n
+    val vy = col("sum_y2") - col("sum_y") * col("sum_y") / n
+    val cxy = col("sum_xy") - col("sum_x") * col("sum_y") / n
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sx.as("sum_x"), sy.as("sum_y"),
+        sxy.as("sum_xy"), sx2.as("sum_x2"), sy2.as("sum_y2"))
+      .select(col("l_returnflag"), col("n"),
+        (cxy / vx).as("slope"),
+        ((col("sum_y") - (cxy / vx) * col("sum_x")) / n).as("intercept"),
+        ((cxy * cxy) / (vx * vy)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Boolean/selector aggregates: bool_and / bool_or / count_if and
     * max_by / min_by (argmax as built-ins, complementing the typed
     * Aggregator form in agg_argmax_udaf). The by-value is made unique
@@ -477,6 +508,7 @@ object Aggs extends QueryModule {
     "agg_skew_kurtosis" -> (skewKurtosis _),
     "agg_equidepth"     -> (equidepthHistogram _),
     "agg_equidepth_sketch" -> (equidepthSketch _),
+    "agg_regression"    -> (regression _),
     "agg_booleans"      -> (booleanAggs _),
     "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
@@ -554,6 +586,34 @@ object Aggs extends QueryModule {
         |    AS key_of_min
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag, n,
+        |  (sum_xy - sum_x * sum_y / CAST(n AS DOUBLE))
+        |    / (sum_x2 - sum_x * sum_x / CAST(n AS DOUBLE)) AS slope,
+        |  (sum_y - ((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE))
+        |      / (sum_x2 - sum_x * sum_x / CAST(n AS DOUBLE))) * sum_x)
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  ((sum_xy - sum_x * sum_y / CAST(n AS DOUBLE))
+        |    * (sum_xy - sum_x * sum_y / CAST(n AS DOUBLE)))
+        |  / ((sum_x2 - sum_x * sum_x / CAST(n AS DOUBLE))
+        |    * (sum_y2 - sum_y * sum_y / CAST(n AS DOUBLE))) AS r2
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_x,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_y,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))
+        |      * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_xy,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,4))
+        |      * CAST(l_quantity AS DECIMAL(8,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_x2,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+        |      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR)
+        |      AS DOUBLE) AS sum_y2
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_corr_cov" ->
       """SELECT l_returnflag, n,
         |  (sum_xy - sum_x * sum_y / n) / (n - 1) AS cov_samp,

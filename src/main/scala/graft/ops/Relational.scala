@@ -497,7 +497,48 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderkey"), col("valid_from_seq"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * customer-value cube: per-customer R/F/M from one orders aggregate,
+    * quintile boundaries from exact interpolated percentiles over the
+    * REDUCED per-customer table (broadcast back — no ntile, no global
+    * window on facts; at 100 TB swap boundaries to the registered
+    * percentile_approx sketch, downstream shape unchanged), scores
+    * assigned map-side by boundary comparison, then the 125-cell segment
+    * rollup. Recency is measured against the corpus max date built into
+    * the plan as a broadcast scalar. Note scores rank raw values
+    * ascending (r_score 5 = LEAST recent); consumers flip signs, the
+    * mechanics don't care. */
+  def rfm(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("lastd"),
+        count(lit(1)).cast("double").as("f"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("long").as("m"))
+    val ref = o.agg(max(col("o_orderdate")).as("mx"))
+    val base = cust.crossJoin(broadcast(ref))
+      .withColumn("r", datediff(col("mx"), col("lastd")).cast("double"))
+    val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    val bounds = base.agg(
+      percentile(col("r"), qs).as("rb"),
+      percentile(col("f"), qs).as("fb"),
+      percentile(col("m").cast("double"), qs).as("mb"))
+    def score(c: Column, b: Column): Column =
+      (1 to 4).map(i => when(c > element_at(b, i), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    base.crossJoin(broadcast(bounds))
+      .select(score(col("r"), col("rb")).as("r_score"),
+        score(col("f"), col("fb")).as("f_score"),
+        score(col("m").cast("double"), col("mb")).as("m_score"),
+        col("m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).cast("long").as("cents"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rfm"            -> (rfm _),
     "rel_cdc_history"    -> (cdcHistory _),
     "rel_cdc_apply"      -> (cdcApply _),
     "q1_pricing_summary" -> (pricingSummary _),
@@ -534,6 +575,43 @@ object Relational extends QueryModule {
        |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "rel_rfm" ->
+      """WITH c AS (
+        |  SELECT o_custkey, max(o_orderdate) AS lastd,
+        |    CAST(COUNT(*) AS DOUBLE) AS f,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |ref AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |base AS (
+        |  SELECT c.*, CAST(date_diff('day', lastd, mx) AS DOUBLE) AS r
+        |  FROM c, ref),
+        |b AS (
+        |  SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |    quantile_cont(CAST(m AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mb
+        |  FROM base),
+        |scored AS (
+        |  SELECT
+        |    1 + (CASE WHEN r > rb[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r > rb[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r > rb[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN r > rb[4] THEN 1 ELSE 0 END) AS r_score,
+        |    1 + (CASE WHEN f > fb[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN f > fb[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN f > fb[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN f > fb[4] THEN 1 ELSE 0 END) AS f_score,
+        |    1 + (CASE WHEN CAST(m AS DOUBLE) > mb[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(m AS DOUBLE) > mb[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(m AS DOUBLE) > mb[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(m AS DOUBLE) > mb[4] THEN 1 ELSE 0 END)
+        |      AS m_score,
+        |    m
+        |  FROM base, b)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+        |  CAST(SUM(m) AS BIGINT) AS cents
+        |FROM scored GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     "rel_cdc_history" ->
       """WITH log AS (
         |  SELECT o_orderkey, CAST(1 AS BIGINT) AS seq, 'I' AS op,
