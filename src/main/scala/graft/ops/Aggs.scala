@@ -384,6 +384,34 @@ object Aggs extends QueryModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Weighted median (price weighted by quantity) per group — the
+    * "typical price of a shipped unit" statistic a plain median gets
+    * wrong. Definition: smallest price whose cumulative weight reaches
+    * half the group total. The running weight uses a RANGE frame (peers
+    * enter together, so equal prices share one cumulative value) and
+    * sums EXACT DECIMAL weights — add-order-free, so the running sum is
+    * bit-identical across engines regardless of peer order; the
+    * threshold test is 2·cum ≥ total in decimal (no float halving). One
+    * window + one aggregate, both on the group key. */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("decimal(18,4)").as("q"))
+      .withColumn("cum", sum(col("q")).over(w))
+      .withColumn("tot", sum(col("q")).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
+          .as("wmedian"),
+        max(col("tot")).cast("string").cast("double").as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Boolean/selector aggregates: bool_and / bool_or / count_if and
     * max_by / min_by (argmax as built-ins, complementing the typed
     * Aggregator form in agg_argmax_udaf). The by-value is made unique
@@ -509,6 +537,7 @@ object Aggs extends QueryModule {
     "agg_equidepth"     -> (equidepthHistogram _),
     "agg_equidepth_sketch" -> (equidepthSketch _),
     "agg_regression"    -> (regression _),
+    "agg_weighted_median" -> (weightedMedian _),
     "agg_booleans"      -> (booleanAggs _),
     "agg_corr_cov"      -> (corrCov _),
     "agg_argmax_udaf"   -> (argMaxOrder _),
@@ -586,6 +615,19 @@ object Aggs extends QueryModule {
         |    AS key_of_min
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |      PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 2 >= tot THEN l_extendedprice END) AS wmedian,
+        |  CAST(CAST(MAX(tot) AS VARCHAR) AS DOUBLE) AS total_weight
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_regression" ->
       """SELECT l_returnflag, n,
         |  (sum_xy - sum_x * sum_y / CAST(n AS DOUBLE))

@@ -451,7 +451,31 @@ object Events extends QueryModule {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** Churn report: a user has churned if their last event is more than 7
+    * days before the corpus end. Per-user last-activity from one
+    * aggregate; the corpus end enters the plan as a broadcast scalar
+    * (crossJoin(broadcast(agg)) — never a driver-side collect); cohorts
+    * roll up by first-seen date. Integer micros arithmetic end to end,
+    * one IEEE division for the rate. */
+  def churn(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val end = ev.agg(max(col("us")).as("end_us"))
+    per.crossJoin(broadcast(end))
+      .withColumn("churned",
+        (col("end_us") - col("last_us") > 7L * 86400L * 1000000L).cast("int"))
+      .groupBy(expr("to_date(timestamp_micros(first_us))").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("churned")).cast("long").as("n_churned"))
+      .withColumn("churn_rate",
+        col("n_churned").cast("double") / col("n_users").cast("double"))
+      .orderBy(col("cohort_day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_churn" -> (churn _),
     "ev_markov_transitions" -> (markovTransitions _),
     "ev_funnel_timebound" -> (funnelTimebound _),
     "ev_attribution" -> (attribution _),
@@ -475,6 +499,20 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_churn" ->
+      """WITH per AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_us,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id),
+        |e AS (SELECT max(epoch_us(ts)) AS end_us FROM events)
+        |SELECT CAST(make_timestamp(first_us) AS DATE) AS cohort_day,
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN end_us - last_us > CAST(604800 AS BIGINT) * 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  CAST(SUM(CASE WHEN end_us - last_us > CAST(604800 AS BIGINT) * 1000000
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS churn_rate
+        |FROM per, e GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
     "ev_markov_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

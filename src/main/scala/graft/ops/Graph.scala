@@ -122,6 +122,10 @@ object Graph extends QueryModule {
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      // Lazy checkpoint: the 4-way edge derivation materializes once on
+      // the first action instead of once per frontier round (the
+      // bpeMerges iterative-plan idiom; blocks released by CacheHygiene).
+      .localCheckpoint(false)
     val seed = Tables.nation(s, d).filter(col("n_nationkey") === 0)
       .select(col("n_nationkey").as("id"), lit(0).as("lvl"))
     var all = seed
@@ -130,6 +134,7 @@ object Graph extends QueryModule {
       frontier = frontier.join(edges, frontier("id") === edges("src"))
         .select(col("dst").as("id"), lit(i).as("lvl"))
         .distinct()
+        .localCheckpoint(false) // frontier feeds next round AND the union
       all = all.unionByName(frontier)
     }
     all.groupBy(col("id")).agg(min(col("lvl")).as("level"))

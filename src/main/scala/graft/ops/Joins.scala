@@ -370,7 +370,35 @@ object Joins extends QueryModule {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Inverted-index (term-match) join — the text-retrieval join shape:
+    * instead of a quadratic arrays_overlap cross join, both sides explode
+    * to (term, id) postings and meet in ONE equi-join on the term, then
+    * regroup to count matched terms per (query, doc) — top-5 per query by
+    * match count. Query terms come from five seed part names (derived
+    * from the data, so the oracle rebuilds them). This is how search-
+    * style joins scale: postings are linear, the join is keyed by term,
+    * and hot terms — not pair counts — are the skew knob. */
+  def invertedIndexJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("term"))
+    val queries = Tables.part(s, d).filter(col("p_partkey") <= 5)
+      .select(col("p_partkey").as("qid"),
+        explode(split(col("p_name"), " ")).as("term"))
+      .distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("n_matched").desc, col("p_partkey"))
+    queries.join(parts, Seq("term"))
+      .groupBy(col("qid"), col("p_partkey"))
+      .agg(countDistinct(col("term")).as("n_matched"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("p_partkey"), col("n_matched"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inverted_index" -> (invertedIndexJoin _),
     "join_fuzzy" -> (fuzzyJoin _),
     "join_interval_overlap" -> (intervalOverlap _),
     "join_asof_fwd"        -> (asofForwardJoin _),
@@ -403,6 +431,24 @@ object Joins extends QueryModule {
     // Deliberately INDEPENDENT of the blocking: brute-force all-pairs
     // levenshtein. A hash-exact match proves the deletion-neighborhood
     // candidates are lossless at k=1.
+    "join_inverted_index" ->
+      """WITH postings AS (
+        |  SELECT p_partkey, unnest(string_split(p_name, ' ')) AS term
+        |  FROM part),
+        |q AS (
+        |  SELECT DISTINCT p_partkey AS qid,
+        |    unnest(string_split(p_name, ' ')) AS term
+        |  FROM part WHERE p_partkey <= 5),
+        |m AS (
+        |  SELECT q.qid, p.p_partkey, COUNT(DISTINCT q.term) AS n_matched
+        |  FROM q JOIN postings p ON p.term = q.term
+        |  GROUP BY q.qid, p.p_partkey)
+        |SELECT qid, CAST(rank AS INT) AS rank, p_partkey, n_matched FROM (
+        |  SELECT qid, p_partkey, n_matched,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY n_matched DESC, p_partkey) AS rank
+        |  FROM m) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "join_fuzzy" ->
       """WITH n AS (
         |  SELECT p_name AS name, COUNT(*) AS n_parts FROM part

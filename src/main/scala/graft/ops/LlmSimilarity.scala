@@ -601,8 +601,12 @@ object LlmSimilarity extends QueryModule {
   def knnDescent(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
+    // Lazy checkpoints: the SRP bucket-join graph feeds both the forward
+    // and reverse edge sets, and the adjacency self-joins — materialize
+    // each once on the first action (bpeMerges idiom, CacheHygiene-scoped).
     val g3 = knnGraph(s, d).select(
       col("vec_id").as("u"), col("nb_id").as("v"), col("score"))
+      .localCheckpoint(false)
     val wRev = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("v"))
     val rev = g3.select(col("v").as("u"), col("u").as("v"), col("score"))
@@ -610,6 +614,7 @@ object LlmSimilarity extends QueryModule {
       .filter(col("rk") <= 3)
       .select(col("u"), col("v"))
     val adj = g3.select(col("u"), col("v")).unionByName(rev).distinct()
+      .localCheckpoint(false)
     val non = adj.as("x").join(adj.as("y"), col("x.v") === col("y.u"))
       .filter(col("x.u") =!= col("y.v"))
       .select(col("x.u").as("u"), col("y.v").as("w"))
