@@ -397,7 +397,33 @@ object Joins extends QueryModule {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** SALTED join — the manual skew-mitigation pattern for when AQE's
+    * runtime skew split isn't available (first-shuffle skew, stateful
+    * streaming joins): the fact side adds an 8-way salt derived from its
+    * own row (so one hot customer's orders spread over 8 reducer
+    * partitions), the dim side explodes ×8 to meet every salt, and the
+    * join key becomes (custkey, salt). A shuffle-hash hint keeps the plan
+    * honest — broadcast would hide the salting. The gate proves the
+    * REWRITE IS LOSSLESS: the oracle aggregates over the plain unsalted
+    * join. Dim-side cost is the 8× explode — the knob traded against the
+    * hot key's reducer ceiling. */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val r = 8
+    val fact = Tables.orders(s, d)
+      .withColumn("salt", pmod(col("o_orderkey"), lit(r)).cast("int"))
+    val dim = Tables.customer(s, d)
+      .withColumn("salt", explode(array((0 until r).map(lit): _*)))
+    fact.join(dim.hint("shuffle_hash"),
+        col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("long").as("cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_salted" -> (saltedJoin _),
     "join_inverted_index" -> (invertedIndexJoin _),
     "join_fuzzy" -> (fuzzyJoin _),
     "join_interval_overlap" -> (intervalOverlap _),
@@ -431,6 +457,13 @@ object Joins extends QueryModule {
     // Deliberately INDEPENDENT of the blocking: brute-force all-pairs
     // levenshtein. A hash-exact match proves the deletion-neighborhood
     // candidates are lossless at k=1.
+    // The oracle joins UNSALTED — equality proves the salt rewrite lossless.
+    "join_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_inverted_index" ->
       """WITH postings AS (
         |  SELECT p_partkey, unnest(string_split(p_name, ' ')) AS term

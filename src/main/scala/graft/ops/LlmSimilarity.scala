@@ -461,6 +461,89 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ — the composite production ANN index (FAISS's workhorse),
+    * assembled from the repo's two halves: an IVF coarse quantizer (4
+    * data-seeded cells, min-L2 assignment) and PRODUCT QUANTIZATION ON
+    * THE RESIDUALS (emb − cell centroid; 4 subspaces × 16 dims, 4-entry
+    * data-seeded codebooks). Queries probe the 2 nearest cells; per
+    * probed cell the score is the asymmetric-distance decomposition
+    * q·c ≈ q·centroid + Σⱼ LUT[j, codeⱼ] where the LUT holds the QUERY
+    * RESIDUAL's sub-dots against the codebook — one tiny broadcast per
+    * query, map-only scoring of only the probed cells' codes. At 100 TB:
+    * vectors are stored as 4 small codes + a cell id (32× compression),
+    * the scan touches nprobe/k of the corpus, and cells/codebooks come
+    * from k-means ([[kmeans]]) instead of data seeds. Residual sums fold
+    * value-sorted so the doubles are engine-identical. */
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val m = 4; val w = 16
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    def dotf(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cells = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("emb").as("cent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cell"))
+    val assigned = e.crossJoin(broadcast(cells))
+      .withColumn("cdist", l2sq(col("emb"), col("cent")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("cent"), (x, c) => x - c).as("res"))
+      .localCheckpoint(false) // feeds codebooks AND codes
+    def subs(df: DataFrame, vcol: String): DataFrame =
+      df.select(col("vec_id"), col("cell"),
+        posexplode(array((0 until m).map(j => slice(col(vcol), j * w + 1, w)): _*))
+          .as(Seq("j", "sub")))
+    val cbook = subs(assigned.filter(col("vec_id").between(4, 7)), "res")
+      .select(col("j"), col("vec_id").cast("int").as("cid"), col("sub").as("csub"))
+    val wc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist").asc, col("cid"))
+    val codes = subs(assigned, "res").join(broadcast(cbook), "j")
+      .withColumn("dist", l2sq(col("sub"), col("csub")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("c_id"), col("cell").as("c_cell"),
+        col("j"), col("cid").as("code"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdist").asc, col("cell"))
+    val probes = e.filter(col("vec_id").between(10, 14))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .crossJoin(broadcast(cells))
+      .withColumn("qdist", l2sq(col("q_emb"), col("cent")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("q_id"), col("cell"),
+        dotf(col("q_emb"), col("cent")).as("qc_dot"),
+        zip_with(col("q_emb"), col("cent"), (x, c) => x - c).as("q_res"))
+    val lut = probes
+      .select(col("q_id"), col("cell"), col("qc_dot"),
+        posexplode(array((0 until m).map(j => slice(col("q_res"), j * w + 1, w)): _*))
+          .as(Seq("qj", "qsub")))
+      .join(broadcast(cbook), col("qj") === col("j"))
+      .select(col("q_id"), col("cell"), col("qc_dot"), col("qj"), col("cid"),
+        dotf(col("qsub"), col("csub")).as("pdot"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    codes.join(broadcast(lut),
+        codes("c_cell") === lut("cell") && codes("j") === lut("qj") &&
+          codes("code") === lut("cid"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"), col("qc_dot"))
+      .agg(aggregate(array_sort(collect_list(col("pdot"))),
+        lit(0.0), (a, v) => a + v).as("rsum"))
+      .withColumn("score", col("qc_dot") + col("rsum"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Top principal direction by distributed POWER ITERATION (2 fixed
     * iterations on the uncentered second-moment matrix A = XᵀX/n). The
     * d×d covariance is never materialized: each iteration computes
@@ -764,6 +847,7 @@ object LlmSimilarity extends QueryModule {
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_knn_graph" -> (knnGraph _),
     "sim_knn_descent" -> (knnDescent _),
+    "sim_ivf_pq_topk" -> (ivfPqTopK _),
     "sim_knn_recall" -> (knnRecall _),
     "sim_range_search" -> (rangeSearch _),
     "vec_quantize_int8" -> (quantizeInt8 _),
@@ -1113,6 +1197,73 @@ object LlmSimilarity extends QueryModule {
          |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,
          |  len(embedding) AS dim
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sim_ivf_pq_topk" -> {
+      def dot64(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> ($a)[i] * ($b)[i]), (acc, x) -> acc + x)"
+      def l2sq64(a: String, b: String): String =
+        s"list_reduce(list_transform(generate_series(1, 64), " +
+          s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (acc, x) -> acc + x)"
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |cells AS (SELECT CAST(vec_id AS INT) AS cell, emb AS cent
+         |  FROM e WHERE vec_id < 4),
+         |assigned AS (
+         |  SELECT vec_id, cell,
+         |    list_transform(generate_series(1, 64), i -> emb[i] - cent[i])
+         |      AS res
+         |  FROM (
+         |    SELECT e.vec_id, cells.cell, e.emb, cells.cent,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2sq64("e.emb", "cells.cent")}, cells.cell) AS rn
+         |    FROM e CROSS JOIN cells) t WHERE rn = 1),
+         |cb AS (
+         |  SELECT j, CAST(vec_id AS INT) AS cid,
+         |    list_transform(generate_series(j * 16 + 1, j * 16 + 16),
+         |      i -> res[i]) AS csub
+         |  FROM assigned CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+         |  WHERE vec_id BETWEEN 4 AND 7),
+         |codes AS (
+         |  SELECT vec_id AS c_id, cell AS c_cell, j, cid AS code FROM (
+         |    SELECT a.vec_id, a.cell, cb.j, cb.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id, cb.j ORDER BY
+         |        list_reduce(list_transform(generate_series(1, 16),
+         |          i -> (a.res[cb.j * 16 + i] - cb.csub[i])
+         |             * (a.res[cb.j * 16 + i] - cb.csub[i])),
+         |          (acc, x) -> acc + x), cb.cid) AS rn
+         |    FROM assigned a CROSS JOIN cb) t WHERE rn = 1),
+         |qp AS (
+         |  SELECT q_id, cell, qc_dot, q_res FROM (
+         |    SELECT e.vec_id AS q_id, cells.cell,
+         |      ${dot64("e.emb", "cells.cent")} AS qc_dot,
+         |      list_transform(generate_series(1, 64),
+         |        i -> emb[i] - cent[i]) AS q_res,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2sq64("e.emb", "cells.cent")}, cells.cell) AS rn
+         |    FROM e CROSS JOIN cells
+         |    WHERE e.vec_id BETWEEN 10 AND 14) t WHERE rn <= 2),
+         |lut AS (
+         |  SELECT q_id, cell, qc_dot, j, cid,
+         |    list_reduce(list_transform(generate_series(1, 16),
+         |      i -> q_res[j * 16 + i] * csub[i]), (acc, x) -> acc + x) AS pdot
+         |  FROM qp CROSS JOIN cb),
+         |adc AS (
+         |  SELECT l.q_id, c.c_id, l.qc_dot,
+         |    list_reduce(list_prepend(0.0, list(l.pdot ORDER BY l.pdot)),
+         |      (acc, x) -> acc + x) AS rsum
+         |  FROM lut l JOIN codes c
+         |    ON c.c_cell = l.cell AND c.j = l.j AND c.code = l.cid
+         |  WHERE l.q_id <> c.c_id
+         |  GROUP BY l.q_id, c.c_id, l.qc_dot)
+         |SELECT q_id, CAST(rank AS INT) AS rank, c_id, score FROM (
+         |  SELECT q_id, c_id, qc_dot + rsum AS score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY qc_dot + rsum DESC, c_id) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
     "sim_knn_descent" ->
       s"""WITH $sqlKnnCtes
          |SELECT u AS vec_id, rank, w AS nb_id, score FROM dsc

@@ -276,6 +276,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("join_salted: shuffled hash join on the salted key, never broadcast") {
+    val p = plan("join_salted")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"broadcast would hide the salting:\n$p")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"expected a shuffled join:\n$p")
+    assert(p.toLowerCase.contains("salt"), s"salt key missing from plan:\n$p")
+  }
+
   test("rel_mom_growth: the global lag window runs on the monthly aggregate, not orders") {
     assertWindowReadsAggregated("rel_mom_growth")
   }
