@@ -547,7 +547,46 @@ object Corpus extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Dataset card — the release-notes summary table every corpus ships
+    * with, as one long-format (metric, scope, value) query: per-lang doc
+    * and token counts, per-source doc counts, corpus-level dup rate,
+    * average length, and source cardinality. Each arm is a partial+final
+    * aggregate over its own key; the union is rows-not-columns so new
+    * metrics append without schema changes. Values are exact integers or
+    * a single IEEE division. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(size(tokens(col("text")))).as("t"))
+    val langDocs = byLang.select(lit("n_docs").as("metric"),
+      col("lang").as("scope"), col("n").cast("double").as("value"))
+    val langToks = byLang.select(lit("n_tokens").as("metric"),
+      col("lang").as("scope"), col("t").cast("double").as("value"))
+    val srcDocs = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("n_docs").as("metric"), col("source").as("scope"),
+        col("n").cast("double").as("value"))
+    val overall = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(md5(col("text"))).as("nd"),
+      sum(col("n_chars")).as("chars"),
+      countDistinct(col("source")).as("ns"))
+      .select(array(
+        struct(lit("dup_rate").as("metric"), lit("all").as("scope"),
+          ((col("n") - col("nd")).cast("double") / col("n").cast("double"))
+            .as("value")),
+        struct(lit("avg_chars").as("metric"), lit("all").as("scope"),
+          (col("chars").cast("double") / col("n").cast("double")).as("value")),
+        struct(lit("n_sources").as("metric"), lit("all").as("scope"),
+          col("ns").cast("double").as("value"))).as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.metric"), col("r.scope"), col("r.value"))
+    langDocs.unionByName(langToks).unionByName(srcDocs).unionByName(overall)
+      .orderBy(col("metric"), col("scope"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dataset_card" -> (datasetCard _),
     "corpus_apportion" -> (apportion _),
     "corpus_chunk_overlap" -> (chunkOverlap _),
     "corpus_temperature_mix" -> (temperatureMix _),
@@ -571,6 +610,30 @@ object Corpus extends QueryModule {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_dataset_card" ->
+      s"""SELECT metric, scope, value FROM (
+         |  SELECT 'n_docs' AS metric, lang AS scope,
+         |    CAST(COUNT(*) AS DOUBLE) AS value
+         |  FROM documents GROUP BY lang
+         |  UNION ALL
+         |  SELECT 'n_tokens', lang, CAST(SUM(len($sqlToks)) AS DOUBLE)
+         |  FROM documents GROUP BY lang
+         |  UNION ALL
+         |  SELECT 'n_docs', source, CAST(COUNT(*) AS DOUBLE)
+         |  FROM documents GROUP BY source
+         |  UNION ALL
+         |  SELECT 'dup_rate', 'all',
+         |    CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'avg_chars', 'all',
+         |    CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'n_sources', 'all', CAST(COUNT(DISTINCT source) AS DOUBLE)
+         |  FROM documents) t
+         |ORDER BY metric, scope""".stripMargin,
     "corpus_apportion" ->
       s"""WITH t AS (
          |  SELECT source, CAST(SUM(len($sqlToks)) AS BIGINT) AS toks

@@ -237,6 +237,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Markov pair extraction via transformWithState matches the batch lead pairs") {
+    // Sequence pairing as streaming state: per user, the last event type
+    // carries across micro-batches in a ValueState; each arriving event
+    // emits one (prev, cur) transition. Within a micro-batch rows sort by
+    // (ts, event_id) — the production contract is per-key ordered
+    // ingestion (e.g. Kafka keyed partitions); the sort makes the single
+    // AvailableNow batch honor it. Gate: pair counts ≡ the batch
+    // ev_markov_transitions lead() pairs.
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    class PairProcessor
+        extends StatefulProcessor[Long, (Long, Long, Long, String), (String, String)] {
+      @transient private var last: ValueState[String] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        last = getHandle.getValueState[String]("last", Encoders.STRING, TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, Long, String)],
+          timers: TimerValues): Iterator[(String, String)] = {
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var prev = if (last.exists()) last.get() else null
+        sorted.foreach { r =>
+          if (prev != null) out += ((prev, r._4))
+          prev = r._4
+        }
+        if (prev != null) last.update(prev)
+        out.iterator
+      }
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val pairs = streamEvents()
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+          $"event_type")
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new PairProcessor, TimeMode.None(),
+          OutputMode.Update())
+      val q = pairs.toDF("cur", "nxt")
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("markov_out").start()
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("markov_out")
+        .groupBy($"cur", $"nxt").agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+        .orderBy(unix_micros($"ts"), $"event_id")
+      val batch = Tables.events(spark, TestSpark.sf)
+        .withColumn("nxt", lead($"event_type", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"event_type".as("cur"), $"nxt")
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful multi-row emission via flatMapGroupsWithState") {
     // Emits one row per event type seen per user (running distinct-type
     // tally) — the flatMap form's point is >1 output row per group+batch.
