@@ -476,72 +476,16 @@ object LlmSimilarity extends QueryModule {
     * value-sorted so the doubles are engine-identical. */
   def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    import org.apache.spark.sql.expressions.Window
-    val m = 4; val w = 16
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("emb"))
-    def l2sq(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    def dotf(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val cells = e.filter(col("vec_id") < 4)
       .select(col("vec_id").cast("int").as("cell"), col("emb").as("cent"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cell"))
-    val assigned = e.crossJoin(broadcast(cells))
-      .withColumn("cdist", l2sq(col("emb"), col("cent")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("emb"), col("cent"), (x, c) => x - c).as("res"))
-      .localCheckpoint(false) // feeds codebooks AND codes
-    def subs(df: DataFrame, vcol: String): DataFrame =
-      df.select(col("vec_id"), col("cell"),
-        posexplode(array((0 until m).map(j => slice(col(vcol), j * w + 1, w)): _*))
-          .as(Seq("j", "sub")))
-    val cbook = subs(assigned.filter(col("vec_id").between(4, 7)), "res")
-      .select(col("j"), col("vec_id").cast("int").as("cid"), col("sub").as("csub"))
-    val wc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("dist").asc, col("cid"))
-    val codes = subs(assigned, "res").join(broadcast(cbook), "j")
-      .withColumn("dist", l2sq(col("sub"), col("csub")))
-      .withColumn("rn", row_number().over(wc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id").as("c_id"), col("cell").as("c_cell"),
-        col("j"), col("cid").as("code"))
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qdist").asc, col("cell"))
-    val probes = e.filter(col("vec_id").between(10, 14))
+    val queries = e.filter(col("vec_id").between(10, 14))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(cells))
-      .withColumn("qdist", l2sq(col("q_emb"), col("cent")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
-      .select(col("q_id"), col("cell"),
-        dotf(col("q_emb"), col("cent")).as("qc_dot"),
-        zip_with(col("q_emb"), col("cent"), (x, c) => x - c).as("q_res"))
-    val lut = probes
-      .select(col("q_id"), col("cell"), col("qc_dot"),
-        posexplode(array((0 until m).map(j => slice(col("q_res"), j * w + 1, w)): _*))
-          .as(Seq("qj", "qsub")))
-      .join(broadcast(cbook), col("qj") === col("j"))
-      .select(col("q_id"), col("cell"), col("qc_dot"), col("qj"), col("cid"),
-        dotf(col("qsub"), col("csub")).as("pdot"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("c_id"))
-    codes.join(broadcast(lut),
-        codes("c_cell") === lut("cell") && codes("j") === lut("qj") &&
-          codes("code") === lut("cid"))
-      .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"), col("qc_dot"))
-      .agg(aggregate(array_sort(collect_list(col("pdot"))),
-        lit(0.0), (a, v) => a + v).as("rsum"))
-      .withColumn("score", col("qc_dot") + col("rsum"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("c_id"), col("score"))
-      .orderBy(col("q_id"), col("rank"))
+    // The whole index+search is the PUBLIC RetrievalPipeline (api package)
+    // at default config — this gate hash-checks the API path itself.
+    new graft.api.RetrievalPipeline().searchTopK(
+      e, cells, col("vec_id").between(4, 7), queries)
   }
 
   /** Top principal direction by distributed POWER ITERATION (2 fixed

@@ -71,6 +71,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(strict <= loose)
   }
 
+  test("RetrievalPipeline default config IS the sim_ivf_pq_topk gate; " +
+    "wider nprobe never shrinks any query's candidate reach") {
+    import org.apache.spark.sql.functions._
+    // The registered query delegates to the API, so equality is by
+    // construction — assert it anyway to pin the delegation.
+    val viaQuery = graft.SparkEntry.queries("sim_ivf_pq_topk")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def run(cfg: RetrievalConfig) = {
+      val e = graft.Tables.embeddings(spark, TestSpark.sf).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      val cells = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cell"), col("emb").as("cent"))
+      val q = e.filter(col("vec_id").between(10, 14))
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      new RetrievalPipeline(cfg)
+        .searchTopK(e, cells, col("vec_id").between(4, 7), q)
+    }
+    val viaApi = run(RetrievalConfig())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaApi == viaQuery)
+    // nprobe=4 scans every cell: per-query top scores dominate nprobe=2's.
+    val s2 = run(RetrievalConfig(nprobe = 2, topK = 1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val s4 = run(RetrievalConfig(nprobe = 4, topK = 1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    s2.foreach { case (qid, sc2) => assert(s4(qid) >= sc2, s"query $qid") }
+  }
+
   test("corpus_interleave: positions are a permutation and round-robin " +
     "across sources (rank r of every source precedes rank r+1 of any)") {
     val out = Corpus.interleave(spark, TestSpark.sf).collect()
