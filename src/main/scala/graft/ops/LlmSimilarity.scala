@@ -488,6 +488,46 @@ object LlmSimilarity extends QueryModule {
       e, cells, col("vec_id").between(4, 7), queries)
   }
 
+  /** SPARSE retrieval (SPLADE/BM25-style mechanics over dense fixtures):
+    * each vector keeps only its 8 dominant |value| dimensions, stored as
+    * (dim, value) POSTINGS; query–candidate scores are partial dot
+    * products summed over SHARED dims only, met through one equi-join on
+    * the dimension — the inverted-index plan, never all-pairs. This is
+    * the third retrieval mode next to dense brute/IVF-PQ and the
+    * term-match [[graft.ops.Joins.invertedIndexJoin]]: at 100 TB postings
+    * are linear in nnz, the join keys on dim (posting-list length is the
+    * skew knob — cap or impact-sort real SPLADE lists), and queries
+    * broadcast. Product sums fold value-sorted for engine parity. */
+  def sparseTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wS = Window.partitionBy(col("vec_id"))
+      .orderBy(abs(col("v")).desc, col("dim"))
+    val sparse = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v0")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        col("v0").cast("double").as("v"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= 8)
+      .select(col("vec_id"), col("dim"), col("v"))
+    val posts = sparse
+      .select(col("vec_id").as("c_id"), col("dim"), col("v").as("cv"))
+    val qs = sparse.filter(col("vec_id") % 211 === 0)
+      .select(col("vec_id").as("q_id"), col("dim"), col("v").as("qv"))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    posts.join(broadcast(qs), Seq("dim"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        aggregate(array_sort(collect_list(col("qv") * col("cv"))),
+          lit(0.0), (a, v) => a + v).as("score"))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id"), col("n_shared"),
+        col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Top principal direction by distributed POWER ITERATION (2 fixed
     * iterations on the uncentered second-moment matrix A = XᵀX/n). The
     * d×d covariance is never materialized: each iteration computes
@@ -792,6 +832,7 @@ object LlmSimilarity extends QueryModule {
     "sim_knn_graph" -> (knnGraph _),
     "sim_knn_descent" -> (knnDescent _),
     "sim_ivf_pq_topk" -> (ivfPqTopK _),
+    "sim_sparse_topk" -> (sparseTopK _),
     "sim_knn_recall" -> (knnRecall _),
     "sim_range_search" -> (rangeSearch _),
     "vec_quantize_int8" -> (quantizeInt8 _),
@@ -1141,6 +1182,29 @@ object LlmSimilarity extends QueryModule {
          |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,
          |  len(embedding) AS dim
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sim_sparse_topk" ->
+      """WITH x AS (
+        |  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+        |sp AS (
+        |  SELECT vec_id, dim, v FROM (
+        |    SELECT vec_id, dim, v, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY abs(v) DESC, dim) AS rn FROM x) t WHERE rn <= 8),
+        |m AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, COUNT(*) AS n_shared,
+        |    list_reduce(list_prepend(0.0,
+        |      list(q.v * c.v ORDER BY q.v * c.v)), (acc, x) -> acc + x)
+        |      AS score
+        |  FROM sp q JOIN sp c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 211 = 0
+        |  GROUP BY q_id, c_id)
+        |SELECT q_id, CAST(rank AS INT) AS rank, c_id, n_shared, score FROM (
+        |  SELECT q_id, c_id, n_shared, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, c_id) AS rank
+        |  FROM m) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
     "sim_ivf_pq_topk" -> {
       def dot64(a: String, b: String): String =
         s"list_reduce(list_transform(generate_series(1, 64), " +
