@@ -474,7 +474,80 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"))
   }
 
+  /** Ordered-sequence pattern match WITH DEADLINE (CEP / MATCH_RECOGNIZE
+    * lite): how far each user gets through view → click → purchase IN
+    * ORDER with the whole sequence inside 2 hours of the anchoring view.
+    * Semantics: every view (re)anchors a fresh attempt (last-view
+    * anchoring — the greedy rule real CEP engines call "skip to next
+    * row"); clicks/purchases advance only in order and only within the
+    * deadline; a completed match is terminal. The state machine is a
+    * bounded left-to-right fold of (stage, anchor) over the user's
+    * time-ordered events — the same sorted-collect fold contract as the
+    * argmax/quality aggregates; one user_id shuffle. Rollup: users per
+    * furthest stage reached. */
+  def sequenceMatch(s: SparkSession, d: String): DataFrame = {
+    val code = when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+      .otherwise(0)
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), code.as("code"))
+      .groupBy(col("user_id"))
+      .agg(expr(
+        """aggregate(
+          |  transform(
+          |    array_sort(collect_list(struct(us, event_id, code))),
+          |    e -> named_struct('stage', e.code, 'anchor', e.us)),
+          |  named_struct('stage', 0, 'anchor', CAST(0 AS BIGINT), 'best', 0),
+          |  (st, x) -> CASE
+          |    WHEN st.best = 3 THEN st
+          |    WHEN x.stage = 1
+          |      THEN named_struct('stage', 1, 'anchor', x.anchor,
+          |        'best', greatest(st.best, 1))
+          |    WHEN x.stage = 2 AND st.stage = 1
+          |        AND x.anchor - st.anchor <= 7200000000
+          |      THEN named_struct('stage', 2, 'anchor', st.anchor,
+          |        'best', greatest(st.best, 2))
+          |    WHEN x.stage = 3 AND st.stage = 2
+          |        AND x.anchor - st.anchor <= 7200000000
+          |      THEN named_struct('stage', 3, 'anchor', st.anchor, 'best', 3)
+          |    ELSE st END).best""".stripMargin).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** Per-day event-type diversity: Shannon entropy and Gini impurity of
+    * the type mix — the drift signals a pipeline monitors (a day whose
+    * entropy collapses is a day one producer flooded the stream). The
+    * per-(day, type) counts reduce first; entropy sums the ≤5 type terms
+    * in a FIXED type order (deterministic add order), and ln goes
+    * through the round(6) portability rule. */
+  def typeEntropy(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivot = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        types.map(t => count(when(col("event_type") === t, 1))
+          .cast("double").as(s"n_$t")): _*)
+    val terms = types.map { t =>
+      val p = col(s"n_$t") / col("n")
+      when(col(s"n_$t") > 0, -p * log(p)).otherwise(0.0)
+    }
+    val gini = lit(1.0) - types.map { t =>
+      val p = col(s"n_$t") / col("n")
+      p * p
+    }.reduce(_ + _)
+    pivot.select(col("day"), col("n").cast("long").as("n_events"),
+      round(terms.reduce(_ + _), 6).as("entropy"),
+      round(gini, 6).as("gini"))
+      .orderBy(col("day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sequence_match" -> (sequenceMatch _),
+    "ev_type_entropy" -> (typeEntropy _),
     "ev_churn" -> (churn _),
     "ev_markov_transitions" -> (markovTransitions _),
     "ev_funnel_timebound" -> (funnelTimebound _),
@@ -499,6 +572,76 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT formulation (no fold): in the state machine the anchor
+    // is always the last view seen, so stage>=2 <=> some click lands
+    // within 2h of its last preceding view, and stage 3 <=> such a click
+    // is followed by a purchase inside the same deadline with no view
+    // re-anchoring in between. Per-user timestamps are unique in the
+    // fixture (verified at all sfs), so window order on us is total.
+    // DuckDB 1.0's list_reduce over grouped struct lists was observed to
+    // misfold one group in ~1500 — avoided deliberately.
+    "ev_sequence_match" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |cl AS (
+        |  SELECT user_id, us AS c_us, lastv FROM (
+        |    SELECT user_id, event_type, us,
+        |      max(CASE WHEN event_type = 'view' THEN us END) OVER
+        |        (PARTITION BY user_id ORDER BY us
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastv
+        |    FROM e) t
+        |  WHERE event_type = 'click' AND lastv IS NOT NULL
+        |    AND us - lastv <= 7200000000),
+        |s3 AS (
+        |  SELECT DISTINCT c.user_id FROM cl c
+        |  JOIN e p ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        |    AND p.us > c.c_us AND p.us - c.lastv <= 7200000000
+        |  WHERE NOT EXISTS (SELECT 1 FROM e w WHERE w.user_id = c.user_id
+        |    AND w.event_type = 'view' AND w.us > c.c_us AND w.us < p.us)),
+        |st AS (SELECT u.user_id,
+        |    CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+        |         WHEN u.user_id IN (SELECT user_id FROM cl) THEN 2
+        |         WHEN u.user_id IN (SELECT user_id FROM e
+        |           WHERE event_type = 'view') THEN 1
+        |         ELSE 0 END AS stage
+        |  FROM u)
+        |SELECT stage, COUNT(*) AS n_users
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    "ev_type_entropy" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+        |      AS DOUBLE) AS n_click,
+        |    CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+        |      AS DOUBLE) AS n_error,
+        |    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS DOUBLE) AS n_purchase,
+        |    CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+        |      AS DOUBLE) AS n_signup,
+        |    CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+        |      AS DOUBLE) AS n_view
+        |  FROM events GROUP BY day)
+        |SELECT day, CAST(n AS BIGINT) AS n_events,
+        |  round(
+        |    (CASE WHEN n_click > 0
+        |       THEN -(n_click / n) * ln(n_click / n) ELSE 0.0 END)
+        |    + (CASE WHEN n_error > 0
+        |       THEN -(n_error / n) * ln(n_error / n) ELSE 0.0 END)
+        |    + (CASE WHEN n_purchase > 0
+        |       THEN -(n_purchase / n) * ln(n_purchase / n) ELSE 0.0 END)
+        |    + (CASE WHEN n_signup > 0
+        |       THEN -(n_signup / n) * ln(n_signup / n) ELSE 0.0 END)
+        |    + (CASE WHEN n_view > 0
+        |       THEN -(n_view / n) * ln(n_view / n) ELSE 0.0 END), 6)
+        |    AS entropy,
+        |  round(1.0 - ((n_click / n) * (n_click / n)
+        |    + (n_error / n) * (n_error / n)
+        |    + (n_purchase / n) * (n_purchase / n)
+        |    + (n_signup / n) * (n_signup / n)
+        |    + (n_view / n) * (n_view / n)), 6) AS gini
+        |FROM p ORDER BY day""".stripMargin,
     "ev_churn" ->
       """WITH per AS (
         |  SELECT user_id, min(epoch_us(ts)) AS first_us,
