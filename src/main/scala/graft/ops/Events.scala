@@ -545,7 +545,38 @@ object Events extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** Rolling distinct actives — DAU / WAU(7) / MAU(28) per day, the
+    * engagement ratios every product dashboard tracks. COUNT DISTINCT
+    * over a sliding window can't be windowed directly; the scalable form
+    * dedups first (events → distinct (day, user), one shuffle, |days|·
+    * |users| max) and then range-joins the small day grid to the pair
+    * table — the window never touches raw events. Ratios are one IEEE
+    * division each. */
+  def rollingActives(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.events(s, d)
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val days = pairs.select(col("day")).distinct()
+      .select(col("day").as("d"))
+    days.join(pairs,
+        datediff(col("d"), col("day")).between(0, 27))
+      .groupBy(col("d"))
+      .agg(
+        countDistinct(when(datediff(col("d"), col("day")) === 0,
+          col("user_id"))).as("dau"),
+        countDistinct(when(datediff(col("d"), col("day")) <= 6,
+          col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(col("d").as("day"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double"))
+          .as("dau_mau"),
+        (col("wau").cast("double") / col("mau").cast("double"))
+          .as("wau_mau"))
+      .orderBy(col("day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_rolling_actives" -> (rollingActives _),
     "ev_sequence_match" -> (sequenceMatch _),
     "ev_type_entropy" -> (typeEntropy _),
     "ev_churn" -> (churn _),
@@ -572,6 +603,24 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_rolling_actives" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM pairs)
+        |SELECT d AS day,
+        |  COUNT(DISTINCT CASE WHEN date_diff('day', day, d) = 0
+        |    THEN user_id END) AS dau,
+        |  COUNT(DISTINCT CASE WHEN date_diff('day', day, d) <= 6
+        |    THEN user_id END) AS wau,
+        |  COUNT(DISTINCT user_id) AS mau,
+        |  CAST(COUNT(DISTINCT CASE WHEN date_diff('day', day, d) = 0
+        |      THEN user_id END) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS dau_mau,
+        |  CAST(COUNT(DISTINCT CASE WHEN date_diff('day', day, d) <= 6
+        |      THEN user_id END) AS DOUBLE)
+        |    / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS wau_mau
+        |FROM days JOIN pairs ON date_diff('day', day, d) BETWEEN 0 AND 27
+        |GROUP BY d ORDER BY day""".stripMargin,
     // INDEPENDENT formulation (no fold): in the state machine the anchor
     // is always the last view seen, so stage>=2 <=> some click lands
     // within 2h of its last preceding view, and stage 3 <=> such a click
