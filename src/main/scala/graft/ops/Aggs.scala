@@ -531,7 +531,48 @@ object Aggs extends QueryModule {
       .orderBy(col("bucket"))
   }
 
+  /** Chi-square test of independence between two categoricals (event type
+    * × day-of-week) — the "is traffic mix stable across the week" screen
+    * behind drift alerts and A/B sanity checks. Everything upstream of the
+    * statistic is integer-exact (cell counts, row/col marginals, N);
+    * expected = rt·ct/N and each cell's (O−E)²/E are then IEEE ops on
+    * identical operands, bit-equal across engines; the χ² total folds the
+    * per-cell terms in ascending VALUE order (scalar doubles, not structs
+    * — the DuckDB grouped-struct-fold hazard doesn't apply), so the double
+    * adds are order-pinned. Scale: two partial+final aggregates over a
+    * ≤|types|×7 grid plus a broadcast of the 1-row totals — the fact table
+    * is scanned once, nothing driver-side. */
+  def chiSquare(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("event_type"))
+      .agg(sum(col("observed")).as("rt"))
+    val colTot = cells.groupBy(col("dow"))
+      .agg(sum(col("observed")).as("ct"))
+    val tot = cells.agg(sum(col("observed")).as("n_total"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("dow")).as("n_dows"))
+    val diff = col("observed").cast("double") - col("expected")
+    val terms = cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        (col("rt") * col("ct")).cast("double") / col("n_total").cast("double"))
+      .withColumn("contrib", diff * diff / col("expected"))
+    val chi2 = terms.agg(aggregate(array_sort(collect_list(col("contrib"))),
+      lit(0.0), (a, x) => a + x).as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("observed"), col("expected"), col("contrib"), col("chi2"),
+        ((col("n_types") - 1) * (col("n_dows") - 1)).cast("long").as("dof"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_chi_square"    -> (chiSquare _),
     "agg_mode"          -> (mode _),
     "agg_skew_kurtosis" -> (skewKurtosis _),
     "agg_equidepth"     -> (equidepthHistogram _),
@@ -563,6 +604,35 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6.
+    "agg_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS observed
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(SUM(observed) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n_total,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  COUNT(DISTINCT dow) AS n_dows FROM cells),
+        |terms AS (
+        |  SELECT c.event_type, c.dow, c.observed,
+        |    CAST(rt.rt * ct.ct AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+        |      AS expected, t.n_types, t.n_dows
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)
+        |  CROSS JOIN tot t),
+        |t2 AS (SELECT *,
+        |  (CAST(observed AS DOUBLE) - expected) *
+        |  (CAST(observed AS DOUBLE) - expected) / expected AS contrib
+        |  FROM terms),
+        |chi AS (SELECT list_reduce(list_prepend(0.0,
+        |  list(contrib ORDER BY contrib)), (a, x) -> a + x) AS chi2 FROM t2)
+        |SELECT event_type, dow, observed, expected, contrib, chi2,
+        |  CAST((n_types - 1) * (n_dows - 1) AS BIGINT) AS dof
+        |FROM t2 CROSS JOIN chi
+        |ORDER BY event_type, dow""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |  FROM orders GROUP BY 1, 2),

@@ -575,7 +575,103 @@ object Events extends QueryModule {
       .orderBy(col("day"))
   }
 
+  /** Day-of-week seasonality profile — the seasonal-index table behind
+    * capacity planning and anomaly baselines: per weekday, event volume,
+    * active days, events/day, and the seasonal index
+    * n·D / (T·n_days) (= per-day rate vs the all-week rate). Every input
+    * is an exact integer (counts, distinct-day counts); the two divisions
+    * run on identical operands in both engines, so the doubles are
+    * bit-equal — no float accumulation anywhere. Scale: one partial+final
+    * aggregate to a ≤7-row grid + a broadcast 1-row total. */
+  def seasonality(s: SparkSession, d: String): DataFrame = {
+    val byDow = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"))
+      .groupBy(dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("day")).as("n_days"))
+    val tot = byDow.agg(sum(col("n_events")).as("t_events"),
+      sum(col("n_days")).as("t_days"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow").cast("int").as("dow"), col("n_events"), col("n_days"),
+        (col("n_events").cast("double") / col("n_days").cast("double"))
+          .as("events_per_day"),
+        ((col("n_events") * col("t_days")).cast("double") /
+          (col("t_events") * col("n_days")).cast("double"))
+          .as("seasonal_index"))
+      .orderBy(col("dow"))
+  }
+
+  /** Seasonal-naive forecast backtest — the eval loop behind "is last
+    * week a good predictor": forecast each day's per-type volume with the
+    * count 7 days earlier (and a naive-1 lag baseline), scored by MAE and
+    * bias. The forecast join is on (type, day−offset) — exact under gaps,
+    * unlike a row-offset lag — and all errors are integer until the final
+    * two divisions on identical operands. Scale: daily grid is
+    * |types|×|days| rows; both models are self-joins of that reduced grid,
+    * never of raw events. */
+  def forecastEval(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def eval(offset: Int, name: String): DataFrame = {
+      val fc = daily.select(col("event_type"),
+        date_add(col("day"), offset).as("day"), col("n").as("fc"))
+      daily.join(fc, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("fc"))).as("sae"),
+          sum(col("n") - col("fc")).as("se"))
+        .select(col("event_type"), lit(name).as("model"), col("n_days"),
+          (col("sae").cast("double") / col("n_days").cast("double")).as("mae"),
+          (col("se").cast("double") / col("n_days").cast("double")).as("bias"))
+    }
+    eval(7, "seasonal_naive_7").unionByName(eval(1, "naive_1"))
+      .orderBy(col("event_type"), col("model"))
+  }
+
+  /** MULTI-touch attribution (linear + time-decay) — the credit-splitting
+    * twin of the last-touch [[attribution]]: every click/view maps to the
+    * user's NEXT purchase within 7 days (forward as-of via one range
+    * window, same single user_id shuffle as [[asofForwardJoin]]'s
+    * pattern), each conversion splits 1,000,000 micro-credits equally
+    * across its touches (linear) and halves credit per day of touch age
+    * (time-decay) — both INTEGER division, so credit sums are exact
+    * BIGINTs, no float accumulation for the oracle to disagree on (a
+    * production report would divide by 1e6 at render time). Scale: one
+    * range window + one conversion-keyed window; touches per conversion
+    * are bounded by user activity in 7 days. */
+  def attributionMulti(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(0L, 604800000000L)
+    val tagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), us.as("us"))
+      .withColumn("psig",
+        when(col("event_type") === "purchase",
+          concat(lpad(col("us").cast("string"), 20, "0"), lit("|"),
+            col("event_id").cast("string"))))
+      .withColumn("conv_sig", min(col("psig")).over(wF))
+    val touches = tagged
+      .filter(col("event_type").isin("click", "view") &&
+        col("conv_sig").isNotNull)
+      .withColumn("conv_us", expr("split_part(conv_sig, '|', 1)").cast("long"))
+      .withColumn("conv_id", expr("split_part(conv_sig, '|', 2)").cast("long"))
+    val wC = Window.partitionBy(col("conv_id"))
+    touches
+      .withColumn("nt", count(lit(1)).over(wC))
+      .withColumn("age_days", expr("(conv_us - us) div 86400000000"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum(expr("1000000L div nt")).cast("long").as("linear_credit_micro"),
+        sum(expr("1000000L div shiftleft(1L, CAST(age_days AS INT))"))
+          .cast("long").as("decay_credit_micro"))
+      .orderBy(col("channel"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seasonality" -> (seasonality _),
+    "ev_forecast_eval" -> (forecastEval _),
+    "ev_attribution_multi" -> (attributionMulti _),
     "ev_rolling_actives" -> (rollingActives _),
     "ev_sequence_match" -> (sequenceMatch _),
     "ev_type_entropy" -> (typeEntropy _),
@@ -603,6 +699,75 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6.
+    "ev_seasonality" ->
+      """WITH byd AS (
+        |  SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t_events,
+        |  CAST(SUM(n_days) AS BIGINT) AS t_days FROM byd)
+        |SELECT dow, n_events, n_days,
+        |  CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS events_per_day,
+        |  CAST(n_events * t_days AS DOUBLE) /
+        |    CAST(t_events * n_days AS DOUBLE) AS seasonal_index
+        |FROM byd CROSS JOIN tot ORDER BY dow""".stripMargin,
+    "ev_forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m7 AS (
+        |  SELECT a.event_type, 'seasonal_naive_7' AS model,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(abs(a.n - f.n)) AS BIGINT) AS sae,
+        |    CAST(SUM(a.n - f.n) AS BIGINT) AS se
+        |  FROM daily a JOIN daily f
+        |    ON a.event_type = f.event_type AND a.day = f.day + 7
+        |  GROUP BY 1),
+        |m1 AS (
+        |  SELECT a.event_type, 'naive_1' AS model,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(abs(a.n - f.n)) AS BIGINT) AS sae,
+        |    CAST(SUM(a.n - f.n) AS BIGINT) AS se
+        |  FROM daily a JOIN daily f
+        |    ON a.event_type = f.event_type AND a.day = f.day + 1
+        |  GROUP BY 1)
+        |SELECT event_type, model, n_days,
+        |  CAST(sae AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae,
+        |  CAST(se AS DOUBLE) / CAST(n_days AS DOUBLE) AS bias
+        |FROM (SELECT * FROM m7 UNION ALL SELECT * FROM m1)
+        |ORDER BY event_type, model""".stripMargin,
+    "ev_attribution_multi" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'purchase' THEN
+        |      lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+        |      CAST(event_id AS VARCHAR) END AS psig
+        |  FROM events),
+        |f AS (
+        |  SELECT *, MIN(psig) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN CURRENT ROW AND 604800000000 FOLLOWING)
+        |    AS conv_sig
+        |  FROM t),
+        |touches AS (
+        |  SELECT event_type,
+        |    CAST(split_part(conv_sig, '|', 1) AS BIGINT) AS conv_us,
+        |    CAST(split_part(conv_sig, '|', 2) AS BIGINT) AS conv_id, us
+        |  FROM f
+        |  WHERE event_type IN ('click', 'view') AND conv_sig IS NOT NULL),
+        |c AS (
+        |  SELECT event_type, conv_id,
+        |    COUNT(*) OVER (PARTITION BY conv_id) AS nt,
+        |    (conv_us - us) // 86400000000 AS age_days
+        |  FROM touches)
+        |SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(1000000 // nt) AS BIGINT) AS linear_credit_micro,
+        |  CAST(SUM(1000000 // (1 << CAST(age_days AS INT))) AS BIGINT)
+        |    AS decay_credit_micro
+        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin,
     "ev_rolling_actives" ->
       """WITH pairs AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

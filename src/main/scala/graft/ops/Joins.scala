@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OracleSafe, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -422,7 +422,57 @@ object Joins extends QueryModule {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Bloom-filter semi-join reduction (runtime-filter / sideways
+    * information passing, the pattern behind Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter` rewrite, done explicitly):
+    * the filtered dim side's key set folds into an m=16384-bit Bloom
+    * (partial+final bit_or over 256 words, broadcast as ONE row), and the
+    * fact side is pruned MAP-SIDE by k=4 bit tests BEFORE its shuffle —
+    * so the exchange moves ~|selectivity|·|fact| rows instead of |fact|.
+    * This is the join-reduction twin of [[LlmDedup.bloomIncremental]]'s
+    * dedup pre-filter: it matters exactly when the dim key set is too big
+    * to broadcast-join but its Bloom (a few MB at 10 bits/key) still
+    * broadcasts fine. The final join runs exactly (shuffle_hash hint so
+    * the plan doesn't quietly broadcast), so Bloom false positives cannot
+    * leak into the answer — the oracle is the PLAIN filtered join, which
+    * proves the reduction lossless. The k positions are the four disjoint
+    * 8-hex-digit md5 slices (portable to the SQL oracle, FPs included). */
+  def bloomReduceJoin(s: SparkSession, d: String): DataFrame = {
+    val mBits = 16384L // 256 longs; size ~10 bits/key in production
+    def pos(key: Column, j: Int): Column =
+      conv(substring(md5(key.cast("string")), 1 + 8 * j, 8), 16, 10)
+        .cast("long") % mBits
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val bloom = dim
+      .select(explode(array((0 to 3).map(pos(col("c_custkey"), _)): _*)).as("p"))
+      .select(expr("p div 64").as("word"), (col("p") % 64).as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(expr("shiftleft(1L, CAST(bit AS INT))")).as("mask"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+        .as("mm"))
+      .select(transform(sequence(lit(0L), lit(255L)),
+        w => coalesce(element_at(col("mm"), w), lit(0L))).as("bloom"))
+    def hit(j: Int): Column = expr(
+      s"(element_at(bloom, CAST(p$j div 64 AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(p$j % 64 AS INT))) != 0")
+    val probed = (0 to 3)
+      .foldLeft(Tables.orders(s, d).crossJoin(broadcast(bloom))) {
+        (df, j) => df.withColumn(s"p$j", pos(col("o_custkey"), j))
+      }
+      .filter((0 to 3).map(hit).reduce(_ && _))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    probed.join(dim.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+          .cast("long").as("cents"))
+      .orderBy(col("c_nationkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_reduce" -> (bloomReduceJoin _),
     "join_salted" -> (saltedJoin _),
     "join_inverted_index" -> (invertedIndexJoin _),
     "join_fuzzy" -> (fuzzyJoin _),
@@ -457,6 +507,15 @@ object Joins extends QueryModule {
     // Deliberately INDEPENDENT of the blocking: brute-force all-pairs
     // levenshtein. A hash-exact match proves the deletion-neighborhood
     // candidates are lossless at k=1.
+    // The oracle is the PLAIN filtered join — equality proves the Bloom
+    // reduction lossless (false positives die in the exact verify join).
+    "join_bloom_reduce" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // The oracle joins UNSALTED — equality proves the salt rewrite lossless.
     "join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
