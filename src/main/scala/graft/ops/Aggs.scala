@@ -571,7 +571,25 @@ object Aggs extends QueryModule {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Exact distinct customers per priority via the mergeable BITMAP
+    * aggregate ([[graft.functions.BitmapDistinctAggregator]]) — gated
+    * against the same query's built-in `countDistinct`, so the oracle
+    * pins the bitmap path to the exact answer. See the Aggregator's
+    * Scaladoc for why this beats expand-based exact distinct AND
+    * approximate HLL when ids are dense surrogate keys. */
+  def bitmapDistinct(s: SparkSession, d: String): DataFrame = {
+    val bm = udaf(new graft.functions.BitmapDistinctAggregator)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(bm(col("o_custkey")).as("n_customers_bitmap"),
+        countDistinct(col("o_custkey")).as("n_customers_exact"),
+        max(col("o_custkey")).as("max_key"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_chi_square"    -> (chiSquare _),
     "agg_mode"          -> (mode _),
     "agg_skew_kurtosis" -> (skewKurtosis _),
@@ -604,6 +622,16 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Both bitmap and built-in columns pin to the same COUNT(DISTINCT):
+    // equality proves the bitmap aggregate exact.
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_customers_bitmap,
+        |  COUNT(DISTINCT o_custkey) AS n_customers_exact,
+        |  MAX(o_custkey) AS max_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6.
     "agg_chi_square" ->
       """WITH cells AS (

@@ -202,6 +202,49 @@ object LlmDedup extends QueryModule {
       .limit(200)
   }
 
+  /** Near-dup THRESHOLD TUNING curve — the sweep a pipeline owner runs
+    * before freezing the dedup cutoff: for each candidate Jaccard
+    * threshold t ∈ {0.50, 0.55, …, 0.95}, how many candidate pairs and
+    * how many distinct documents would be implicated. Reuses the exact
+    * blocked bigram-Jaccard pair pipeline of [[ngramJaccardPairs]]
+    * (UNtruncated), then explodes each pair across the qualifying
+    * thresholds — linear in |pairs|·|grid|, never re-scanning the corpus
+    * per threshold. Jaccard is a ratio of identical ints and each t is
+    * k/20 evaluated the same way in both engines, so the >= cut is
+    * bit-deterministic. Scale: pairs come from the bounded-block join
+    * (the documented knob); the sweep itself is a 10× explode of the
+    * already-reduced pair table. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.TextFunctions.shingles2(col("text")).as("bg"))
+      .filter(size(col("bg")) >= 1)
+    val a = docs.select(col("lang"), col("source"),
+      col("doc_id").as("a_id"), col("bg").as("a_bg"))
+    val b = docs.select(col("lang"), col("source"),
+      col("doc_id").as("b_id"), col("bg").as("b_bg"))
+    val inter = graft.functions.GraftFunctions
+      .sortedIntersect(col("a_bg"), col("b_bg"))
+    val pairs = a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (inter.cast("double") /
+          (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
+      .filter(col("jaccard") > 0)
+    val swept = pairs
+      .withColumn("t", explode(array((10 to 19).map(k => lit(k / 20.0)): _*)))
+      .filter(col("jaccard") >= col("t"))
+    val nPairs = swept.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = swept
+      .select(col("t"), explode(array(col("a_id"), col("b_id"))).as("m"))
+      .groupBy(col("t")).agg(countDistinct(col("m")).as("n_docs"))
+    nPairs.join(nDocs, Seq("t"))
+      .select(col("t"), col("n_pairs"), col("n_docs"))
+      .orderBy(col("t"))
+  }
+
   /** Exact set-similarity self-join via prefix + length filtering (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08). For a Jaccard threshold t and sets sorted under ONE global
@@ -634,6 +677,7 @@ object LlmDedup extends QueryModule {
     "dd_minhash_pairs"  -> (minhashCandidatePairs _),
     "dd_simhash"        -> (simhash _),
     "dd_ngram_jaccard"  -> (ngramJaccardPairs _),
+    "dd_threshold_sweep" -> (thresholdSweep _),
   )
 
   private val sqlToks =
@@ -891,6 +935,31 @@ object LlmDedup extends QueryModule {
          |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id) p
          |WHERE jaccard > 0
          |ORDER BY jaccard DESC, a_id, b_id LIMIT 200""".stripMargin
+    },
+    "dd_threshold_sweep" -> {
+      val bg = s"list_distinct(list_transform(generate_series(1, len($sqlToks) - 1), " +
+        s"i -> ($sqlToks)[i] || '_' || ($sqlToks)[i+1]))"
+      s"""WITH pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+         |      (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg)))
+         |      AS jaccard
+         |  FROM (SELECT doc_id, lang, source, $bg AS bg FROM documents
+         |        WHERE len($sqlToks) >= 2) a
+         |  JOIN (SELECT doc_id, lang, source, $bg AS bg FROM documents
+         |        WHERE len($sqlToks) >= 2) b
+         |    ON a.lang = b.lang AND a.source = b.source
+         |      AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.bg, b.bg)) > 0),
+         |th AS (SELECT CAST(k AS DOUBLE) / 20.0 AS t
+         |  FROM (SELECT unnest(generate_series(10, 19)) AS k)),
+         |e AS (SELECT t, a_id, b_id FROM pairs JOIN th ON jaccard >= t),
+         |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM e GROUP BY t),
+         |nd AS (SELECT t, CAST(COUNT(DISTINCT m) AS BIGINT) AS n_docs
+         |  FROM (SELECT t, unnest([a_id, b_id]) AS m FROM e) GROUP BY t)
+         |SELECT t, n_pairs, n_docs FROM np JOIN nd USING (t)
+         |ORDER BY t""".stripMargin
     },
     // dd_minhash_pairs: rows-only (xxhash64 scale path; see Scaladoc)
   )

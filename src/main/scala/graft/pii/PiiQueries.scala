@@ -238,7 +238,54 @@ object PiiQueries extends QueryModule {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** PII DISCOVERY scan — the content-profiling step BEFORE any redaction
+    * policy exists: every string column of a table is sampled against a
+    * battery of PII detector regexes (email, phone, IPv4) and reported as
+    * (column, class, rows, hits, hit rate, flagged) — the report a
+    * governance tool uses to decide which columns need [[textScrub]] /
+    * [[Redact]] rules. The column axis unpivots via `stack` (map-only,
+    * row count × |columns|), the detector axis via a 3-element literal
+    * explode; `flagged` uses the integer cross-multiply 10·hits ≥ rows
+    * (i.e. rate ≥ 10%), so no float threshold is compared. The note
+    * column is synthesized exactly as in [[textScrub]] so detectors have
+    * real content to fire on. Scale: scan → stack → explode → one
+    * partial+final aggregate over ≤ |cols|·|classes| groups; a production
+    * run adds TABLESAMPLE in front — the shape is unchanged. */
+  def scanReport(s: SparkSession, d: String): DataFrame = {
+    val pats = Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "phone" -> "\\+\\d[\\d-]{6,}\\d",
+      "ipv4"  -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")
+    val note = concat(
+      lit("Reach "), col("c_name"),
+      lit(" at "), lower(col("c_mktsegment")), lit(".user"),
+      col("c_custkey").cast("string"),
+      lit("@mail.example.org or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(", last login from 10."), col("c_nationkey").cast("string"),
+      lit(".0."), (col("c_custkey") % 256).cast("string"))
+    Tables.customer(s, d)
+      .withColumn("note", note)
+      .select(expr("stack(3, 'c_name', c_name, 'c_mktsegment', " +
+        "c_mktsegment, 'note', note) AS (col_name, val)"))
+      .select(col("col_name"), col("val"),
+        explode(array(pats.map { case (cls, p) =>
+          struct(lit(cls).as("pii_class"), lit(p).as("pat"))
+        }: _*)).as("p"))
+      .select(col("col_name"), col("p.pii_class").as("pii_class"),
+        when(expr("regexp_like(val, p.pat)"), 1L).otherwise(0L).as("hit"))
+      .groupBy(col("col_name"), col("pii_class"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("hit")).cast("long").as("n_hits"))
+      .select(col("col_name"), col("pii_class"), col("n_rows"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_rows").cast("double"))
+          .as("hit_rate"),
+        when(col("n_hits") * 10 >= col("n_rows"), 1).otherwise(0)
+          .cast("int").as("flagged"))
+      .orderBy(col("col_name"), col("pii_class"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scan_report" -> (scanReport _),
     "pii_xtable_consistency" -> (xtableConsistency _),
     "pii_dp_counts" -> (dpCounts _),
     "pii_generalize" -> (generalizeK _),
@@ -255,6 +302,37 @@ object PiiQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pii_scan_report" ->
+      """WITH t AS (
+        |  SELECT c_name, c_mktsegment,
+        |    'Reach ' || c_name || ' at ' || lower(c_mktsegment) || '.user' ||
+        |    CAST(c_custkey AS VARCHAR) || '@mail.example.org or +1-555-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |    ', last login from 10.' || CAST(c_nationkey AS VARCHAR) ||
+        |    '.0.' || CAST(c_custkey % 256 AS VARCHAR) AS note
+        |  FROM customer),
+        |stacked AS (
+        |  SELECT 'c_name' AS col_name, c_name AS val FROM t
+        |  UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM t
+        |  UNION ALL SELECT 'note', note FROM t),
+        |pats AS (SELECT * FROM (VALUES
+        |  ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+        |  ('phone', '\+\d[\d-]{6,}\d'),
+        |  ('ipv4', '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+        |  p(pii_class, pat)),
+        |hits AS (
+        |  SELECT col_name, pii_class,
+        |    CASE WHEN regexp_matches(val, pat) THEN 1 ELSE 0 END AS hit
+        |  FROM stacked CROSS JOIN pats),
+        |agg AS (
+        |  SELECT col_name, pii_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(hit) AS BIGINT) AS n_hits
+        |  FROM hits GROUP BY 1, 2)
+        |SELECT col_name, pii_class, n_rows, n_hits,
+        |  CAST(n_hits AS DOUBLE) / CAST(n_rows AS DOUBLE) AS hit_rate,
+        |  CAST(CASE WHEN n_hits * 10 >= n_rows THEN 1 ELSE 0 END AS INT)
+        |    AS flagged
+        |FROM agg ORDER BY col_name, pii_class""".stripMargin,
     // Deliberately joins on the CLEAR keys: equality with the Spark side's
     // token join proves cross-table pseudonym consistency.
     "pii_xtable_consistency" ->

@@ -20,6 +20,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rangeEx == 1, s"expected only the final ORDER BY range exchange, got $rangeEx")
   }
 
+  test("join_bloom_reduce: bit-test filter prunes the fact side before a real shuffle join") {
+    val p = plan("join_bloom_reduce")
+    assert(p.contains("ShuffledHashJoin"),
+      s"verify join must stay a shuffle join (broadcast would hide the point):\n$p")
+    assert(p.contains("element_at"),
+      s"bloom bit tests must appear as a filter on the probe side:\n$p")
+    // The bloom probe must run BEFORE the verify join's exchange: in the
+    // formatted plan the Filter holding the bit tests sits under the
+    // probe-side Exchange, so the element_at must occur after (deeper
+    // than) the last join in tree print order.
+    val joinIdx = p.indexOf("ShuffledHashJoin")
+    assert(p.indexOf("element_at", joinIdx) > joinIdx,
+      s"bloom filter should be below the join in the plan tree:\n$p")
+  }
+
   test("join_range_bucketed: equi-join, never a nested loop") {
     val p = plan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoop"),
