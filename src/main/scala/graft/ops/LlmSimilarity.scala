@@ -131,6 +131,49 @@ object LlmSimilarity extends QueryModule {
         sum(col("cn")).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** Per-dimension FEATURE STANDARDIZATION (z-score scaling) — the
+    * preprocessing step in front of k-means / PCA / distance search when
+    * dimensions carry different scales: per-dim mean and std over the
+    * whole corpus, then x → (x − μ)/σ. Both moments use the
+    * [[centroids]] two-level chunked sorted fold (bounded per-group
+    * state, deterministic float add order — the key to a bit-exact cross-
+    * engine gate on float data), the second moment folding x² with the
+    * identical chunking; σ = √(E[x²] − μ²) and the rescale are IEEE ops
+    * on agreed operands (sqrt is correctly rounded everywhere). Scale:
+    * moments are 64 rows broadcast back over the corpus — the rescale
+    * itself is MAP-ONLY; the gate emits a deterministic vec_id sample so
+    * the dump stays small while the stats cover every row. */
+  def standardize(s: SparkSession, d: String): DataFrame = {
+    val lvl1 = Tables.embeddings(s, d)
+      .select(expr("vec_id div 256").as("chunk"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .groupBy(col("pos"), col("chunk"))
+      .agg(
+        aggregate(sort_array(collect_list(col("x"))),
+          lit(0.0), (a, v) => a + v).as("csum"),
+        aggregate(sort_array(collect_list(col("x") * col("x"))),
+          lit(0.0), (a, v) => a + v).as("csq"),
+        count(lit(1)).as("cn"))
+    def lvl2(c: String): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("chunk"), col(c)))),
+          t => t.getField(c)),
+        lit(0.0), (a, v) => a + v) / sum(col("cn"))
+    val stats = lvl1.groupBy(col("pos"))
+      .agg(lvl2("csum").as("mean"), lvl2("csq").as("msq"))
+      .withColumn("std", sqrt(col("msq") - col("mean") * col("mean")))
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 211 === 0)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"), col("x"),
+        col("mean"), col("std"),
+        ((col("x") - col("mean")) / col("std")).as("z"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
   /** Distributed Lloyd's k-means over the embedding corpus — the codebook
     * TRAINING step the IVF/PQ queries' data-seeded codebooks stand in for.
     * k = 8 seeds (vec_id < 8), two full assign→update iterations, then the
@@ -849,6 +892,7 @@ object LlmSimilarity extends QueryModule {
     "vec_centroids"   -> (centroids _),
     "vec_kmeans"      -> (kmeans _),
     "vec_norms"       -> (norms _),
+    "vec_standardize" -> (standardize _),
   )
 
   /** DuckDB twin of `dotd(a, b)` (same sequential fold). */
@@ -1177,6 +1221,34 @@ object LlmSimilarity extends QueryModule {
         |    (a, x) -> a + x) / CAST(SUM(cn) AS BIGINT) AS mean,
         |  CAST(SUM(cn) AS BIGINT) AS n_vecs
         |FROM lvl1 GROUP BY label, k ORDER BY label, pos""".stripMargin,
+    "vec_standardize" ->
+      """WITH lvl1 AS (
+        |  SELECT k, vec_id // 256 AS chunk,
+        |    list_reduce(list_prepend(0.0, list_sort(
+        |      list(CAST(embedding[CAST(k AS INT)] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS csum,
+        |    list_reduce(list_prepend(0.0, list_sort(
+        |      list(CAST(embedding[CAST(k AS INT)] AS DOUBLE) *
+        |           CAST(embedding[CAST(k AS INT)] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS csq,
+        |    COUNT(*) AS cn
+        |  FROM embeddings CROSS JOIN range(1, 65) r(k)
+        |  GROUP BY k, chunk),
+        |st AS (
+        |  SELECT k,
+        |    list_reduce(list_prepend(0.0, list(csum ORDER BY chunk)),
+        |      (a, x) -> a + x) / CAST(SUM(cn) AS BIGINT) AS mean,
+        |    list_reduce(list_prepend(0.0, list(csq ORDER BY chunk)),
+        |      (a, x) -> a + x) / CAST(SUM(cn) AS BIGINT) AS msq
+        |  FROM lvl1 GROUP BY k)
+        |SELECT e.vec_id, CAST(k - 1 AS INT) AS pos,
+        |  CAST(embedding[CAST(k AS INT)] AS DOUBLE) AS x, mean,
+        |  sqrt(msq - mean * mean) AS std,
+        |  (CAST(embedding[CAST(k AS INT)] AS DOUBLE) - mean) /
+        |    sqrt(msq - mean * mean) AS z
+        |FROM embeddings e CROSS JOIN range(1, 65) r(k) JOIN st USING (k)
+        |WHERE e.vec_id % 211 = 0
+        |ORDER BY vec_id, pos""".stripMargin,
     "vec_norms" ->
       s"""SELECT vec_id, label,
          |  sqrt(${sqlDot("embedding", "embedding")}) AS l2_norm,
