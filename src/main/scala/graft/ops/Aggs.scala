@@ -588,7 +588,55 @@ object Aggs extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** EXACT median without buffering the group — the two-pass
+    * bucket-then-order-statistic plan that replaces the TypedImperative
+    * whole-group buffer of [[quantiles]]/[[equidepthHistogram]] (the
+    * documented 100-TB weakness of exact `percentile`): pass 1 counts a
+    * coarse value-bucket histogram per group (one partial+final agg, a
+    * tiny table); a cumulative window over the ≤|buckets| rows locates,
+    * for each needed order statistic k ∈ {⌈n/2⌉, ⌈(n+1)/2⌉}, its target
+    * bucket and in-bucket rank; pass 2 re-scans ONLY the target buckets
+    * and takes a row_number within (group, bucket) — so the largest sort
+    * state anywhere is ONE bucket's rows, a knob (bucket width) rather
+    * than the dataset. The oracle is deliberately INDEPENDENT: a full
+    * per-group sort with row_number, so the gate proves the localization
+    * arithmetic, not just self-consistency. Median = (v_k1+v_k2)/2 on
+    * identical doubles. */
+  def median2Pass(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("v"), col("o_orderkey").as("id"))
+      .withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
+    val counts = o.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val cum = counts.withColumn("cum",
+      sum(col("bn")).over(Window.partitionBy(col("grp")).orderBy(col("bucket"))))
+    val ks = counts.groupBy(col("grp")).agg(sum(col("bn")).as("n"))
+      .select(col("grp"), col("n"),
+        explode(array(expr("(n + 1) div 2"), expr("(n + 2) div 2"))).as("k"))
+      .distinct()
+    val tgt = ks.join(cum, Seq("grp"))
+      .filter(col("cum") >= col("k") && col("cum") - col("bn") < col("k"))
+      .select(col("grp"), col("bucket"),
+        (col("k") - (col("cum") - col("bn"))).as("off"))
+    val wIn = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("v"), col("id"))
+    val stats = o
+      .join(tgt.select(col("grp"), col("bucket")).distinct(), Seq("grp", "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .join(tgt, Seq("grp", "bucket"))
+      .filter(col("rn") === col("off"))
+      .groupBy(col("grp"))
+      .agg(min(col("v")).as("lo_mid"), max(col("v")).as("hi_mid"))
+    counts.groupBy(col("grp")).agg(sum(col("bn")).as("n"))
+      .join(stats, Seq("grp"))
+      .select(col("grp"), col("n"), col("lo_mid"), col("hi_mid"),
+        ((col("lo_mid") + col("hi_mid")) / 2.0).as("median"))
+      .orderBy(col("grp"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_median_2pass"  -> (median2Pass _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_chi_square"    -> (chiSquare _),
     "agg_mode"          -> (mode _),
@@ -622,6 +670,21 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: full per-group sort + row_number order
+    // statistics — equality proves the bucket-localization arithmetic.
+    "agg_median_2pass" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS lo_mid,
+        |  MIN(CASE WHEN rn = (n + 2) // 2 THEN v END) AS hi_mid,
+        |  (MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) +
+        |   MIN(CASE WHEN rn = (n + 2) // 2 THEN v END)) / 2.0 AS median
+        |FROM r GROUP BY grp, n ORDER BY grp""".stripMargin,
     // Both bitmap and built-in columns pin to the same COUNT(DISTINCT):
     // equality proves the bitmap aggregate exact.
     "agg_bitmap_distinct" ->

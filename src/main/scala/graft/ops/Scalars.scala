@@ -454,7 +454,25 @@ object Scalars extends QueryModule {
         |ORDER BY user_id, us, event_id""".stripMargin)
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (modern SQL-parser surface, Spark 3.4+):
+    * grouping keys inferred as every non-aggregate select item, ordering
+    * over the full select list — the ergonomics layer analytics SQL
+    * increasingly assumes. The oracle spells both lists explicitly, so
+    * the gate proves Spark's inference picks exactly the intended keys.
+    * Money sums route through exact decimal (OracleSafe convention). */
+  def sqlGroupByAll(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING)
+        |    AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_group_by_all" -> (sqlGroupByAll _),
     "sql_time_range_window" -> (sqlTimeRangeWindow _),
     "sql_named_window" -> (sqlNamedWindow _),
     "sql_unpivot" -> (sqlUnpivot _),
@@ -481,6 +499,14 @@ object Scalars extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Explicit key/order lists — equality proves Spark's ALL inference.
+    "sql_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority, n, total""".stripMargin,
     "sql_time_range_window" ->
       """SELECT user_id, event_id, epoch_us(ts) AS us,
         |  COUNT(*) OVER w AS n_1h,

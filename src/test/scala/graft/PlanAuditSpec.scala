@@ -35,6 +35,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bloom filter should be below the join in the plan tree:\n$p")
   }
 
+  test("agg_median_2pass: the order-statistic window partitions on (grp, bucket), never grp alone") {
+    val p = plan("agg_median_2pass")
+    val winLines = p.linesIterator.filter(l =>
+      l.contains("row_number") && l.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"expected a row_number window:\n$p")
+    assert(winLines.forall(_.contains("bucket")),
+      s"the pass-2 sort must stay bucket-local (one bucket of state, not the group):\n$p")
+  }
+
   test("join_range_bucketed: equi-join, never a nested loop") {
     val p = plan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoop"),
