@@ -303,7 +303,51 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual-hash near-duplicate detection over media content — the
+    * image-dedup analog of MinHash/LSH: a 63-bit dHash (each bit = "is
+    * sample i darker than sample i+1") per asset, banded into 4×16-bit
+    * keys, candidate pairs only where a band collides, exact Hamming ≤ 3
+    * verify on survivors. Pigeonhole makes the banding LOSSLESS at this
+    * threshold (3 differing bits touch ≤ 3 of the 4 bands, so one band
+    * always matches) — which is exactly what the deliberately BRUTE-FORCE
+    * within-block oracle proves. The "pixels" are the first 65 content
+    * samples (codepoints of the padded payload text; 63 bits keeps the
+    * top shift in signed-int64 range on both engines — the honest no-codec
+    * stand-in, same contract as [[features]]: a real pipeline swaps in
+    * decoded luma without touching the dataflow). Scale: sig is map-only
+    * codegen (64 compare-shift-ORs), the explode is 4×, the join is
+    * per-(block, band, key) buckets — never all-pairs; blocks on
+    * (lang, source) like every dd_* query. */
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    val padded = rpad(col("text"), 64, " ")
+    def pix(i: Int): Column = ascii(substring(padded, i, 1))
+    val sig = (1 to 63).map(i =>
+      when(pix(i) < pix(i + 1), shiftleft(lit(1L), i - 1)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), sig.as("sig"))
+    val banded = sigs.select(col("doc_id"), col("lang"), col("source"),
+      col("sig"),
+      explode(array((0 to 3).map(j => struct(lit(j).as("band"),
+        expr(s"(sig >> ${16 * j}) & 65535").as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sig"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val a = banded.select(col("lang"), col("source"), col("band"), col("key"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("lang"), col("source"), col("band"), col("key"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("lang", "source", "band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("lang"), col("source"), col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_neardup" -> (phashNearDup _),
     "mm_audio_meta"  -> (audioMeta _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features"    -> (features _),
@@ -313,6 +357,24 @@ object Multimodal extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Deliberately BRUTE-FORCE within blocks (no banding): equality
+    // proves the 4-band candidate generation lossless at Hamming <= 3.
+    "mm_phash_neardup" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |    list_reduce(list_transform(generate_series(1, 63), i ->
+        |      CASE WHEN ord(substr(rpad(text, 64, ' '), CAST(i AS INT), 1))
+        |             < ord(substr(rpad(text, 64, ' '), CAST(i AS INT) + 1, 1))
+        |      THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |      ELSE CAST(0 AS BIGINT) END),
+        |      (a, x) -> a | x) AS sig
+        |  FROM documents)
+        |SELECT a.lang, a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+        |  AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY a.lang, a.source, a_id, b_id""".stripMargin,
     // Closed-form expected values from the synthesis formulas — the Spark
     // side derives them only from the bytes (LE fmt fields + chunk walk).
     "mm_audio_meta" ->
