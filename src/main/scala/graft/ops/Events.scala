@@ -106,6 +106,40 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Cohort LTV triangle — the revenue twin of [[retention]]'s user
+    * counts: per (acquisition cohort, age-in-days), purchase revenue,
+    * buyers, cumulative revenue, and LTV per acquired user. Revenue is
+    * exact integer cents (floor(x·100+0.5)); the cumulative window runs
+    * over the REDUCED |cohorts|×|ages| triangle, never raw events (the
+    * same window-on-grid posture PlanAuditSpec pins for rel_mom_growth);
+    * LTV divides identical BIGINTs, so the doubles agree bit-exactly.
+    * Scale: first-touch is one user_id aggregate; the triangle join
+    * broadcasts per-cohort sizes. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        col("event_type"), col("value"))
+    val firstDay = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    val sizes = firstDay.groupBy(col("cohort_day"))
+      .agg(countDistinct(col("user_id")).as("cohort_n"))
+    val tri = e.filter(col("event_type") === "purchase")
+      .join(firstDay, "user_id")
+      .withColumn("age", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("age"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("long")
+        .as("rev_cents"),
+        countDistinct(col("user_id")).as("n_buyers"))
+    val wCum = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+    tri.join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wCum).cast("long"))
+      .select(col("cohort_day"), col("age"), col("rev_cents"),
+        col("n_buyers"), col("cohort_n"), col("cum_cents"),
+        (col("cum_cents").cast("double") / col("cohort_n").cast("double"))
+          .as("ltv_cents_per_user"))
+      .orderBy(col("cohort_day"), col("age"))
+  }
+
   /** Linear-interpolation resampling — the smooth twin of [[gapfill]]'s
     * forward fill: missing hours on the (event_type × hour) grid take
     * prev + (next − prev)·(h − ph)/(nh − ph) between the surrounding
@@ -670,6 +704,7 @@ object Events extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_seasonality" -> (seasonality _),
+    "ev_cohort_ltv" -> (cohortLtv _),
     "ev_forecast_eval" -> (forecastEval _),
     "ev_attribution_multi" -> (attributionMulti _),
     "ev_rolling_actives" -> (rollingActives _),
@@ -699,6 +734,29 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value
+        |  FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_n
+        |  FROM fd GROUP BY 1),
+        |tri AS (
+        |  SELECT fd.cohort_day, e.day - fd.cohort_day AS age,
+        |    CAST(SUM(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents,
+        |    COUNT(DISTINCT e.user_id) AS n_buyers
+        |  FROM e JOIN fd USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, CAST(age AS BIGINT) AS age, rev_cents, n_buyers,
+        |  cohort_n,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age)
+        |    AS BIGINT) AS cum_cents,
+        |  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day ORDER BY age)
+        |    AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS ltv_cents_per_user
+        |FROM tri JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, age""".stripMargin,
     // Spark dayofweek() is 1=Sunday..7; DuckDB dayofweek() is 0=Sunday..6.
     "ev_seasonality" ->
       """WITH byd AS (

@@ -476,7 +476,42 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Readability scoring (Flesch-Kincaid family) — the grade-level /
+    * reading-ease columns a curriculum or audience filter sorts on,
+    * computed from three integer-exact counts: whitespace words, sentence
+    * terminator groups ([.!?]+), and vowel groups ([aeiouy]+, the
+    * classic syllable approximation). The two rate divisions run on
+    * identical BIGINTs and the linear formulas combine them in one fixed
+    * expression order, so the doubles agree bit-exactly across engines —
+    * no transcendentals anywhere. English docs only (the formula's
+    * domain). Map-only scan; the counts are codegen'd regexes. */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val words = greatest(lit(1L),
+      size(tokens(col("text"))).cast("long"))
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val vg = greatest(lit(1L),
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long"))
+    Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        vg.as("n_vowel_groups"))
+      .withColumn("wps", col("n_words").cast("double") /
+        col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_vowel_groups").cast("double") /
+        col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_vowel_groups"),
+        (lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59))
+          .as("fk_grade"),
+        (lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"))
+          .as("reading_ease"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (readability _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_classifier_train" -> (classifierTrain _),
     "text_bpe_pairs" -> (bpePairs _),
@@ -506,6 +541,28 @@ object LlmText extends QueryModule {
     }
 
   override def oracleSql: Map[String, String] = Map(
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(1 AS BIGINT), CAST(len(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+        |      AS BIGINT)) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS n_sentences,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT)) AS n_vowel_groups
+        |  FROM documents WHERE lang = 'en')
+        |SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+        |  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+        |    11.8 * (CAST(n_vowel_groups AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59 AS fk_grade,
+        |  206.835 - 1.015 *
+        |    (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+        |    84.6 * (CAST(n_vowel_groups AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    AS reading_ease
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_bpe_encode" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, $sqlToks AS ws FROM documents),
