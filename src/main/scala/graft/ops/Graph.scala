@@ -141,7 +141,46 @@ object Graph extends QueryModule {
       .orderBy(col("id"))
   }
 
+  /** LINK PREDICTION by neighborhood Jaccard (the common-neighbors family
+    * behind "you may also like" / missing-edge inference): over the same
+    * support-≥2 co-purchase graph as [[triangles]], score every
+    * NON-adjacent pair that shares a neighbor with
+    * |N(a)∩N(c)| / |N(a)∪N(c)| and emit the top 20. Candidate pairs come
+    * from the wedge join (only pairs with ≥1 common neighbor exist — the
+    * same bounded wedge stream the support threshold keeps linear-ish),
+    * existing edges drop via an anti-join, and the score is a ratio of
+    * exact ints. Keyed joins only; |candidates| ≤ |wedges|, never
+    * |V|². */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+    val adj = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("dg"))
+    val common = adj.as("x").join(adj.as("y"), col("x.v") === col("y.v"))
+      .filter(col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("a"), col("y.u").as("c"))
+      .agg(count(lit(1)).as("n_common"))
+    common.join(e0,
+        common("a") === e0("u") && common("c") === e0("v"), "left_anti")
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("c"), col("dg").as("dc")), Seq("c"))
+      .select(col("a"), col("c"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("da") + col("dc") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("c"))
+      .limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_prediction" -> (linkPrediction _),
     "graph_triangles" -> (triangles _),
     "graph_pagerank" -> (pagerank _),
     "graph_bfs" -> (bfsLevels _),
@@ -157,6 +196,26 @@ object Graph extends QueryModule {
        |   JOIN outd ON e.src = outd.src GROUP BY e.dst) s USING (id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "graph_link_prediction" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS dg
+        |  FROM adj GROUP BY 1),
+        |cm AS (SELECT x.u AS a, y.u AS c, CAST(COUNT(*) AS BIGINT)
+        |    AS n_common
+        |  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u GROUP BY 1, 2),
+        |cand AS (SELECT * FROM cm WHERE NOT EXISTS
+        |  (SELECT 1 FROM e0 WHERE e0.u = cm.a AND e0.v = cm.c))
+        |SELECT a, c, n_common,
+        |  CAST(n_common AS DOUBLE) /
+        |    CAST(da.dg + dc.dg - n_common AS DOUBLE) AS jaccard
+        |FROM cand JOIN deg da ON da.id = cand.a
+        |JOIN deg dc ON dc.id = cand.c
+        |ORDER BY jaccard DESC, a, c LIMIT 20""".stripMargin,
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS u, b.p AS v

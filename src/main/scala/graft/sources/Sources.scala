@@ -3,6 +3,7 @@ package graft.sources
 import graft.{QueryModule, Tables}
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -216,7 +217,38 @@ object Sources extends QueryModule {
       .orderBy(col("priority"))
   }
 
+  /** Small-file COMPACTION planner (the OPTIMIZE / bin-packing maintenance
+    * pass every parquet lake runs): given a per-partition file manifest
+    * (simulated here as 16-doc shards with byte sizes — the
+    * [[graft.ops.Corpus.shardManifest]] shape), assign files to merge
+    * groups by cumulative-quota packing: group = ⌊bytes-before / target⌋
+    * within each lang, ordered by file id. Output is the merge plan —
+    * per (lang, group): files in, bytes out, id range, and whether the
+    * group actually compacts (>1 file). Integer-only arithmetic; the
+    * planning window runs over the FILE MANIFEST (|files| rows), never
+    * data rows — at 100 TB that is listing-scale, and each planned group
+    * is an independent rewrite task. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    val target = 4096L
+    val files = Tables.documents(s, d)
+      .groupBy(col("lang"), expr("doc_id div 16").as("file_id"))
+      .agg(sum(col("n_chars")).cast("long").as("bytes"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("bytes_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("group_id", expr(s"bytes_before div $target"))
+      .groupBy(col("lang"), col("group_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).cast("long").as("bytes_total"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .withColumn("compacts", when(col("n_files") > 1, 1).otherwise(0).cast("int"))
+      .orderBy(col("lang"), col("group_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_compaction" -> (compactionPlan _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binary_files" -> (binaryFiles _),
@@ -234,6 +266,23 @@ object Sources extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "layout_compaction" ->
+      """WITH files AS (
+        |  SELECT lang, doc_id // 16 AS file_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |planned AS (
+        |  SELECT lang, file_id, bytes,
+        |    COALESCE(SUM(bytes) OVER (PARTITION BY lang ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)) // 4096 AS group_id
+        |  FROM files)
+        |SELECT lang, CAST(group_id AS BIGINT) AS group_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes_total,
+        |  MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+        |  CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS INT) AS compacts
+        |FROM planned GROUP BY 1, 2 ORDER BY lang, group_id""".stripMargin,
     "src_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
         |    ELSE o_orderpriority END AS priority,
