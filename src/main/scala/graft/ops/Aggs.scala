@@ -635,7 +635,91 @@ object Aggs extends QueryModule {
       .orderBy(col("grp"))
   }
 
+  /** Mann-Whitney U rank-sum test (the non-parametric two-sample test a
+    * metrics platform runs when [[abTest]]'s proportion z doesn't apply):
+    * URGENT vs LOW order values. Ranks never materialize per row — the
+    * rank-sum algebra runs over the DISTINCT-VALUE count table
+    * (R₁ = Σ n₁(v)·avgrank(v), avgrank from a cumulative window over the
+    * value grid; doubled to stay integer-exact), with the standard tie
+    * correction Σ(t³−t) from the same table. At extreme scale the value
+    * grid buckets first (the [[median2Pass]] localization trick) — here
+    * 2-dp prices already quantize it. U, μ, σ (sqrt — correctly rounded
+    * everywhere) and z are IEEE ops on identical longs, so the gate is
+    * exact with NO rounding; the oracle derives ranks the OTHER way
+    * (row-level rank()+peer windows), so equality proves the
+    * distinct-value algebra. */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2)
+        .as("g"), col("o_totalprice").as("v"))
+    val vc = o.groupBy(col("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = vc
+      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("ar2", lit(2L) * col("cb") + col("c") + 1L)
+      .agg(sum(col("c1") * col("ar2")).cast("long").as("r1_2"),
+        sum(col("c1")).cast("long").as("n1"),
+        sum(col("c") - col("c1")).cast("long").as("n2"),
+        sum(col("c") * col("c") * col("c") - col("c")).cast("long").as("tie3"))
+    a.withColumn("u1",
+        (col("r1_2") - col("n1") * (col("n1") + 1L)).cast("double") / lit(2.0))
+      .withColumn("u2", (col("n1") * col("n2")).cast("double") - col("u1"))
+      .withColumn("mu", (col("n1") * col("n2")).cast("double") / lit(2.0))
+      .withColumn("sigma2",
+        (col("n1") * col("n2")).cast("double") / lit(12.0) *
+          ((col("n1") + col("n2") + 1L).cast("double") -
+            col("tie3").cast("double") /
+              ((col("n1") + col("n2")) * (col("n1") + col("n2") - 1L))
+                .cast("double")))
+      .select(col("n1"), col("n2"), col("u1"), col("u2"),
+        ((col("u1") - col("mu")) / sqrt(col("sigma2"))).as("z"))
+      .orderBy(col("n1"))
+  }
+
+  /** Kolmogorov-Smirnov two-sample statistic — "are these two
+    * distributions the same shape" for the same URGENT vs LOW samples:
+    * D = max |F₁(v) − F₂(v)| over the distinct-value grid (CDFs are step
+    * functions — the sup is attained at a jump, so the grid is
+    * sufficient), plus the √(n₁n₂/n)·D scaling the critical tables use.
+    * Same scale posture as [[mannWhitney]]: one grid aggregate + one
+    * cumulative window over it; every ratio divides identical longs and
+    * max-of-doubles is order-free, so the gate is exact unrounded. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2)
+        .as("g"), col("o_totalprice").as("v"))
+    val vc = o.groupBy(col("v"))
+      .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("g") === 2, 1L).otherwise(0L)).as("a2"))
+    val tot = vc.agg(sum(col("a1")).cast("long").as("n1"),
+      sum(col("a2")).cast("long").as("n2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.withColumn("cum1", sum(col("a1")).over(w))
+      .withColumn("cum2", sum(col("a2")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1").cast("double") / col("n1").cast("double") -
+          col("cum2").cast("double") / col("n2").cast("double")).as("gap"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("gap")).as("d_stat"))
+      .select(col("n1"), col("n2"), col("d_stat"),
+        (sqrt((col("n1") * col("n2")).cast("double") /
+          (col("n1") + col("n2")).cast("double")) * col("d_stat"))
+          .as("scaled_d"))
+      .orderBy(col("n1"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mann_whitney"  -> (mannWhitney _),
+    "agg_ks_test"       -> (ksTest _),
     "agg_median_2pass"  -> (median2Pass _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_chi_square"    -> (chiSquare _),
@@ -670,6 +754,59 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT derivation: ROW-LEVEL rank() + peer-count windows vs
+    // the Spark side's distinct-value algebra.
+    "agg_mann_whitney" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+        |    AS g, o_totalprice AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |r AS (SELECT g, v, rank() OVER (ORDER BY v) AS rk,
+        |  COUNT(*) OVER (PARTITION BY v) AS c FROM s),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN g = 1 THEN 2 * rk + c - 1 ELSE 0 END)
+        |    AS BIGINT) AS r1_2,
+        |  CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM r),
+        |t AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY v))
+        |SELECT n1, n2,
+        |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  CAST(n1 * n2 AS DOUBLE) -
+        |    CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2,
+        |  (CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
+        |   CAST(n1 * n2 AS DOUBLE) / 2.0) /
+        |  sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 *
+        |    (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |     CAST(tie3 AS DOUBLE) /
+        |       CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) AS z
+        |FROM a CROSS JOIN t ORDER BY n1""".stripMargin,
+    "agg_ks_test" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+        |    AS g, o_totalprice AS v
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |vc AS (SELECT v,
+        |  CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |  CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+        |  FROM s GROUP BY v),
+        |tot AS (SELECT CAST(SUM(a1) AS BIGINT) AS n1,
+        |  CAST(SUM(a2) AS BIGINT) AS n2 FROM vc),
+        |c AS (SELECT
+        |  SUM(a1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum1,
+        |  SUM(a2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum2
+        |  FROM vc),
+        |d AS (SELECT n1, n2,
+        |  MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |          CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d_stat
+        |  FROM c CROSS JOIN tot GROUP BY n1, n2)
+        |SELECT n1, n2, d_stat,
+        |  sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d_stat
+        |    AS scaled_d
+        |FROM d ORDER BY n1""".stripMargin,
     // INDEPENDENT derivation: full per-group sort + row_number order
     // statistics — equality proves the bucket-localization arithmetic.
     "agg_median_2pass" ->

@@ -510,7 +510,62 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 ranked retrieval (Okapi, k1=1.2 b=0.75) — the lexical-search
+    * scoring the [[tfidf]] weights feed in a real engine, run for a fixed
+    * 3-term query over the English corpus: per-(doc, term) tf from a
+    * postings explode FILTERED to the query terms before the aggregate
+    * (so the shuffle carries only matching postings), document length
+    * normalization against the broadcast corpus avgdl, and the classic
+    * saturating tf quotient. The ln(idf) is the one transcendental —
+    * absorbed by the repo's round(6) convention; per-term partial scores
+    * combine in a FIXED 3-term expression order (each term contributes at
+    * most one row, so no float fold ambiguity), and the top-10 ranks on
+    * the rounded score with doc_id tie-break. Scale: postings explode is
+    * linear, df/avgdl broadcast, one (doc) aggregate — the inverted-index
+    * shape [[Joins.invertedIndexJoin]] already pins. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = Seq("hash", "window", "data")
+    val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val stats = broadcast(docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl")))
+    val tf = docs.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("t"))
+      .filter(col("t").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfT = tf.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfT), "t").crossJoin(stats)
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("sc",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    def term(t: String): Column =
+      coalesce(sum(when(col("t") === t, col("sc"))), lit(0.0))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(round(term("hash") + term("window") + term("data"), 6).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+    perDoc
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk").cast("int").as("rk"), col("doc_id"),
+        col("n_terms_matched"), col("bm25"))
+      .orderBy(col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (bm25 _),
     "text_readability" -> (readability _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_classifier_train" -> (classifierTrain _),
@@ -541,6 +596,38 @@ object LlmText extends QueryModule {
     }
 
   override def oracleSql: Map[String, String] = Map(
+    "text_bm25" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS dl,
+         |    $sqlToks AS toks
+         |  FROM documents WHERE lang = 'en'),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+         |tf AS (
+         |  SELECT doc_id, dl, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd)
+         |  WHERE t IN ('hash', 'window', 'data')
+         |  GROUP BY 1, 2, 3),
+         |dft AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.t,
+         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl /
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+         |  FROM tf JOIN dft USING (t) CROSS JOIN st),
+         |pd AS (
+         |  SELECT doc_id,
+         |    round(COALESCE(SUM(CASE WHEN t = 'hash' THEN sc END), 0.0) +
+         |          COALESCE(SUM(CASE WHEN t = 'window' THEN sc END), 0.0) +
+         |          COALESCE(SUM(CASE WHEN t = 'data' THEN sc END), 0.0), 6)
+         |      AS bm25,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+         |  FROM sc GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+         |    AS rk,
+         |  doc_id, n_terms_matched, bm25
+         |FROM pd QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
     "text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,
