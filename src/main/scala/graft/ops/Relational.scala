@@ -537,7 +537,83 @@ object Relational extends QueryModule {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-data / broken-ETL
+    * screen: the leading-digit distribution of order totals vs Benford's
+    * law, with per-digit χ²-style contributions. The expected shares
+    * log₁₀(1+1/d) are embedded as IDENTICAL 17-significant-digit literals
+    * in both engines (no runtime log — both parse to the same double), so
+    * every derived column is IEEE math on identical operands: exact
+    * unrounded gate. One partial+final aggregate to ≤9 rows; the fold for
+    * the total χ² is the order-pinned scalar-sorted fold
+    * ([[Aggs.chiSquare]] idiom). A synthetic price book wouldn't follow
+    * Benford — the gate pins the REPORT's arithmetic, the flag thresholds
+    * are the operator's policy. */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val expected = Seq(
+      "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+      "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+      "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
+    val expCol = element_at(
+      array(expected.map(e => expr(s"CAST($e AS DOUBLE)")): _*), col("digit"))
+    val digits = Tables.orders(s, d)
+      .filter(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    val terms = digits.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("expected", expCol)
+      .withColumn("dev", col("share") - col("expected"))
+      .withColumn("chi_term",
+        col("total").cast("double") * col("dev") * col("dev") / col("expected"))
+    val chi2 = terms.agg(aggregate(array_sort(collect_list(col("chi_term"))),
+      lit(0.0), (a, x) => a + x).as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        col("dev"), col("chi_term"), col("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  /** Population Stability Index drift report — the "did the feature
+    * distribution move between training and serving" number every ML
+    * monitoring stack computes: event values banded into 10 fixed-width
+    * bins, first half-month vs second, PSI = Σ (p₂−p₁)·ln(p₂/p₁) with
+    * +1 Laplace smoothing so empty bins stay finite AND rational. The ln
+    * is transcendental → each bin contribution rounds to 6 decimals on
+    * both sides (repo convention) and the PSI total folds the rounded
+    * terms in value order. Per event_type; one aggregate to a
+    * |types|×10 grid, windows only on that grid. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        when(dayofmonth(col("ts")) <= 15, 1).otherwise(2).as("period"),
+        least(floor(col("value") / 50.0).cast("int"), lit(9)).as("band"))
+    val grid = ev.groupBy(col("event_type"), col("band"))
+      .agg(sum(when(col("period") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("period") === 2, 1L).otherwise(0L)).as("n2"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+        count(lit(1)).as("nb"))
+    val terms = grid.join(broadcast(tot), Seq("event_type"))
+      .withColumn("p1", (col("n1") + 1L).cast("double") /
+        (col("t1") + col("nb")).cast("double"))
+      .withColumn("p2", (col("n2") + 1L).cast("double") /
+        (col("t2") + col("nb")).cast("double"))
+      .withColumn("contrib",
+        round((col("p2") - col("p1")) * log(col("p2") / col("p1")), 6))
+    val psi = terms.groupBy(col("event_type"))
+      .agg(aggregate(array_sort(collect_list(col("contrib"))),
+        lit(0.0), (a, x) => a + x).as("psi"))
+    terms.join(broadcast(psi), Seq("event_type"))
+      .select(col("event_type"), col("band"), col("n1"), col("n2"),
+        col("p1"), col("p2"), col("contrib"), col("psi"))
+      .orderBy(col("event_type"), col("band"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_benford"        -> (benford _),
+    "rel_psi_drift"      -> (psiDrift _),
     "rel_rfm"            -> (rfm _),
     "rel_cdc_history"    -> (cdcHistory _),
     "rel_cdc_apply"      -> (cdcApply _),
@@ -575,6 +651,61 @@ object Relational extends QueryModule {
        |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "rel_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits),
+        |terms AS (
+        |  SELECT digit, n,
+        |    CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |    ([0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+        |      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+        |      0.05799194697768673, 0.05115252244738129,
+        |      0.04575749056067514])[digit] AS expected,
+        |    total
+        |  FROM digits CROSS JOIN tot),
+        |t2 AS (SELECT digit, n, share, expected, share - expected AS dev,
+        |  CAST(total AS DOUBLE) * (share - expected) * (share - expected)
+        |    / expected AS chi_term
+        |  FROM terms),
+        |chi AS (SELECT list_reduce(list_prepend(0.0,
+        |  list(chi_term ORDER BY chi_term)), (a, x) -> a + x) AS chi2
+        |  FROM t2)
+        |SELECT digit, n, share, expected, dev, chi_term, chi2
+        |FROM t2 CROSS JOIN chi ORDER BY digit""".stripMargin,
+    "rel_psi_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(date_part('day', ts) AS INT) <= 15 THEN 1
+        |      ELSE 2 END AS period,
+        |    least(CAST(floor(value / 50.0) AS INT), 9) AS band
+        |  FROM events),
+        |grid AS (
+        |  SELECT event_type, band,
+        |    CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(n1) AS BIGINT) AS t1,
+        |  CAST(SUM(n2) AS BIGINT) AS t2, CAST(COUNT(*) AS BIGINT) AS nb
+        |  FROM grid GROUP BY 1),
+        |terms AS (
+        |  SELECT g.event_type, g.band, g.n1, g.n2,
+        |    CAST(g.n1 + 1 AS DOUBLE) / CAST(t.t1 + t.nb AS DOUBLE) AS p1,
+        |    CAST(g.n2 + 1 AS DOUBLE) / CAST(t.t2 + t.nb AS DOUBLE) AS p2
+        |  FROM grid g JOIN tot t USING (event_type)),
+        |t2 AS (SELECT *, round((p2 - p1) * ln(p2 / p1), 6) AS contrib
+        |  FROM terms),
+        |psi AS (SELECT event_type, list_reduce(list_prepend(0.0,
+        |  list(contrib ORDER BY contrib)), (a, x) -> a + x) AS psi
+        |  FROM t2 GROUP BY event_type)
+        |SELECT t2.event_type, band, n1, n2, p1, p2, contrib, psi
+        |FROM t2 JOIN psi USING (event_type)
+        |ORDER BY event_type, band""".stripMargin,
     "rel_rfm" ->
       """WITH c AS (
         |  SELECT o_custkey, max(o_orderdate) AS lastd,
