@@ -611,7 +611,43 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"), col("band"))
   }
 
+  /** Referential-integrity audit — the FK-violation report run before
+    * trusting any star-schema join (the enforcement twin of
+    * [[fkDiscovery]], which only proposes candidates): for each declared
+    * FK edge, child rows, orphan rows (left-anti against the parent key
+    * set), distinct orphan keys, and an ok flag. Each check is one
+    * anti-join + two tiny aggregates; at 100 TB each edge shuffles once
+    * on its key (or broadcasts the small parents) and the audits are
+    * independent — a scheduler fans them out. */
+  def riAudit(s: SparkSession, d: String): DataFrame = {
+    def check(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val orphans = c.join(parent.select(col(pkey).as("k")).distinct(),
+        Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("k")).as("n_orphan_keys")))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+          col("n_orphan_keys"),
+          when(col("n_orphans") === 0, 1).otherwise(0).cast("int").as("ok"))
+    }
+    Seq(
+      check("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      check("lineitem.l_partkey->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"),
+      check("lineitem.l_suppkey->supplier", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      check("orders.o_custkey->customer", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"),
+      check("customer.c_nationkey->nation", Tables.customer(s, d),
+        "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+    ).reduce(_ unionByName _).orderBy(col("fk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_ri_audit"       -> (riAudit _),
     "rel_benford"        -> (benford _),
     "rel_psi_drift"      -> (psiDrift _),
     "rel_rfm"            -> (rfm _),
@@ -651,6 +687,33 @@ object Relational extends QueryModule {
        |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "rel_ri_audit" -> {
+      def edge(name: String, childT: String, key: String,
+          parentT: String, pkey: String): String =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $childT) AS n_child,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $childT c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parentT p
+           |     WHERE p.$pkey = c.$key)) AS n_orphans,
+           |  (SELECT CAST(COUNT(DISTINCT $key) AS BIGINT) FROM $childT c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parentT p
+           |     WHERE p.$pkey = c.$key)) AS n_orphan_keys""".stripMargin
+      val edges = Seq(
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"))
+      s"""SELECT fk, n_child, n_orphans, n_orphan_keys,
+         |  CAST(CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS INT) AS ok
+         |FROM (${edges.mkString(" UNION ALL ")})
+         |ORDER BY fk""".stripMargin
+    },
     "rel_benford" ->
       """WITH digits AS (
         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)

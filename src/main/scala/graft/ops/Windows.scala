@@ -112,7 +112,38 @@ object Windows extends QueryModule {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Rolling REGRESSION slope (trailing-7-day OLS trend per event type) —
+    * the "is this metric trending up" detector behind alerting and
+    * forecasting: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) where x = epoch
+    * day and y = daily count, all five moments coming from integer SUM
+    * windows over the REDUCED daily grid (|types|×|days| rows — raw
+    * events only hit the first aggregate). Every moment is an exact
+    * BIGINT (no float accumulation: 7·Σx² ≈ 2×10¹⁰ fits comfortably), so
+    * the one division runs on identical operands — exact unrounded gate.
+    * Emitted only for full 7-day frames. */
+  def rollingSlope(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("cnt") === 7)
+      .select(col("event_type"), col("x").as("day_no"), col("y").as("n"),
+        ((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_7d"))
+      .orderBy(col("event_type"), col("day_no"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_slope" -> (rollingSlope _),
     "win_rolling_median" -> (rollingMedian _),
     "win_topk_per_group" -> (topKPerGroup _),
     "win_running_sum"    -> (runningSum _),
@@ -123,6 +154,23 @@ object Windows extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "win_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, x, y,
+        |    COUNT(*) OVER w AS cnt, SUM(x) OVER w AS sx,
+        |    SUM(y) OVER w AS sy, SUM(x * y) OVER w AS sxy,
+        |    SUM(x * x) OVER w AS sxx
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(x AS BIGINT) AS day_no, y AS n,
+        |  CAST(cnt * sxy - sx * sy AS DOUBLE) /
+        |    CAST(cnt * sxx - sx * sx AS DOUBLE) AS slope_7d
+        |FROM m WHERE cnt = 7 ORDER BY event_type, day_no""".stripMargin,
     "win_rolling_median" ->
       """SELECT user_id, event_id,
         |  quantile_cont(value, 0.5) OVER (PARTITION BY user_id

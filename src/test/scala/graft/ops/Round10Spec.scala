@@ -38,6 +38,38 @@ class Round10Spec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"group ${r.get(0)}"))
   }
 
+  test("rel_ri_audit: fixture FKs are clean and the audit detects an injected orphan") {
+    val rows = SparkEntry.queries("rel_ri_audit")(spark, TestSpark.sf).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getInt(4) == 1, s"unexpected orphans: $r"))
+    // The detector itself must fire: a child row with an impossible key.
+    import spark.implicits._
+    val child = Seq(1L, 2L, -999L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val orphans = child.join(parent, Seq("k"), "left_anti").count()
+    assert(orphans == 1L)
+  }
+
+  test("win_rolling_slope: constant series slopes 0; manufactured linear trend slopes 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("x")).rowsBetween(-6, 0)
+    def slope(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("cnt") === 7)
+      .select(((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")).as("s"))
+      .collect().map(_.getDouble(0))
+    val const = (1L to 20L).map(x => (x, 5L)).toDF("x", "y")
+    assert(slope(const).forall(_ == 0.0))
+    val linear = (1L to 20L).map(x => (x, x + 100L)).toDF("x", "y")
+    assert(slope(linear).forall(_ == 1.0))
+  }
+
   test("ev_attribution_multi: per-touch credit caps and channel structure hold") {
     val rows = SparkEntry.queries("ev_attribution_multi")(spark, TestSpark.sf)
       .collect()
