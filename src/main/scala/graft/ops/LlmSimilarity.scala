@@ -131,6 +131,55 @@ object LlmSimilarity extends QueryModule {
         sum(col("cn")).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** Nearest-centroid classification EVAL — the confusion-matrix /
+    * accuracy readout that closes the loop on the embedding tooling: per-
+    * label centroids via the [[centroids]] two-level chunked fold
+    * (bit-deterministic float means), folded into ONE broadcast row of
+    * (label, centroid) structs, every vector assigned by `array_min` of
+    * struct(L2², label) — MAP-ONLY over one corpus scan, the same argmin
+    * idiom as [[kmeans]] — then a (label, pred) aggregate plus the
+    * diagonal/total accuracy. All distances are IEEE folds in dim order
+    * on agreed inputs, so the gate is exact unrounded. Scale: the
+    * centroid table is k×dim broadcast; the corpus never shuffles for
+    * assignment; the confusion matrix is ≤ k² rows. */
+  def centroidEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val lvl1 = e.select(col("label"), expr("vec_id div 256").as("chunk"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .groupBy(col("label"), col("pos"), col("chunk"))
+      .agg(aggregate(sort_array(collect_list(col("x"))),
+        lit(0.0), (a, v) => a + v).as("csum"),
+        count(lit(1)).as("cn"))
+    val cent = lvl1.groupBy(col("label"), col("pos"))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("chunk"), col("csum")))),
+          t => t.getField("csum")),
+        lit(0.0), (a, v) => a + v) / sum(col("cn"))).as("mean"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        t => t.getField("mean")).as("cent"))
+    val centArr = cent.agg(array_sort(collect_list(
+      struct(col("label").as("clabel"), col("cent")))).as("cents"))
+    def l2sq(emb: Column, c: Column): Column =
+      aggregate(zip_with(emb, c,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v)
+    val cm = e.crossJoin(broadcast(centArr))
+      .withColumn("best", array_min(transform(col("cents"), c =>
+        struct(l2sq(col("embedding"), c.getField("cent")).as("dist"),
+          c.getField("clabel").as("pred")))))
+      .select(col("label"), col("best.pred").as("pred"))
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+    val acc = cm.agg(
+      (coalesce(sum(when(col("label") === col("pred"), col("n"))), lit(0L))
+        .cast("double") / sum(col("n")).cast("double")).as("accuracy"))
+    cm.crossJoin(broadcast(acc))
+      .select(col("label"), col("pred").cast("int").as("pred"), col("n"),
+        col("accuracy"))
+      .orderBy(col("label"), col("pred"))
+  }
+
   /** Per-dimension FEATURE STANDARDIZATION (z-score scaling) — the
     * preprocessing step in front of k-means / PCA / distance search when
     * dimensions carry different scales: per-dim mean and std over the
@@ -893,6 +942,7 @@ object LlmSimilarity extends QueryModule {
     "vec_kmeans"      -> (kmeans _),
     "vec_norms"       -> (norms _),
     "vec_standardize" -> (standardize _),
+    "sim_centroid_eval" -> (centroidEval _),
   )
 
   /** DuckDB twin of `dotd(a, b)` (same sequential fold). */
@@ -1221,6 +1271,44 @@ object LlmSimilarity extends QueryModule {
         |    (a, x) -> a + x) / CAST(SUM(cn) AS BIGINT) AS mean,
         |  CAST(SUM(cn) AS BIGINT) AS n_vecs
         |FROM lvl1 GROUP BY label, k ORDER BY label, pos""".stripMargin,
+    "sim_centroid_eval" ->
+      """WITH lvl1 AS (
+        |  SELECT label, k, vec_id // 256 AS chunk,
+        |    list_reduce(list_prepend(0.0, list_sort(
+        |      list(CAST(embedding[CAST(k AS INT)] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS csum,
+        |    COUNT(*) AS cn
+        |  FROM embeddings CROSS JOIN range(1, 65) r(k)
+        |  GROUP BY label, k, chunk),
+        |cmean AS (
+        |  SELECT label, k,
+        |    list_reduce(list_prepend(0.0, list(csum ORDER BY chunk)),
+        |      (a, x) -> a + x) / CAST(SUM(cn) AS BIGINT) AS mean
+        |  FROM lvl1 GROUP BY label, k),
+        |cent AS (SELECT label AS clabel, list(mean ORDER BY k) AS cent
+        |  FROM cmean GROUP BY label),
+        |dist AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1, 64), i ->
+        |        (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) -
+        |          c.cent[CAST(i AS INT)]) *
+        |        (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) -
+        |          c.cent[CAST(i AS INT)]))),
+        |      (a, x) -> a + x) AS d2
+        |  FROM embeddings e CROSS JOIN cent c),
+        |pred AS (
+        |  SELECT vec_id, label, clabel AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, clabel) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |cmx AS (SELECT label, CAST(pred AS INT) AS pred,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+        |acc AS (SELECT
+        |  CAST(COALESCE(SUM(CASE WHEN label = pred THEN n END), 0)
+        |    AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS accuracy FROM cmx)
+        |SELECT label, pred, n, accuracy FROM cmx CROSS JOIN acc
+        |ORDER BY label, pred""".stripMargin,
     "vec_standardize" ->
       """WITH lvl1 AS (
         |  SELECT k, vec_id // 256 AS chunk,
