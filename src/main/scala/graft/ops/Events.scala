@@ -106,6 +106,54 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** NEGATIVE-pattern CEP ("A then B with NO C between") — the absence
+    * constraint [[sequenceMatch]]'s positive chain can't express, e.g.
+    * "signed up and purchased without hitting an error in between". Two
+    * running-max windows over ONE user_id exchange carry the most recent
+    * signup/error timestamps to each purchase; the purchase is clean iff
+    * a signup exists and no error postdates it. Pure window algebra on
+    * integer µs — no per-row state machine, no struct folds (the DuckDB
+    * grouped-fold hazard), exact cross-engine. */
+  def sequenceNegation(s: SparkSession, d: String): DataFrame = {
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("last_signup",
+        max(when(col("event_type") === "signup", col("us"))).over(wB))
+      .withColumn("last_error",
+        max(when(col("event_type") === "error", col("us"))).over(wB))
+      .filter(col("event_type") === "purchase")
+      .withColumn("clean",
+        when(col("last_signup").isNotNull &&
+          (col("last_error").isNull ||
+            col("last_error") < col("last_signup")), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("clean")).cast("long").as("n_clean"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Velocity / burst flagging (the rate-anomaly screen behind fraud and
+    * bot detection): a purchase is flagged when ≥ 3 events of the same
+    * user land in the trailing hour including itself. One range window
+    * over the shared user_id exchange; integer counts only. */
+  def velocityFlags(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("n_1h") >= 3, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"),
+        max(col("n_1h")).as("max_burst"))
+      .filter(col("n_flagged") > 0)
+      .orderBy(col("user_id"))
+  }
+
   /** Cohort LTV triangle — the revenue twin of [[retention]]'s user
     * counts: per (acquisition cohort, age-in-days), purchase revenue,
     * buyers, cumulative revenue, and LTV per acquired user. Revenue is
@@ -705,6 +753,8 @@ object Events extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_seasonality" -> (seasonality _),
     "ev_cohort_ltv" -> (cohortLtv _),
+    "ev_sequence_negation" -> (sequenceNegation _),
+    "ev_velocity_flags" -> (velocityFlags _),
     "ev_forecast_eval" -> (forecastEval _),
     "ev_attribution_multi" -> (attributionMulti _),
     "ev_rolling_actives" -> (rollingActives _),
@@ -734,6 +784,39 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_sequence_negation" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, event_type,
+        |    MAX(CASE WHEN event_type = 'signup' THEN us END) OVER w
+        |      AS last_signup,
+        |    MAX(CASE WHEN event_type = 'error' THEN us END) OVER w
+        |      AS last_error
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN last_signup IS NOT NULL AND
+        |    (last_error IS NULL OR last_error < last_signup)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_velocity_flags" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, event_type,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+        |  FROM t)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(CASE WHEN n_1h >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(MAX(n_1h) AS BIGINT) AS max_burst
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY user_id HAVING n_flagged > 0
+        |ORDER BY user_id""".stripMargin,
     "ev_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, event_type, value

@@ -564,7 +564,32 @@ object LlmText extends QueryModule {
       .orderBy(col("rk"))
   }
 
+  /** Code-vs-prose detection — the "route code to the code pipeline"
+    * classifier in LLM data prep (distinct from [[quality]]'s prose
+    * heuristics): density of code-ish symbols ({}();=<>), digit density,
+    * and an integer cross-multiply flag at ≥ 3% symbol share. All counts
+    * are codegen'd regex extractions over one scan; the two ratios divide
+    * identical BIGINTs — exact unrounded gate, map-only plan. */
+  def codeFilter(s: SparkSession, d: String): DataFrame = {
+    val sym = size(regexp_extract_all(col("text"), lit("[{}();=<>]"), lit(0)))
+      .cast("long")
+    val dig = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), sym.as("n_symbols"),
+        dig.as("n_digits"))
+      .select(col("doc_id"), col("n_chars"), col("n_symbols"), col("n_digits"),
+        (col("n_symbols").cast("double") / col("n_chars").cast("double"))
+          .as("symbol_ratio"),
+        (col("n_digits").cast("double") / col("n_chars").cast("double"))
+          .as("digit_ratio"),
+        when(col("n_symbols") * 100L >= col("n_chars") * 3L, 1)
+          .otherwise(0).cast("int").as("is_code"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_filter" -> (codeFilter _),
     "text_bm25" -> (bm25 _),
     "text_readability" -> (readability _),
     "text_bpe_encode" -> (bpeEncode _),
@@ -596,6 +621,21 @@ object LlmText extends QueryModule {
     }
 
   override def oracleSql: Map[String, String] = Map(
+    "text_code_filter" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT)
+        |      AS n_symbols,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+        |      AS n_digits
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_symbols, n_digits,
+        |  CAST(n_symbols AS DOUBLE) / CAST(n_chars AS DOUBLE)
+        |    AS symbol_ratio,
+        |  CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_ratio,
+        |  CAST(CASE WHEN n_symbols * 100 >= n_chars * 3 THEN 1 ELSE 0 END
+        |    AS INT) AS is_code
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_bm25" ->
       s"""WITH dd AS (
          |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS dl,
