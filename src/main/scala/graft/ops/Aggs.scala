@@ -717,7 +717,45 @@ object Aggs extends QueryModule {
       .orderBy(col("n1"))
   }
 
+  /** [[median2Pass]] generalized to a QUANTILE VECTOR (p25/p50/p75/p95/
+    * p99 discrete order statistics, k = ⌈p·n⌉) — one histogram pass
+    * localizes ALL five order statistics per group at once, pass 2 still
+    * re-scans only the union of target buckets, so adding quantiles costs
+    * five tiny rows per group, not five scans: the full replacement for
+    * the buffering exact-`percentile` at the percentiles dashboards
+    * actually serve. Same INDEPENDENT full-sort oracle pattern. */
+  def quantiles2Pass(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Seq(25, 50, 75, 95, 99)
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("v"), col("o_orderkey").as("id"))
+      .withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
+    val counts = o.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val cum = counts.withColumn("cum",
+      sum(col("bn")).over(Window.partitionBy(col("grp")).orderBy(col("bucket"))))
+    val ks = counts.groupBy(col("grp")).agg(sum(col("bn")).as("n"))
+      .select(col("grp"), col("n"), explode(array(ps.map(p =>
+        struct(lit(p).as("p"), expr(s"($p * n + 99) div 100").as("k"))): _*))
+        .as("pk"))
+      .select(col("grp"), col("n"), col("pk.p").as("p"), col("pk.k").as("k"))
+    val tgt = ks.join(cum, Seq("grp"))
+      .filter(col("cum") >= col("k") && col("cum") - col("bn") < col("k"))
+      .select(col("grp"), col("p"), col("n"), col("k"), col("bucket"),
+        (col("k") - (col("cum") - col("bn"))).as("off"))
+    val wIn = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("v"), col("id"))
+    o.join(tgt.select(col("grp"), col("bucket")).distinct(), Seq("grp", "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .join(tgt, Seq("grp", "bucket"))
+      .filter(col("rn") === col("off"))
+      .select(col("grp"), col("p").cast("int").as("p"), col("n"), col("k"),
+        col("v").as("value"))
+      .orderBy(col("grp"), col("p"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_quantiles_2pass" -> (quantiles2Pass _),
     "agg_mann_whitney"  -> (mannWhitney _),
     "agg_ks_test"       -> (ksTest _),
     "agg_median_2pass"  -> (median2Pass _),
@@ -754,6 +792,19 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_quantiles_2pass" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |ks AS (SELECT DISTINCT grp, n, p, (p * n + 99) // 100 AS k
+        |  FROM r CROSS JOIN (VALUES (25), (50), (75), (95), (99)) pv(p))
+        |SELECT ks.grp, CAST(p AS INT) AS p, CAST(ks.n AS BIGINT) AS n,
+        |  CAST(k AS BIGINT) AS k, r.v AS value
+        |FROM ks JOIN r ON r.grp = ks.grp AND r.rn = ks.k
+        |ORDER BY ks.grp, p""".stripMargin,
     // INDEPENDENT derivation: ROW-LEVEL rank() + peer-count windows vs
     // the Spark side's distinct-value algebra.
     "agg_mann_whitney" ->

@@ -522,9 +522,11 @@ object LlmText extends QueryModule {
     * most one row, so no float fold ambiguity), and the top-10 ranks on
     * the rounded score with doc_id tie-break. Scale: postings explode is
     * linear, df/avgdl broadcast, one (doc) aggregate — the inverted-index
-    * shape [[Joins.invertedIndexJoin]] already pins. */
-  def bm25(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * shape [[Joins.invertedIndexJoin]] already pins. Returns the FULL
+    * per-doc score table so [[LlmSimilarity.hybridRrf]] can fuse it with
+    * a dense ranking; the registered `text_bm25` query is the top-10
+    * cut. */
+  def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val qTerms = Seq("hash", "window", "data")
     val docs = Tables.documents(s, d).filter(col("lang") === "en")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -552,10 +554,16 @@ object LlmText extends QueryModule {
             (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
     def term(t: String): Column =
       coalesce(sum(when(col("t") === t, col("sc"))), lit(0.0))
-    val perDoc = scored.groupBy(col("doc_id"))
+    scored.groupBy(col("doc_id"))
       .agg(round(term("hash") + term("window") + term("data"), 6).as("bm25"),
         count(lit(1)).as("n_terms_matched"))
-    perDoc
+  }
+
+  /** Top-10 cut of [[bm25Scores]] — see that method for the full design
+    * notes. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Scores(s, d)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
       .filter(col("rk") <= 10)
@@ -588,7 +596,51 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** HYBRID retrieval via Reciprocal Rank Fusion — the modern two-tower
+    * search stack in one plan: the LEXICAL arm ranks docs by
+    * [[bm25Scores]], the DENSE arm ranks embeddings by dot product
+    * against a fixed query vector (vec_id 0; the fixture aligns vec_id ↔
+    * doc_id), and RRF fuses them with Σ 1/(60 + rank) over each arm's
+    * top-50 — rank-based fusion needs no score calibration, which is why
+    * production search uses it. The two reciprocal terms are divisions of
+    * identical ints summed in fixed order — exact; ranks come from
+    * already-REDUCED per-doc score tables (the global rank windows see
+    * |candidates| rows, never the corpus — at scale each arm's top-50
+    * arrives via TakeOrderedAndProject from its index). */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val lex = bm25Scores(s, d)
+      .filter(col("doc_id") =!= 0)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("lex_rank") <= 50)
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("score",
+        graft.functions.GraftFunctions.dot(col("embedding"), col("q_emb")))
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("dense_rank") <= 50)
+      .select(col("vec_id").as("id"), col("dense_rank"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf").desc, col("id"))))
+      .filter(col("rk") <= 10)
+      .select(col("rk").cast("int").as("rk"), col("id"),
+        col("lex_rank").cast("long").as("lex_rank"),
+        col("dense_rank").cast("long").as("dense_rank"), col("rrf"))
+      .orderBy(col("rk"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hybrid_rrf" -> (hybridRrf _),
     "text_code_filter" -> (codeFilter _),
     "text_bm25" -> (bm25 _),
     "text_readability" -> (readability _),
@@ -621,6 +673,62 @@ object LlmText extends QueryModule {
     }
 
   override def oracleSql: Map[String, String] = Map(
+    // RRF terms CAST to DOUBLE explicitly — DuckDB's bare 1.0 literal is
+    // DECIMAL and decimal division would diverge from Spark's double.
+    "sim_hybrid_rrf" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS dl,
+         |    $sqlToks AS toks
+         |  FROM documents WHERE lang = 'en'),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+         |tf AS (
+         |  SELECT doc_id, dl, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd)
+         |  WHERE t IN ('hash', 'window', 'data')
+         |  GROUP BY 1, 2, 3),
+         |dft AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.t,
+         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl /
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+         |  FROM tf JOIN dft USING (t) CROSS JOIN st),
+         |pd AS (
+         |  SELECT doc_id,
+         |    round(COALESCE(SUM(CASE WHEN t = 'hash' THEN sc END), 0.0) +
+         |          COALESCE(SUM(CASE WHEN t = 'window' THEN sc END), 0.0) +
+         |          COALESCE(SUM(CASE WHEN t = 'data' THEN sc END), 0.0), 6)
+         |      AS bm25
+         |  FROM sc GROUP BY 1),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |  FROM pd WHERE doc_id <> 0 QUALIFY lex_rank <= 50),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT id, dense_rank FROM (
+         |    SELECT vec_id AS id,
+         |      row_number() OVER (ORDER BY score DESC, vec_id) AS dense_rank
+         |    FROM (
+         |      SELECT vec_id,
+         |        list_reduce(list_transform(
+         |          generate_series(1, len(embedding)), i ->
+         |            CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)),
+         |          (acc, x) -> acc + x) AS score
+         |      FROM embeddings CROSS JOIN q WHERE vec_id <> 0))
+         |  WHERE dense_rank <= 50),
+         |f AS (
+         |  SELECT COALESCE(lex.id, dense.id) AS id, lex_rank, dense_rank,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
+         |    COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rank), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN dense ON lex.id = dense.id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT)
+         |    AS rk,
+         |  id, CAST(lex_rank AS BIGINT) AS lex_rank,
+         |  CAST(dense_rank AS BIGINT) AS dense_rank, rrf
+         |FROM f QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
     "text_code_filter" ->
       """WITH c AS (
         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
