@@ -44,6 +44,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the pass-2 sort must stay bucket-local (one bucket of state, not the group):\n$p")
   }
 
+  test("text_bm25: df and avgdl broadcast — the postings stream is never sort-merge joined") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"df/stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"postings must not shuffle for the stats join:\n$p")
+  }
+
+  test("sim_centroid_eval: assignment is map-only — corpus never shuffles for a join") {
+    val p = plan("sim_centroid_eval")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"centroid assignment must be broadcast/map-only:\n$p")
+  }
+
+  test("ev_attribution_multi: exactly the as-of and conversion exchanges plus the final sort") {
+    val p = plan("ev_attribution_multi")
+    val hashEx = "hashpartitioning".r.findAllMatchIn(p).size
+    assert(hashEx <= 3,
+      s"expected at most user_id window + conv window + final agg exchanges, got $hashEx:\n$p")
+  }
+
   test("join_range_bucketed: equi-join, never a nested loop") {
     val p = plan("join_range_bucketed")
     assert(!p.contains("BroadcastNestedLoop"),
