@@ -106,6 +106,83 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** GROWTH ACCOUNTING (the new / retained / resurrected / churned
+    * quad every growth team reports): per day, users seen for the first
+    * time, users also active the previous day, users returning after a
+    * gap, and yesterday's users who went silent. Everything derives from
+    * the DISTINCT (user, day) pair table — |users|×|days| rows, the same
+    * dedup-first posture as [[rollingActives]] — via one first-day
+    * aggregate, one self-join on (user, day−1), and one anti-join for
+    * churn. The three classes partition today's actives (new ∩ retained
+    * = ∅ since a first-day user has no yesterday), which the oracle's
+    * independent CASE arithmetic confirms. Integer-only. */
+  def growthAccounting(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val f = p.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val y = p.select(col("user_id"), date_add(col("day"), 1).as("day"),
+      lit(1).as("was_yesterday"))
+    val today = p.join(f, "user_id")
+      .join(y, Seq("user_id", "day"), "left")
+      .withColumn("is_new", when(col("day") === col("first_day"), 1L).otherwise(0L))
+      .withColumn("is_retained",
+        when(col("was_yesterday").isNotNull && col("day") =!= col("first_day"),
+          1L).otherwise(0L))
+      .withColumn("is_resurrected",
+        when(col("was_yesterday").isNull && col("day") =!= col("first_day"),
+          1L).otherwise(0L))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(col("is_new")).cast("long").as("n_new"),
+        sum(col("is_retained")).cast("long").as("n_retained"),
+        sum(col("is_resurrected")).cast("long").as("n_resurrected"))
+    val churned = y.join(p, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    today.join(churned, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  /** Pareto / Lorenz activity concentration — "what share of events do
+    * the top-decile users generate": users ranked by event count into 10
+    * integer deciles, per-decile user and event counts, share, and
+    * cumulative share. The rank window runs over the REDUCED per-user
+    * count table (|users| rows — at extreme scale swap in the
+    * [[Aggs.median2Pass]] histogram-ranking trick); shares divide
+    * identical BIGINTs and the cumulative window sums longs over ≤10
+    * rows before ONE division each. */
+  def paretoShare(s: SparkSession, d: String): DataFrame = {
+    val uc = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val tot = uc.agg(sum(col("n")).as("t_events"),
+      count(lit(1)).as("t_users"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val ranked = uc.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("decile",
+        expr("(rk * 10 + t_users - 1) div t_users").cast("int"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).cast("long").as("n_events"),
+        max(col("t_events")).as("t_events"))
+      .withColumn("share",
+        col("n_events").cast("double") / col("t_events").cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_events")).over(wCum).cast("double") /
+          col("t_events").cast("double"))
+      .select(col("decile"), col("n_users"), col("n_events"), col("share"),
+        col("cum_share"))
+      .orderBy(col("decile"))
+  }
+
   /** NEGATIVE-pattern CEP ("A then B with NO C between") — the absence
     * constraint [[sequenceMatch]]'s positive chain can't express, e.g.
     * "signed up and purchased without hitting an error in between". Two
@@ -755,6 +832,8 @@ object Events extends QueryModule {
     "ev_cohort_ltv" -> (cohortLtv _),
     "ev_sequence_negation" -> (sequenceNegation _),
     "ev_velocity_flags" -> (velocityFlags _),
+    "ev_growth_accounting" -> (growthAccounting _),
+    "ev_pareto_share" -> (paretoShare _),
     "ev_forecast_eval" -> (forecastEval _),
     "ev_attribution_multi" -> (attributionMulti _),
     "ev_rolling_actives" -> (rollingActives _),
@@ -784,6 +863,62 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Independent arithmetic: the oracle classifies with CASE over the
+    // same pair table rather than join flags.
+    "ev_growth_accounting" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM p GROUP BY 1),
+        |t AS (
+        |  SELECT p.day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN p.day = f.first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN p.day <> f.first_day AND EXISTS
+        |      (SELECT 1 FROM p y WHERE y.user_id = p.user_id
+        |        AND y.day = p.day - 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(SUM(CASE WHEN p.day <> f.first_day AND NOT EXISTS
+        |      (SELECT 1 FROM p y WHERE y.user_id = p.user_id
+        |        AND y.day = p.day - 1) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM p JOIN f USING (user_id) GROUP BY p.day),
+        |c AS (
+        |  SELECT y.day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM p y WHERE NOT EXISTS
+        |    (SELECT 1 FROM p t2 WHERE t2.user_id = y.user_id
+        |      AND t2.day = y.day + 1)
+        |  GROUP BY y.day + 1)
+        |SELECT COALESCE(t.day, c.day) AS day,
+        |  COALESCE(n_active, 0) AS n_active, COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM t FULL OUTER JOIN c ON t.day = c.day
+        |ORDER BY day""".stripMargin,
+    "ev_pareto_share" ->
+      """WITH uc AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t_events,
+        |  CAST(COUNT(*) AS BIGINT) AS t_users FROM uc),
+        |r AS (
+        |  SELECT n,
+        |    CAST((row_number() OVER (ORDER BY n DESC, user_id) * 10
+        |      + t_users - 1) // t_users AS INT) AS decile,
+        |    t_events
+        |  FROM uc CROSS JOIN tot),
+        |g AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(n) AS BIGINT) AS n_events,
+        |    CAST(MAX(t_events) AS BIGINT) AS t_events
+        |  FROM r GROUP BY decile)
+        |SELECT decile, n_users, n_events,
+        |  CAST(n_events AS DOUBLE) / CAST(t_events AS DOUBLE) AS share,
+        |  CAST(SUM(n_events) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(t_events AS DOUBLE) AS cum_share
+        |FROM g ORDER BY decile""".stripMargin,
     "ev_sequence_negation" ->
       """WITH t AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -247,7 +247,53 @@ object Sources extends QueryModule {
       .orderBy(col("lang"), col("group_id"))
   }
 
+  /** Corrupt-record-tolerant JSON ingest (PERMISSIVE mode +
+    * `columnNameOfCorruptRecord`) — the real-world contract of any feed
+    * reader: malformed lines must neither kill the job NOR silently
+    * vanish. Every third nation row is written as a TRUNCATED JSON
+    * object (no closing brace; executor-side per-row file writes, the
+    * [[binaryFiles]] pattern); the read recovers valid rows typed and
+    * quarantines the rest in the corrupt column. The oracle computes the
+    * expected split closed-form from the corruption rule (key % 3), so
+    * the gate proves corrupt rows are counted, not dropped, and valid
+    * rows survive bit-exact. */
+  def jsonCorrupt(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("json_corrupt", d)
+    if (!Files.exists(Paths.get(dir, "_DONE"))) {
+      Files.createDirectories(Paths.get(dir))
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .foreach { r =>
+          val key = r.getInt(0)
+          val body = s"""{"n_nationkey":$key,"n_name":"${r.getString(1)}""""
+          val line = if (key % 3 == 0) body else body + "}"
+          Files.write(Paths.get(dir, s"nation_$key.json"),
+            line.getBytes("UTF-8"))
+          ()
+        }
+      Files.write(Paths.get(dir, "_DONE"), Array.emptyByteArray)
+    }
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(s"$dir/nation_*.json")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_corrupt"),
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_valid"),
+        coalesce(sum(when(col("_corrupt").isNull, col("n_nationkey"))),
+          lit(0L)).cast("long").as("valid_key_sum"),
+        countDistinct(when(col("_corrupt").isNull, col("n_name")))
+          .as("n_valid_names"))
+      .orderBy(col("n_rows"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_json_corrupt" -> (jsonCorrupt _),
     "layout_compaction" -> (compactionPlan _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_text_roundtrip" -> (textRoundTrip _),
@@ -266,6 +312,19 @@ object Sources extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    // Closed-form from the corruption rule (key % 3 truncated): proves
+    // corrupt rows are quarantined-not-dropped and valid rows survive.
+    "src_json_corrupt" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN n_nationkey % 3 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_valid,
+        |  CAST(COALESCE(SUM(CASE WHEN n_nationkey % 3 <> 0
+        |    THEN n_nationkey END), 0) AS BIGINT) AS valid_key_sum,
+        |  CAST(COUNT(DISTINCT CASE WHEN n_nationkey % 3 <> 0
+        |    THEN n_name END) AS BIGINT) AS n_valid_names
+        |FROM nation""".stripMargin,
     "layout_compaction" ->
       """WITH files AS (
         |  SELECT lang, doc_id // 16 AS file_id,
