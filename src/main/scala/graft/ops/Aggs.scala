@@ -754,7 +754,56 @@ object Aggs extends QueryModule {
       .orderBy(col("grp"), col("p"))
   }
 
+  /** Trimmed mean (drop the top and bottom 5%) as a RANGED two-pass
+    * aggregation — the third member of the [[median2Pass]] family, now
+    * summing BETWEEN two order statistics instead of selecting at them:
+    * pass 1's histogram carries an exact-DECIMAL per-bucket value sum, so
+    * every bucket fully inside the kept rank range contributes its sum
+    * with NO re-scan; only the two boundary buckets are re-scanned for an
+    * in-bucket rank filter. Decimal addition is order-free, hence
+    * bit-exact against the INDEPENDENT full-sort oracle; max sort state
+    * is again one bucket. This is how a 100 TB winsorized/robust mean is
+    * actually computed — the naive form sorts the whole group. */
+  def trimmedMean(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("v"), col("o_orderkey").as("id"))
+      .withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
+    val counts = o.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("bn"),
+        sum(col("v").cast("decimal(18,4)")).as("bsum"))
+    val cum = counts
+      .withColumn("cum", sum(col("bn"))
+        .over(Window.partitionBy(col("grp")).orderBy(col("bucket"))))
+      .withColumn("cb", col("cum") - col("bn"))
+    val ns = counts.groupBy(col("grp")).agg(sum(col("bn")).as("n"))
+      .withColumn("k1", expr("(5 * n) div 100"))
+      .withColumn("k2", expr("n - (5 * n) div 100"))
+    val j = cum.join(ns, Seq("grp"))
+    val full = j.filter(col("cb") >= col("k1") && col("cum") <= col("k2"))
+      .groupBy(col("grp")).agg(sum(col("bsum")).as("fsum"))
+    val boundary = j
+      .filter(!(col("cb") >= col("k1") && col("cum") <= col("k2")) &&
+        col("cum") > col("k1") && col("cb") < col("k2"))
+      .select(col("grp"), col("bucket"), col("cb"), col("k1"), col("k2"))
+    val wIn = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("v"), col("id"))
+    val part = o.join(boundary, Seq("grp", "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .withColumn("gr", col("cb") + col("rn"))
+      .filter(col("gr") > col("k1") && col("gr") <= col("k2"))
+      .groupBy(col("grp")).agg(sum(col("v").cast("decimal(18,4)")).as("psum"))
+    ns.join(full, Seq("grp"), "left").join(part, Seq("grp"), "left")
+      .select(col("grp"), col("n"), (col("k2") - col("k1")).as("n_kept"),
+        ((coalesce(col("fsum"), lit(0).cast("decimal(28,4)")) +
+          coalesce(col("psum"), lit(0).cast("decimal(28,4)")))
+          .cast("string").cast("double") /
+          (col("k2") - col("k1")).cast("double")).as("trimmed_mean"))
+      .orderBy(col("grp"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_trimmed_mean"  -> (trimmedMean _),
     "agg_quantiles_2pass" -> (quantiles2Pass _),
     "agg_mann_whitney"  -> (mannWhitney _),
     "agg_ks_test"       -> (ksTest _),
@@ -792,6 +841,24 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT: full per-group sort, keep ranks in (k1, k2], exact
+    // decimal sum routed via VARCHAR (OracleSafe d2d convention).
+    "agg_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp, o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |k AS (SELECT DISTINCT grp, n, (5 * n) // 100 AS k1,
+        |  n - (5 * n) // 100 AS k2 FROM r)
+        |SELECT k.grp, CAST(k.n AS BIGINT) AS n,
+        |  CAST(k2 - k1 AS BIGINT) AS n_kept,
+        |  CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) /
+        |    CAST(k2 - k1 AS DOUBLE) AS trimmed_mean
+        |FROM r JOIN k USING (grp)
+        |WHERE rn > k1 AND rn <= k2
+        |GROUP BY k.grp, k.n, k1, k2 ORDER BY k.grp""".stripMargin,
     "agg_quantiles_2pass" ->
       """WITH r AS (
         |  SELECT o_orderpriority AS grp, o_totalprice AS v,

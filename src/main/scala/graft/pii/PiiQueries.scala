@@ -284,7 +284,41 @@ object PiiQueries extends QueryModule {
       .orderBy(col("col_name"), col("pii_class"))
   }
 
+  /** Differentially-private MEAN release — the continuous-statistic twin
+    * of [[dpCounts]]: account balances are CLIPPED to [0, 5000] (bounding
+    * each record's contribution — the step that makes the sensitivity
+    * Δ = clip/1 finite), the clipped sum takes Laplace(Δ/ε) noise from
+    * the same deterministic md5-uniform inverse-CDF (seeded per group, so
+    * the release is reproducible and oracle-checkable), and the noisy
+    * mean divides by the true count. Clipped sums are exact decimal; the
+    * ln in the noise rounds to 6 both sides (repo convention). Map-side
+    * clip + one aggregate — the released table is |groups| rows. */
+  def dpMean(s: SparkSession, d: String): DataFrame = {
+    val eps = 1.0
+    val clipHi = 5000.0
+    val u = (conv(substring(md5(concat(lit("dpm:"), col("c_mktsegment"))),
+      1, 8), 16, 10).cast("double") + 0.5) / 4294967296.0
+    val clipped = greatest(lit(0.0), least(lit(clipHi), col("c_acctbal")))
+    Tables.customer(s, d)
+      .withColumn("cv", clipped)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cv").cast("decimal(18,4)")).cast("string").cast("double")
+          .as("true_sum"))
+      .withColumn("u", u)
+      .withColumn("noise",
+        round(-signum(col("u") - 0.5) * lit(clipHi / eps) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6))
+      .select(col("c_mktsegment"), col("n"),
+        (col("true_sum") / col("n").cast("double")).as("true_mean"),
+        col("noise"),
+        round((col("true_sum") + col("noise")) / col("n").cast("double"), 6)
+          .as("released_mean"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_dp_mean" -> (dpMean _),
     "pii_scan_report" -> (scanReport _),
     "pii_xtable_consistency" -> (xtableConsistency _),
     "pii_dp_counts" -> (dpCounts _),
@@ -302,6 +336,21 @@ object PiiQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pii_dp_mean" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(greatest(0.0, least(5000.0, c_acctbal))
+        |      AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS true_sum,
+        |    (CAST(CAST(('0x' || substring(md5('dpm:' || c_mktsegment), 1, 8))
+        |      AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+        |  FROM customer GROUP BY c_mktsegment),
+        |t AS (SELECT *,
+        |  round(-sign(u - 0.5) * 5000.0 *
+        |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise FROM g)
+        |SELECT c_mktsegment, n, true_sum / CAST(n AS DOUBLE) AS true_mean,
+        |  noise,
+        |  round((true_sum + noise) / CAST(n AS DOUBLE), 6) AS released_mean
+        |FROM t ORDER BY c_mktsegment""".stripMargin,
     "pii_scan_report" ->
       """WITH t AS (
         |  SELECT c_name, c_mktsegment,
