@@ -639,7 +639,28 @@ object LlmText extends QueryModule {
       .orderBy(col("rk"))
   }
 
+  /** Language-ID EVALUATION — the confusion matrix + accuracy readout for
+    * [[langId]] against the fixture's ground-truth lang column (the same
+    * closed-loop eval pattern as [[LlmSimilarity.centroidEval]]): which
+    * languages the stopword heuristic confuses, and the overall hit rate
+    * (zh/th have no Latin stopword lists, so they appear as the
+    * classifier's known blind spot rather than being silently dropped).
+    * One aggregate over the classifier's map-only output; accuracy
+    * divides identical BIGINTs. */
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val cm = langId(s, d)
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+    val acc = cm.agg(
+      (coalesce(sum(when(col("lang") === col("predicted"), col("n"))),
+        lit(0L)).cast("double") / sum(col("n")).cast("double"))
+        .as("accuracy"))
+    cm.crossJoin(broadcast(acc))
+      .select(col("lang"), col("predicted"), col("n"), col("accuracy"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_eval" -> (langIdEval _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "text_code_filter" -> (codeFilter _),
     "text_bm25" -> (bm25 _),
@@ -933,6 +954,25 @@ object LlmText extends QueryModule {
         |    '\s+', ' ', 'g'))) AS n_chars_norm
         |FROM t ORDER BY doc_id""".stripMargin,
     // text_winnow_fp: rows-only (rolling-hash winnowing; see Scaladoc)
+    "text_langid_eval" ->
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN ${sqlHits(stopwords("en"))} >= ${sqlHits(stopwords("es"))}
+         |       AND ${sqlHits(stopwords("en"))} >= ${sqlHits(stopwords("fr"))}
+         |       AND ${sqlHits(stopwords("en"))} >= ${sqlHits(stopwords("de"))} THEN 'en'
+         |      WHEN ${sqlHits(stopwords("es"))} >= ${sqlHits(stopwords("fr"))}
+         |       AND ${sqlHits(stopwords("es"))} >= ${sqlHits(stopwords("de"))} THEN 'es'
+         |      WHEN ${sqlHits(stopwords("fr"))} >= ${sqlHits(stopwords("de"))} THEN 'fr'
+         |      ELSE 'de' END AS predicted
+         |  FROM documents),
+         |cm AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |acc AS (SELECT
+         |  CAST(COALESCE(SUM(CASE WHEN lang = predicted THEN n END), 0)
+         |    AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS accuracy FROM cm)
+         |SELECT lang, predicted, n, accuracy FROM cm CROSS JOIN acc
+         |ORDER BY lang, predicted""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, lang,
          |  ${sqlHits(stopwords("en"))} AS s_en, ${sqlHits(stopwords("es"))} AS s_es,

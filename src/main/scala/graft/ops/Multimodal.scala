@@ -346,7 +346,36 @@ object Multimodal extends QueryModule {
       .orderBy(col("lang"), col("source"), col("a_id"), col("b_id"))
   }
 
+  /** Content-type SNIFFING / routing — the dispatch step in front of any
+    * decode: detect each payload's real format from magic bytes alone
+    * (PNG 8-byte signature, JPEG SOI, RIFF fourcc; anything else routes
+    * to 'unknown') across all three asset tables, and report the
+    * origin × sniffed matrix. The oracle is CLOSED-FORM from the asset
+    * synthesis rules (even doc_id → png, odd → jpeg; audio all wav; raw
+    * text never matches a magic), so equality proves the byte-level
+    * detector, not just self-consistency. Map-only scan + one tiny
+    * aggregate. */
+  def sniffRoute(s: SparkSession, d: String): DataFrame = {
+    def sniff(c: Column): Column =
+      when(hex(substring(c, 1, 8)) === "89504E470D0A1A0A", "png")
+        .when(hex(substring(c, 1, 2)) === "FFD8", "jpeg")
+        .when(hex(substring(c, 1, 4)) === "52494646", "wav")
+        .otherwise("unknown")
+    val img = imageAssets(s, d)
+      .select(lit("image_table").as("origin"), col("payload"))
+    val aud = audioAssets(s, d)
+      .select(lit("audio_table").as("origin"), col("payload"))
+    val raw = assets(s, d)
+      .select(lit("raw_table").as("origin"), col("payload"))
+    img.unionByName(aud).unionByName(raw)
+      .select(col("origin"), sniff(col("payload")).as("sniffed"))
+      .groupBy(col("origin"), col("sniffed"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("origin"), col("sniffed"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_sniff_route" -> (sniffRoute _),
     "mm_phash_neardup" -> (phashNearDup _),
     "mm_audio_meta"  -> (audioMeta _),
     "mm_binary_meta" -> (binaryMeta _),
@@ -357,6 +386,21 @@ object Multimodal extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // CLOSED-FORM from the synthesis rules — proves the magic-byte
+    // detector maps every payload to its true container format.
+    "mm_sniff_route" ->
+      """SELECT origin, sniffed, n FROM (
+        |  SELECT 'image_table' AS origin,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS sniffed,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'audio_table', 'wav', CAST(COUNT(*) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'raw_table', 'unknown', CAST(COUNT(*) AS BIGINT)
+        |  FROM documents)
+        |ORDER BY origin, sniffed""".stripMargin,
     // Deliberately BRUTE-FORCE within blocks (no banding): equality
     // proves the 4-band candidate generation lossless at Hamming <= 3.
     "mm_phash_neardup" ->
