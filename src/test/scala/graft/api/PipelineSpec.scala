@@ -109,4 +109,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(ranks.sameElements(ranks.sorted),
       "interleave must emit all rank-r docs before any rank-(r+1) doc")
   }
+
+  test("AuditPipeline stages reproduce their gated queries; summary rolls up") {
+    val api = new AuditPipeline
+    val ri = api.referentialIntegrity(spark, TestSpark.sf)
+    val q = graft.ops.Relational.riAudit(spark, TestSpark.sf)
+    assert(ri.exceptAll(q).isEmpty && q.exceptAll(ri).isEmpty,
+      "API stage must BE the gated query, not a re-implementation")
+    val sm = api.summary(spark, TestSpark.sf).collect()
+    assert(sm.map(_.getString(0)).toSeq ==
+      Seq("chi_square", "pii_scan", "psi_drift", "referential_integrity"))
+    // fixture FKs are clean → that audit must pass; PII detectors fire on
+    // the synthesized note column → that audit must flag findings
+    val byName = sm.map(r => r.getString(0) -> r).toMap
+    assert(byName("referential_integrity").getInt(3) == 1)
+    assert(byName("pii_scan").getLong(1) > 0)
+  }
 }
