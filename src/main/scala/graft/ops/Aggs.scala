@@ -802,7 +802,22 @@ object Aggs extends QueryModule {
       .orderBy(col("grp"))
   }
 
+  /** 2-D histogram (the heatmap grid behind price-vs-quantity style
+    * plots): lineitem binned on (price band, quantity band) with counts
+    * and exact-decimal revenue per cell. Banding is integer floor math;
+    * one partial+final aggregate to a bounded grid — the reduction that
+    * makes a 100 TB scatter plottable. */
+  def hist2d(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(
+        floor(col("l_extendedprice") / 20000.0).cast("long").as("price_band"),
+        floor(col("l_quantity") / 10.0).cast("long").as("qty_band"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("price_band"), col("qty_band"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hist2d"        -> (hist2d _),
     "agg_trimmed_mean"  -> (trimmedMean _),
     "agg_quantiles_2pass" -> (quantiles2Pass _),
     "agg_mann_whitney"  -> (mannWhitney _),
@@ -841,6 +856,14 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_hist2d" ->
+      s"""SELECT CAST(floor(l_extendedprice / 20000.0) AS BIGINT)
+         |    AS price_band,
+         |  CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${sqlDsum("CAST(l_extendedprice AS DECIMAL(18,4))")} AS revenue
+         |FROM lineitem GROUP BY 1, 2
+         |ORDER BY price_band, qty_band""".stripMargin,
     // INDEPENDENT: full per-group sort, keep ranks in (k1, k2], exact
     // decimal sum routed via VARCHAR (OracleSafe d2d convention).
     "agg_trimmed_mean" ->

@@ -106,6 +106,37 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Threshold-crossing alert counter — "how often did this metric jump
+    * above its own average" (the scale-free alarm rule; a FIXED threshold
+    * would silently change meaning across data volumes): per event type,
+    * daily counts vs the type's own mean daily volume, counting upward
+    * crossings (today above, yesterday at-or-below). The mean divides
+    * identical BIGINTs, the lag runs over the reduced daily grid, and the
+    * comparisons are int-vs-identical-double — exact. Complements
+    * [[anomaly]] (z-score outliers) with the alert-EDGE semantics
+    * monitoring systems actually page on. */
+  def alertCrossings(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val avg_ = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+      .select(col("event_type"),
+        (col("tot").cast("double") / col("nd").cast("double")).as("avg_n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.join(broadcast(avg_), Seq("event_type"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("crossing",
+        when(col("prev_n").isNotNull && col("n") > col("avg_n") &&
+          col("prev_n") <= col("avg_n"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(max(col("avg_n")).as("avg_daily"),
+        sum(when(col("n") > col("avg_n"), 1L).otherwise(0L)).cast("long")
+          .as("n_days_above"),
+        sum(col("crossing")).cast("long").as("n_crossings"))
+      .orderBy(col("event_type"))
+  }
+
   /** GROWTH ACCOUNTING (the new / retained / resurrected / churned
     * quad every growth team reports): per day, users seen for the first
     * time, users also active the previous day, users returning after a
@@ -833,6 +864,7 @@ object Events extends QueryModule {
     "ev_sequence_negation" -> (sequenceNegation _),
     "ev_velocity_flags" -> (velocityFlags _),
     "ev_growth_accounting" -> (growthAccounting _),
+    "ev_alert_crossings" -> (alertCrossings _),
     "ev_pareto_share" -> (paretoShare _),
     "ev_forecast_eval" -> (forecastEval _),
     "ev_attribution_multi" -> (attributionMulti _),
@@ -863,6 +895,26 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_alert_crossings" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |av AS (SELECT event_type,
+        |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_n
+        |  FROM daily GROUP BY 1),
+        |m AS (
+        |  SELECT d.event_type, d.n, av.avg_n,
+        |    lag(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |      AS prev_n
+        |  FROM daily d JOIN av USING (event_type))
+        |SELECT event_type, MAX(avg_n) AS avg_daily,
+        |  CAST(SUM(CASE WHEN n > avg_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_days_above,
+        |  CAST(SUM(CASE WHEN prev_n IS NOT NULL AND n > avg_n
+        |    AND prev_n <= avg_n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_crossings
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Independent arithmetic: the oracle classifies with CASE over the
     // same pair table rather than join flags.
     "ev_growth_accounting" ->

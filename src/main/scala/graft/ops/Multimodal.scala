@@ -374,7 +374,57 @@ object Multimodal extends QueryModule {
       .orderBy(col("origin"), col("sniffed"))
   }
 
+  /** Recall monitor for [[phashNearDup]]'s banding — the same
+    * measure-your-index discipline as `dd_lsh_recall`/`sim_ann_recall`,
+    * applied to the perceptual-hash bands: per Hamming distance 0..6,
+    * how many true pairs exist (blocked brute force over the signatures)
+    * and how many the 4×16-bit bands surface. Pigeonhole GUARANTEES
+    * recall 1.0 through distance 3 (the neardup query's operating
+    * point); 4..6 is the lossy tail this monitor quantifies before
+    * anyone raises the threshold. Signature computation is shared
+    * map-only code; the brute pass is block-bounded like every dd_*
+    * verify. */
+  def phashRecall(s: SparkSession, d: String): DataFrame = {
+    val padded = rpad(col("text"), 64, " ")
+    def pix(i: Int): Column = ascii(substring(padded, i, 1))
+    val sig = (1 to 63).map(i =>
+      when(pix(i) < pix(i + 1), shiftleft(lit(1L), i - 1)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), sig.as("sig"))
+    val a = sigs.select(col("lang"), col("source"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = sigs.select(col("lang"), col("source"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    val brute = a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= 6)
+    val banded = sigs.select(col("doc_id"), col("lang"), col("source"),
+        explode(array((0 to 3).map(j => struct(lit(j).as("band"),
+          expr(s"(sig >> ${16 * j}) & 65535").as("key"))): _*)).as("bd"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("bd.band").as("band"), col("bd.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source")
+          && col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .withColumn("found", lit(1L))
+    brute.join(cand, Seq("a_id", "b_id"), "left")
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("found"), lit(0L))).cast("long").as("n_banded"))
+      .withColumn("recall",
+        col("n_banded").cast("double") / col("n_pairs").cast("double"))
+      .orderBy(col("hamming"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_recall" -> (phashRecall _),
     "mm_sniff_route" -> (sniffRoute _),
     "mm_phash_neardup" -> (phashNearDup _),
     "mm_audio_meta"  -> (audioMeta _),
@@ -386,6 +436,39 @@ object Multimodal extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "mm_phash_recall" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |    list_reduce(list_transform(generate_series(1, 63), i ->
+        |      CASE WHEN ord(substr(rpad(text, 64, ' '), CAST(i AS INT), 1))
+        |             < ord(substr(rpad(text, 64, ' '), CAST(i AS INT) + 1, 1))
+        |      THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INT))
+        |      ELSE CAST(0 AS BIGINT) END),
+        |      (a, x) -> a | x) AS sig
+        |  FROM documents),
+        |brute AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 6),
+        |bands AS (
+        |  SELECT doc_id, lang, source, j,
+        |    (sig >> CAST(16 * j AS INT)) & 65535 AS key
+        |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.lang = y.lang
+        |    AND x.source = y.source AND x.j = y.j AND x.key = y.key
+        |    AND x.doc_id < y.doc_id)
+        |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN cand.a_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_banded,
+        |  CAST(SUM(CASE WHEN cand.a_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM brute LEFT JOIN cand
+        |  ON brute.a_id = cand.a_id AND brute.b_id = cand.b_id
+        |GROUP BY hamming ORDER BY hamming""".stripMargin,
     // CLOSED-FORM from the synthesis rules — proves the magic-byte
     // detector maps every payload to its true container format.
     "mm_sniff_route" ->
