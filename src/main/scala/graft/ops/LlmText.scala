@@ -659,7 +659,31 @@ object LlmText extends QueryModule {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** PHRASE search over a POSITIONAL inverted index — the capability that
+    * separates a search engine from bag-of-words retrieval: postings
+    * carry (term, doc, position), and the phrase "big data" matches where
+    * the two terms' positions are ADJACENT — one equi-join on
+    * (doc, pos+1), never a rescan of the text. Emits per-doc phrase
+    * occurrence counts and the first match position. Scale: the postings
+    * explode is linear; the adjacency join keys on (doc_id, pos) so
+    * phrase matching is a hash join, and multi-term phrases chain one
+    * join per extra term. Integer-only. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame = {
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val a = postings.filter(col("term") === "big")
+      .select(col("doc_id"), col("pos"))
+    val b = postings.filter(col("term") === "data")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_phrase_search" -> (phraseSearch _),
     "text_langid_eval" -> (langIdEval _),
     "sim_hybrid_rrf" -> (hybridRrf _),
     "text_code_filter" -> (codeFilter _),
@@ -694,6 +718,18 @@ object LlmText extends QueryModule {
     }
 
   override def oracleSql: Map[String, String] = Map(
+    // Independent derivation: direct windowed list scan instead of the
+    // positional-postings self-join.
+    "text_phrase_search" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(generate_series(1, len($sqlToks) - 1),
+         |      i -> ($sqlToks)[CAST(i AS INT)] = 'big'
+         |       AND ($sqlToks)[CAST(i AS INT) + 1] = 'data') AS hits
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+         |  CAST(hits[1] - 1 AS BIGINT) AS first_pos
+         |FROM t WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
     // RRF terms CAST to DOUBLE explicitly — DuckDB's bare 1.0 literal is
     // DECIMAL and decimal division would diverge from Spark's double.
     "sim_hybrid_rrf" ->
