@@ -67,6 +67,56 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd SELF dot product Σxᵢ² over one `array<float>` column — the
+  * specialized form [[graft.plans.SelfDotRewrite]] substitutes for
+  * `graft_dot(x, x)`: identical arithmetic (the same left-to-right
+  * double fold over the same values, so every gated result is bit-
+  * unchanged) but ONE array read per element instead of two — norms are
+  * computed once per vector in every similarity pipeline, so the halved
+  * memory traffic is on the hot path. Also registered directly as
+  * `graft_self_dot`. */
+case class FloatSelfDot(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_self_dot expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_self_dot"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = x.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd intersection size of two SORTED `array<bigint>` columns via a
   * linear merge — replaces interpreted `array_intersect` (hash-set per
   * pair) in the set-similarity hot loop. Inputs must be sorted ascending

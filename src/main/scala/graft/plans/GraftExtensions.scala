@@ -1,7 +1,8 @@
 package graft.plans
 
-import graft.functions.{FloatDotProduct, MinHashBands, MinHashSignature,
-  ShingleHashSet, SortedLongIntersectCount, WinnowingFingerprint}
+import graft.functions.{FloatDotProduct, FloatSelfDot, MinHashBands,
+  MinHashSignature, ShingleHashSet, SortedLongIntersectCount,
+  WinnowingFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,11 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => SelfDotRewrite)
     Seq(
       fn("graft_dot", "codegen float-array dot product",
         es => FloatDotProduct(es(0), es(1))),
       fn("graft_sorted_intersect", "codegen sorted-long intersection count",
         es => SortedLongIntersectCount(es(0), es(1))),
+      fn("graft_self_dot", "codegen float-array self dot (sum of squares)",
+        es => FloatSelfDot(es.head)),
       fn("graft_shingles2", "sorted distinct hashed word 2-gram set",
         es => ShingleHashSet(es.head, 2)),
       fn("graft_shingles3", "sorted distinct hashed word 3-gram set",

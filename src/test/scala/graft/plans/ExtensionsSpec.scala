@@ -37,6 +37,30 @@ class ExtensionsSpec extends AnyFunSuite {
       val strategies = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.planner.strategies
       assert(strategies.contains(AsOfJoinStrategy))
+
+      // the optimizer rule rewrites dot(x, x) to the self-dot kernel —
+      // plan shape AND value both pinned (parquet source so
+      // ConvertToLocalRelation can't pre-fold the projection away)
+      val emb = s.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      val selfDf = emb.selectExpr("vec_id", "graft_dot(embedding, embedding) AS n2")
+      assert(selfDf.queryExecution.optimizedPlan.toString
+        .contains("graft_self_dot"),
+        s"SelfDotRewrite must fire on dot(x, x):\n" +
+          selfDf.queryExecution.optimizedPlan)
+      val twoArg = emb.selectExpr("vec_id",
+        "graft_dot(embedding, embedding) AS n2").head()
+      val manual = emb.selectExpr("vec_id",
+        "aggregate(zip_with(embedding, embedding, (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (a, v) -> a + v)" +
+          " AS n2").head()
+      assert(twoArg.getDouble(1) == manual.getDouble(1),
+        "self-dot rewrite must be value-identical to the fold")
+      // ...and must NOT fire on genuinely different children
+      val crossDf = emb.as("x").join(emb.as("y"),
+          col("x.vec_id") === col("y.vec_id"))
+        .selectExpr("graft_dot(x.embedding, y.embedding) AS d")
+      assert(!crossDf.queryExecution.optimizedPlan.toString
+        .contains("graft_self_dot"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
