@@ -106,6 +106,37 @@ object Events extends QueryModule {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** TIME-TO-CONVERT distribution — the survival-curve table behind
+    * "how long after signup do users buy": each signup maps to the
+    * user's first purchase within 7 days (the same one-shuffle forward
+    * as-of range window as [[attributionMulti]]), delays bucket into
+    * hours, and the output carries per-bucket counts plus the cumulative
+    * conversion rate against ALL signups (converted or not — the
+    * denominator a survival curve needs). Integer-only until the two
+    * rate divisions on identical BIGINTs. */
+  def timeToConvert(s: SparkSession, d: String): DataFrame = {
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(0L, 604800000000L)
+    val tagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("conv_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(wF))
+      .filter(col("event_type") === "signup")
+    val total = tagged.agg(count(lit(1)).as("n_signups"))
+    val hist = tagged.filter(col("conv_us").isNotNull)
+      .select(expr("(conv_us - us) div 3600000000").as("delay_hours"))
+      .groupBy(col("delay_hours")).agg(count(lit(1)).as("n_conversions"))
+    val wCum = Window.orderBy(col("delay_hours"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.crossJoin(broadcast(total))
+      .withColumn("cum_conversions", sum(col("n_conversions")).over(wCum))
+      .select(col("delay_hours"), col("n_conversions"),
+        col("cum_conversions").cast("long").as("cum_conversions"),
+        (col("cum_conversions").cast("double") /
+          col("n_signups").cast("double")).as("cum_rate"))
+      .orderBy(col("delay_hours"))
+  }
+
   /** Threshold-crossing alert counter — "how often did this metric jump
     * above its own average" (the scale-free alarm rule; a FIXED threshold
     * would silently change meaning across data volumes): per event type,
@@ -865,6 +896,7 @@ object Events extends QueryModule {
     "ev_velocity_flags" -> (velocityFlags _),
     "ev_growth_accounting" -> (growthAccounting _),
     "ev_alert_crossings" -> (alertCrossings _),
+    "ev_time_to_convert" -> (timeToConvert _),
     "ev_pareto_share" -> (paretoShare _),
     "ev_forecast_eval" -> (forecastEval _),
     "ev_attribution_multi" -> (attributionMulti _),
@@ -895,6 +927,29 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_time_to_convert" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN CURRENT ROW AND 604800000000 FOLLOWING)
+        |    AS conv_us
+        |  FROM t),
+        |sg AS (SELECT * FROM f WHERE event_type = 'signup'),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signups FROM sg),
+        |h AS (
+        |  SELECT (conv_us - us) // 3600000000 AS delay_hours,
+        |    CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |  FROM sg WHERE conv_us IS NOT NULL GROUP BY 1)
+        |SELECT delay_hours, n_conversions,
+        |  CAST(SUM(n_conversions) OVER (ORDER BY delay_hours
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_conversions,
+        |  CAST(SUM(n_conversions) OVER (ORDER BY delay_hours
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    CAST(n_signups AS DOUBLE) AS cum_rate
+        |FROM h CROSS JOIN tot ORDER BY delay_hours""".stripMargin,
     "ev_alert_crossings" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -682,7 +682,40 @@ object LlmText extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary GROWTH curve (Heaps' law empirics) — the corpus-
+    * linguistics table behind "how fast does the vocab saturate as the
+    * corpus grows": docs stream in id order in buckets of 50, each
+    * bucket reports its token volume and how many word types appear for
+    * the FIRST time there (type → min first doc, one aggregate — no
+    * quadratic rescan of growing prefixes), plus cumulative tokens /
+    * types and the type-token ratio. Cumulative windows run over the
+    * ≤|docs|/50 bucket grid. Integer-exact throughout; the one ratio
+    * divides identical BIGINTs. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tokensPerBucket = postings
+      .groupBy(expr("doc_id div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = postings.groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr("first_doc div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tokensPerBucket.join(newTypes, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w).cast("long"))
+      .withColumn("type_token_ratio",
+        col("cum_types").cast("double") / col("cum_tokens").cast("double"))
+      .orderBy(col("bucket"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> (vocabGrowth _),
     "text_phrase_search" -> (phraseSearch _),
     "text_langid_eval" -> (langIdEval _),
     "sim_hybrid_rrf" -> (hybridRrf _),
@@ -718,6 +751,31 @@ object LlmText extends QueryModule {
     }
 
   override def oracleSql: Map[String, String] = Map(
+    "text_vocab_growth" ->
+      s"""WITH postings AS (
+         |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |tb AS (SELECT doc_id // 50 AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens FROM postings GROUP BY 1),
+         |nt AS (
+         |  SELECT first_doc // 50 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_new_types
+         |  FROM (SELECT term, MIN(doc_id) AS first_doc FROM postings
+         |        GROUP BY term)
+         |  GROUP BY 1),
+         |g AS (
+         |  SELECT COALESCE(tb.bucket, nt.bucket) AS bucket,
+         |    COALESCE(n_tokens, 0) AS n_tokens,
+         |    COALESCE(n_new_types, 0) AS n_new_types
+         |  FROM tb FULL OUTER JOIN nt ON tb.bucket = nt.bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_tokens, n_new_types,
+         |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+         |  CAST(SUM(n_new_types) OVER w AS BIGINT) AS cum_types,
+         |  CAST(SUM(n_new_types) OVER w AS DOUBLE) /
+         |    CAST(SUM(n_tokens) OVER w AS DOUBLE) AS type_token_ratio
+         |FROM g
+         |WINDOW w AS (ORDER BY bucket
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY bucket""".stripMargin,
     // Independent derivation: direct windowed list scan instead of the
     // positional-postings self-join.
     "text_phrase_search" ->

@@ -646,7 +646,43 @@ object Relational extends QueryModule {
     ).reduce(_ unionByName _).orderBy(col("fk"))
   }
 
+  /** Incremental aggregate maintenance WITH RETRACTIONS — the missing
+    * third of the IVM story ([[incrementalAgg]] merges inserts,
+    * [[cdcApply]] replaces rows; this maintains an AGGREGATE under
+    * signed +1/−1 deltas, the Flink-retract-stream / Materialize model):
+    * a base aggregate plus a delta batch of inserts AND deletes merges
+    * by adding signed contributions per group — count and exact-cent sum
+    * both maintain associatively, and a group whose maintained count
+    * reaches 0 drops out (the HAVING the naive merge forgets). The
+    * oracle recomputes from scratch over the final membership predicate,
+    * so equality proves base ⊕ delta ≡ full recompute. Scale: the merge
+    * touches |groups| rows — the whole point vs re-aggregating 100 TB. */
+  def incrAggRetract(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(
+      col("o_orderpriority").as("grp"), col("o_orderkey").as("key"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val base = o.filter(col("key") % 10 < 8)
+    val inserts = o.filter(col("key") % 10 >= 8)
+      .select(col("grp"), lit(1L).as("sign"), col("cents"))
+    val deletes = base.filter(col("key") % 7 === 0)
+      .select(col("grp"), lit(-1L).as("sign"), col("cents"))
+    val baseAgg = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("cents"))
+    val deltaAgg = inserts.unionByName(deletes)
+      .groupBy(col("grp"))
+      .agg(sum(col("sign")).cast("long").as("dn"),
+        sum(col("sign") * col("cents")).cast("long").as("dcents"))
+    baseAgg.join(deltaAgg, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("dcents"), lit(0L)))
+          .as("cents"))
+      .filter(col("n") > 0)
+      .orderBy(col("grp"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_incr_agg_retract" -> (incrAggRetract _),
     "rel_ri_audit"       -> (riAudit _),
     "rel_benford"        -> (benford _),
     "rel_psi_drift"      -> (psiDrift _),
@@ -687,6 +723,16 @@ object Relational extends QueryModule {
        |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // From-scratch recompute over the final membership predicate —
+    // equality proves base (+) signed-delta merge == full recompute.
+    "rel_incr_agg_retract" ->
+      """SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders
+        |WHERE (o_orderkey % 10 < 8 AND o_orderkey % 7 <> 0)
+        |   OR o_orderkey % 10 >= 8
+        |GROUP BY 1 HAVING COUNT(*) > 0 ORDER BY grp""".stripMargin,
     "rel_ri_audit" -> {
       def edge(name: String, childT: String, key: String,
           parentT: String, pkey: String): String =
