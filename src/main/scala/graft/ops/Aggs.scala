@@ -816,7 +816,43 @@ object Aggs extends QueryModule {
         dsum(col("l_extendedprice")).as("revenue"))
       .orderBy(col("price_band"), col("qty_band"))
 
+  /** Gini inequality coefficient per segment (the concentration metric
+    * behind wealth/revenue-distribution dashboards), computed WITHOUT
+    * materializing per-row ranks: over the distinct-value grid, a value
+    * with count c and cumulative-before cb contributes
+    * v·c·(2cb + c + 1) to twice the rank-weighted sum (ties collapse to
+    * their average rank exactly — same algebra as [[mannWhitney]]), all
+    * in exact DECIMAL; G = 2S₁/(nS₀) − (n+1)/n then runs on identical
+    * operands. The oracle derives ranks ROW-LEVEL (rank() + peer
+    * counts), so equality proves the grid algebra again. Positive
+    * balances only (Gini's domain). */
+  def giniWealth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
+    val grid = c.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .groupBy(col("seg"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("v").cast("decimal(12,4)") * col("cnt"))
+          .cast("string").cast("double").as("s0"),
+        sum(col("v").cast("decimal(12,4)") *
+          (col("cnt") * (lit(2L) * col("cb") + col("cnt") + 1L)))
+          .cast("string").cast("double").as("twos1"))
+      .select(col("seg"), col("n"),
+        (col("s0") / col("n").cast("double")).as("mean_balance"),
+        (col("twos1") / (col("n").cast("double") * col("s0")) -
+          (col("n") + 1L).cast("double") / col("n").cast("double"))
+          .as("gini"))
+      .orderBy(col("seg"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_gini_wealth"   -> (giniWealth _),
     "agg_hist2d"        -> (hist2d _),
     "agg_trimmed_mean"  -> (trimmedMean _),
     "agg_quantiles_2pass" -> (quantiles2Pass _),
@@ -856,6 +892,25 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // INDEPENDENT: row-level rank() + peer counts vs the grid algebra.
+    "agg_gini_wealth" ->
+      """WITH s AS (
+        |  SELECT c_mktsegment AS seg, c_acctbal AS v FROM customer
+        |  WHERE c_acctbal > 0),
+        |r AS (SELECT seg, v,
+        |  rank() OVER (PARTITION BY seg ORDER BY v) AS rk,
+        |  COUNT(*) OVER (PARTITION BY seg, v) AS c FROM s),
+        |a AS (
+        |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(v AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
+        |      AS s0,
+        |    CAST(CAST(SUM(CAST(v AS DECIMAL(12,4)) * (2 * rk + c - 1))
+        |      AS VARCHAR) AS DOUBLE) AS twos1
+        |  FROM r GROUP BY seg)
+        |SELECT seg, n, s0 / CAST(n AS DOUBLE) AS mean_balance,
+        |  twos1 / (CAST(n AS DOUBLE) * s0) -
+        |    CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+        |FROM a ORDER BY seg""".stripMargin,
     "agg_hist2d" ->
       s"""SELECT CAST(floor(l_extendedprice / 20000.0) AS BIGINT)
          |    AS price_band,
