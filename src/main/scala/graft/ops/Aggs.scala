@@ -851,7 +851,39 @@ object Aggs extends QueryModule {
       .orderBy(col("seg"))
   }
 
+  /** Mutual information between two categoricals (event type × day of
+    * week) — the information-theoretic dependence measure next to
+    * [[chiSquare]]'s test statistic: I = Σ p·ln(oN/(r·c)) over the same
+    * integer contingency table. Each cell's log argument is a ratio of
+    * exact BIGINT products; the ln rounds to 6 per cell (repo
+    * convention) and the total folds the rounded terms in value order.
+    * Same one-scan, tiny-grid scale shape as chiSquare. */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("nn"))
+    val terms = cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", round(
+        (col("o").cast("double") / col("nn").cast("double")) *
+          log((col("o") * col("nn")).cast("double") /
+            (col("rt") * col("ct")).cast("double")), 6))
+    val mi = terms.agg(aggregate(array_sort(collect_list(col("contrib"))),
+      lit(0.0), (a, x) => a + x).as("mi_nats"))
+    terms.crossJoin(broadcast(mi))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("o").as("observed"), col("contrib"), col("mi_nats"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mutual_info"   -> (mutualInfo _),
     "agg_gini_wealth"   -> (giniWealth _),
     "agg_hist2d"        -> (hist2d _),
     "agg_trimmed_mean"  -> (trimmedMean _),
@@ -892,6 +924,29 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells),
+        |terms AS (
+        |  SELECT c.event_type, c.dow, c.o,
+        |    round((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |      ln(CAST(o * nn AS DOUBLE) / CAST(rt.rt * ct.ct AS DOUBLE)),
+        |      6) AS contrib
+        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow)
+        |  CROSS JOIN tot),
+        |mi AS (SELECT list_reduce(list_prepend(0.0,
+        |  list(contrib ORDER BY contrib)), (a, x) -> a + x) AS mi_nats
+        |  FROM terms)
+        |SELECT event_type, dow, o AS observed, contrib, mi_nats
+        |FROM terms CROSS JOIN mi
+        |ORDER BY event_type, dow""".stripMargin,
     // INDEPENDENT: row-level rank() + peer counts vs the grid algebra.
     "agg_gini_wealth" ->
       """WITH s AS (

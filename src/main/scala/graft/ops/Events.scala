@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OracleSafe, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,46 @@ object Events extends QueryModule {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Inter-arrival time distribution (queueing analysis — "how bursty is
+    * each stream"): per event type, the gaps between a user's
+    * consecutive events of that type, with mean and DISCRETE p50/p90
+    * located on the gap-seconds value grid (cum ≥ k selection — the
+    * [[Aggs.mannWhitney]] grid-rank family again, never a per-group
+    * buffer). Gaps are exact integer seconds; mean divides identical
+    * BIGINTs. One (user,type) lag window + one grid aggregate. */
+  def interArrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("(us - prev) div 1000000").as("gap_s"))
+    val grid = gaps.groupBy(col("event_type"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cum", sum(col("c")).over(wCum))
+    val ns = grid.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("gap_s") * col("c")).as("sum_gap"))
+      .withColumn("k50", expr("(n + 1) div 2"))
+      .withColumn("k90", expr("(9 * n + 9) div 10"))
+    def orderStat(k: Column, name: String): DataFrame =
+      cum.join(ns, Seq("event_type"))
+        .filter(col("cum") >= k)
+        .groupBy(col("event_type")).agg(min(col("gap_s")).as(name))
+    ns.join(orderStat(col("k50"), "p50_gap_s"), Seq("event_type"))
+      .join(orderStat(col("k90"), "p90_gap_s"), Seq("event_type"))
+      .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+        (col("sum_gap").cast("double") / col("n").cast("double"))
+          .as("mean_gap_s"),
+        col("p50_gap_s"), col("p90_gap_s"))
+      .orderBy(col("event_type"))
   }
 
   /** TIME-TO-CONVERT distribution — the survival-curve table behind
@@ -897,6 +937,7 @@ object Events extends QueryModule {
     "ev_growth_accounting" -> (growthAccounting _),
     "ev_alert_crossings" -> (alertCrossings _),
     "ev_time_to_convert" -> (timeToConvert _),
+    "ev_interarrival" -> (interArrival _),
     "ev_pareto_share" -> (paretoShare _),
     "ev_forecast_eval" -> (forecastEval _),
     "ev_attribution_multi" -> (attributionMulti _),
@@ -927,6 +968,34 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    (us - lag(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id)) // 1000000 AS gap_s
+        |  FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |        FROM events)),
+        |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |grid AS (SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM gg GROUP BY 1, 2),
+        |cum AS (SELECT event_type, gap_s, c,
+        |  SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM grid),
+        |ns AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(SUM(gap_s * c) AS BIGINT) AS sum_gap FROM grid GROUP BY 1),
+        |p50 AS (SELECT cum.event_type, MIN(gap_s) AS p50_gap_s
+        |  FROM cum JOIN ns USING (event_type)
+        |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |p90 AS (SELECT cum.event_type, MIN(gap_s) AS p90_gap_s
+        |  FROM cum JOIN ns USING (event_type)
+        |  WHERE cum >= (9 * n + 9) // 10 GROUP BY 1)
+        |SELECT event_type, n AS n_gaps,
+        |  CAST(sum_gap AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_s,
+        |  CAST(p50_gap_s AS BIGINT) AS p50_gap_s,
+        |  CAST(p90_gap_s AS BIGINT) AS p90_gap_s
+        |FROM ns JOIN p50 USING (event_type) JOIN p90 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "ev_time_to_convert" ->
       """WITH t AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -142,7 +142,41 @@ object Windows extends QueryModule {
       .orderBy(col("event_type"), col("day_no"))
   }
 
+  /** Maximum DRAWDOWN of the cumulative-abnormal-revenue series (the
+    * event-study / risk metric): per segment, the daily series
+    * n·cents_d − total (each day's revenue vs the segment's mean day,
+    * SCALED BY n so it stays integer-exact — no rational mean anywhere)
+    * cumulates, and drawdown is running-max minus current. All window
+    * math is BIGINT over the reduced |segments|×|days| grid; only the
+    * final descale divides identical longs. Reports the worst drawdown
+    * and its depth in mean-day units. */
+  def drawdown(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long").as("cents"))
+    val tot = daily.groupBy(col("seg"))
+      .agg(sum(col("cents")).as("total"), count(lit(1)).as("nd"))
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(tot), Seq("seg"))
+      .withColumn("scaled", col("nd") * col("cents") - col("total"))
+      .withColumn("cum", sum(col("scaled")).over(wCum))
+      .withColumn("runmax", max(col("cum")).over(wCum))
+      .groupBy(col("seg"))
+      .agg(max(col("nd")).as("n_days"),
+        max(col("runmax") - col("cum")).cast("long").as("max_dd_scaled"))
+      .select(col("seg"), col("n_days"), col("max_dd_scaled"),
+        (col("max_dd_scaled").cast("double") /
+          col("n_days").cast("double")).as("max_dd_cents_mean_days"))
+      .orderBy(col("seg"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_drawdown" -> (drawdown _),
     "win_rolling_slope" -> (rollingSlope _),
     "win_rolling_median" -> (rollingMedian _),
     "win_topk_per_group" -> (topKPerGroup _),
@@ -154,6 +188,31 @@ object Windows extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "win_drawdown" ->
+      """WITH daily AS (
+        |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(SUM(cents) AS BIGINT) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS nd FROM daily GROUP BY 1),
+        |m AS (
+        |  SELECT d.seg, d.day, t.nd, t.nd * d.cents - t.total AS scaled
+        |  FROM daily d JOIN tot t USING (seg)),
+        |cu AS (SELECT seg, day, nd,
+        |  SUM(scaled) OVER (PARTITION BY seg ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m),
+        |r AS (SELECT seg, nd, cum,
+        |  MAX(cum) OVER (PARTITION BY seg ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM cu)
+        |SELECT seg, CAST(MAX(nd) AS BIGINT) AS n_days,
+        |  CAST(MAX(runmax - cum) AS BIGINT) AS max_dd_scaled,
+        |  CAST(MAX(runmax - cum) AS DOUBLE) / CAST(MAX(nd) AS DOUBLE)
+        |    AS max_dd_cents_mean_days
+        |FROM r GROUP BY seg ORDER BY seg""".stripMargin,
     "win_rolling_slope" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
