@@ -642,8 +642,11 @@ object Aggs extends QueryModule {
     * (R₁ = Σ n₁(v)·avgrank(v), avgrank from a cumulative window over the
     * value grid; doubled to stay integer-exact), with the standard tie
     * correction Σ(t³−t) from the same table. At extreme scale the value
-    * grid buckets first (the [[median2Pass]] localization trick) — here
-    * 2-dp prices already quantize it. U, μ, σ (sqrt — correctly rounded
+    * grid's prefix sum is BUCKET-LOCALIZED (the [[median2Pass]] trick):
+    * a broadcast per-bucket base offset plus a window partitioned on
+    * (bucket), so no sort ever sees more than one bucket's distinct
+    * values and the grid (2-dp prices, near-|orders| distinct) never
+    * collapses to a single task. U, μ, σ (sqrt — correctly rounded
     * everywhere) and z are IEEE ops on identical longs, so the gate is
     * exact with NO rounding; the oracle derives ranks the OTHER way
     * (row-level rank()+peer windows), so equality proves the
@@ -657,10 +660,21 @@ object Aggs extends QueryModule {
     val vc = o.groupBy(col("v"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"))
-    val w = Window.orderBy(col("v"))
+      .withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
+    // bucket-level prefix sum over a table bounded by the value range /
+    // bucket width (a knob, not the data); per-value cumsum then
+    // partitions on the bucket and adds the broadcast base — identical
+    // longs to the single-window form, but max sort state = one bucket
+    val bk = vc.groupBy(col("bucket")).agg(sum(col("c")).as("bc"))
+    val wB = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val a = vc
-      .withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+    val base = bk.withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("bucket"), col("base"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val a = vc.join(broadcast(base), Seq("bucket"))
+      .withColumn("cb",
+        col("base") + coalesce(sum(col("c")).over(wIn), lit(0L)))
       .withColumn("ar2", lit(2L) * col("cb") + col("c") + 1L)
       .agg(sum(col("c1") * col("ar2")).cast("long").as("r1_2"),
         sum(col("c1")).cast("long").as("n1"),
@@ -686,8 +700,10 @@ object Aggs extends QueryModule {
     * D = max |F₁(v) − F₂(v)| over the distinct-value grid (CDFs are step
     * functions — the sup is attained at a jump, so the grid is
     * sufficient), plus the √(n₁n₂/n)·D scaling the critical tables use.
-    * Same scale posture as [[mannWhitney]]: one grid aggregate + one
-    * cumulative window over it; every ratio divides identical longs and
+    * Same scale posture as [[mannWhitney]]: one grid aggregate + a
+    * BUCKET-LOCALIZED cumulative (per-bucket base offsets broadcast back,
+    * per-value window partitioned on the bucket — no single-task sort of
+    * the value grid); every ratio divides identical longs and
     * max-of-doubles is order-free, so the gate is exact unrounded. */
   def ksTest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -698,12 +714,22 @@ object Aggs extends QueryModule {
     val vc = o.groupBy(col("v"))
       .agg(sum(when(col("g") === 1, 1L).otherwise(0L)).as("a1"),
         sum(when(col("g") === 2, 1L).otherwise(0L)).as("a2"))
+      .withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
     val tot = vc.agg(sum(col("a1")).cast("long").as("n1"),
       sum(col("a2")).cast("long").as("n2"))
-    val w = Window.orderBy(col("v"))
+    val bk = vc.groupBy(col("bucket"))
+      .agg(sum(col("a1")).as("b1"), sum(col("a2")).as("b2"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = bk
+      .withColumn("base1", coalesce(sum(col("b1")).over(wB), lit(0L)))
+      .withColumn("base2", coalesce(sum(col("b2")).over(wB), lit(0L)))
+      .select(col("bucket"), col("base1"), col("base2"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    vc.withColumn("cum1", sum(col("a1")).over(w))
-      .withColumn("cum2", sum(col("a2")).over(w))
+    vc.join(broadcast(base), Seq("bucket"))
+      .withColumn("cum1", col("base1") + sum(col("a1")).over(wIn))
+      .withColumn("cum2", col("base2") + sum(col("a2")).over(wIn))
       .crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
         abs(col("cum1").cast("double") / col("n1").cast("double") -
@@ -832,10 +858,22 @@ object Aggs extends QueryModule {
       .filter(col("c_acctbal") > 0)
       .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("v"))
     val grid = c.groupBy(col("seg"), col("v")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("seg")).orderBy(col("v"))
+      .withColumn("bucket", floor(col("v") / 250.0).cast("long"))
+    // same bucket localization as [[mannWhitney]], per segment: the
+    // per-(seg,bucket) base table is tiny (value range / width), the
+    // per-value cumsum partitions on (seg, bucket) — a segment's whole
+    // value grid never sorts in one task
+    val bk = grid.groupBy(col("seg"), col("bucket"))
+      .agg(sum(col("cnt")).as("bc"))
+    val wB = Window.partitionBy(col("seg")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    grid
-      .withColumn("cb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val base = bk.withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("seg"), col("bucket"), col("base"))
+    val wIn = Window.partitionBy(col("seg"), col("bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid.join(broadcast(base), Seq("seg", "bucket"))
+      .withColumn("cb",
+        col("base") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
       .groupBy(col("seg"))
       .agg(sum(col("cnt")).as("n"),
         sum(col("v").cast("decimal(12,4)") * col("cnt"))

@@ -125,9 +125,21 @@ object Events extends QueryModule {
         expr("(us - prev) div 1000000").as("gap_s"))
     val grid = gaps.groupBy(col("event_type"), col("gap_s"))
       .agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("gap_s"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = grid.withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("bucket", expr("gap_s div 3600"))
+    // bucket-localized cumulative (the Aggs.median2Pass trick): hourly
+    // gap buckets carry broadcast base offsets, the per-second cumsum
+    // partitions on (type, bucket) — a type's whole gap grid never
+    // sorts in one task
+    val bk = grid.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("c")).as("bc"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = bk.withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("base"))
+    val wCum = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("gap_s")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.join(broadcast(base), Seq("event_type", "bucket"))
+      .withColumn("cum", col("base") + sum(col("c")).over(wCum))
     val ns = grid.groupBy(col("event_type"))
       .agg(sum(col("c")).as("n"),
         sum(col("gap_s") * col("c")).as("sum_gap"))
@@ -166,10 +178,21 @@ object Events extends QueryModule {
     val hist = tagged.filter(col("conv_us").isNotNull)
       .select(expr("(conv_us - us) div 3600000000").as("delay_hours"))
       .groupBy(col("delay_hours")).agg(count(lit(1)).as("n_conversions"))
-    val wCum = Window.orderBy(col("delay_hours"))
+      .withColumn("dday", expr("delay_hours div 24"))
+    // the delay grid is already bounded (≤168 hourly rows under the
+    // 7-day window), but the cumsum still localizes on the day bucket —
+    // broadcast day-base offsets + a window partitioned on (dday) — so
+    // no unpartitioned window survives even if the horizon knob grows
+    val bk = hist.groupBy(col("dday")).agg(sum(col("n_conversions")).as("bc"))
+    val wB = Window.orderBy(col("dday"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = bk.withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("dday"), col("base"))
+    val wCum = Window.partitionBy(col("dday")).orderBy(col("delay_hours"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    hist.crossJoin(broadcast(total))
-      .withColumn("cum_conversions", sum(col("n_conversions")).over(wCum))
+    hist.join(broadcast(base), Seq("dday")).crossJoin(broadcast(total))
+      .withColumn("cum_conversions",
+        col("base") + sum(col("n_conversions")).over(wCum))
       .select(col("delay_hours"), col("n_conversions"),
         col("cum_conversions").cast("long").as("cum_conversions"),
         (col("cum_conversions").cast("double") /
@@ -254,19 +277,52 @@ object Events extends QueryModule {
   /** Pareto / Lorenz activity concentration — "what share of events do
     * the top-decile users generate": users ranked by event count into 10
     * integer deciles, per-decile user and event counts, share, and
-    * cumulative share. The rank window runs over the REDUCED per-user
-    * count table (|users| rows — at extreme scale swap in the
-    * [[Aggs.median2Pass]] histogram-ranking trick); shares divide
-    * identical BIGINTs and the cumulative window sums longs over ≤10
-    * rows before ONE division each. */
+    * cumulative share. The global rank NEVER runs as one window: it is
+    * the [[Aggs.median2Pass]] histogram-ranking trick applied twice —
+    * (1) a DESC prefix sum over the distinct activity-count grid (itself
+    * localized on a coarse count bucket) gives each count value its
+    * global rank base; (2) the user_id tie-break localizes the same way
+    * on a user_id range bucket, so the only row_number anywhere
+    * partitions on (n, ub) and max sort state is one (count, id-range)
+    * cell. rk = base(n) + base(n,ub) + row_number is the identical
+    * integer, so deciles — and the oracle hash — are unchanged. Shares
+    * divide identical BIGINTs and the cumulative window sums longs over
+    * ≤10 post-aggregate rows before ONE division each. */
   def paretoShare(s: SparkSession, d: String): DataFrame = {
     val uc = Tables.events(s, d)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     val tot = uc.agg(sum(col("n")).as("t_events"),
       count(lit(1)).as("t_users"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    val ranked = uc.crossJoin(broadcast(tot))
-      .withColumn("rk", row_number().over(w))
+    // pass 1: how many users rank strictly ABOVE each activity count n
+    val grid = uc.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .withColumn("nb", expr("n div 64"))
+    val nbk = grid.groupBy(col("nb")).agg(sum(col("c")).as("bc"))
+    val wNb = Window.orderBy(col("nb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val nbase = nbk
+      .withColumn("nbase", coalesce(sum(col("bc")).over(wNb), lit(0L)))
+      .select(col("nb"), col("nbase"))
+    val wG = Window.partitionBy(col("nb")).orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gBase = grid.join(broadcast(nbase), Seq("nb"))
+      .withColumn("cb", col("nbase") + coalesce(sum(col("c")).over(wG), lit(0L)))
+      .select(col("n"), col("cb"))
+    // pass 2: tie-break rank among equal counts, localized on a user_id
+    // range bucket (ub is monotone in user_id, so (ub, user_id) order
+    // equals user_id order)
+    val ucb = uc.withColumn("ub", expr("user_id div 4096"))
+    val bgrid = ucb.groupBy(col("n"), col("ub")).agg(count(lit(1)).as("uc"))
+    val wUb = Window.partitionBy(col("n")).orderBy(col("ub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ubase = bgrid
+      .withColumn("ubase", coalesce(sum(col("uc")).over(wUb), lit(0L)))
+      .select(col("n"), col("ub"), col("ubase"))
+    val wIn = Window.partitionBy(col("n"), col("ub")).orderBy(col("user_id"))
+    val ranked = ucb
+      .join(broadcast(gBase), Seq("n"))
+      .join(ubase, Seq("n", "ub"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rk", col("cb") + col("ubase") + row_number().over(wIn))
       .withColumn("decile",
         expr("(rk * 10 + t_users - 1) div t_users").cast("int"))
     val wCum = Window.orderBy(col("decile"))

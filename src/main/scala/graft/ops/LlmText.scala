@@ -560,16 +560,97 @@ object LlmText extends QueryModule {
   }
 
   /** Top-10 cut of [[bm25Scores]] — see that method for the full design
-    * notes. */
+    * notes. The cut is a TakeOrderedAndProject (orderBy + limit — a
+    * distributed per-partition top-k merge), NOT a global rank window:
+    * for a common query term the scored table is the corpus, and a
+    * row_number over an unpartitioned Window would sort it in one task.
+    * The rank labels attach afterwards over the already-cut 10 rows. */
   def bm25(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     bm25Scores(s, d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
-      .filter(col("rk") <= 10)
       .select(col("rk").cast("int").as("rk"), col("doc_id"),
         col("n_terms_matched"), col("bm25"))
       .orderBy(col("rk"))
+  }
+
+  /** The fixed query workload for [[bm25Multi]] — a retrieval-eval batch,
+    * not a single ad-hoc query. Term lists are literal and ordered, so
+    * each query's score is a FIXED-order sum of per-term contributions
+    * (each (doc, term) contributes exactly one row — no float fold
+    * ambiguity), same exactness argument as [[bm25Scores]]. */
+  private val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "window", "data"),
+    2 -> Seq("sort", "merge", "join"),
+    3 -> Seq("stream", "batch"))
+
+  /** MULTI-QUERY BM25 — the batch-retrieval form that kills the global
+    * rank window: scoring runs ONCE over the union of all query terms
+    * (the postings explode is still filtered before the shuffle), each
+    * doc's per-term sums pivot into per-query fixed-order scores, and
+    * the top-10 per query comes from a row_number window PARTITIONED BY
+    * q_id — at 100 TB the rank state is per-query, never corpus-global.
+    * This is how retrieval eval suites (one rank column per query)
+    * actually execute; the single-query [[bm25]] stays as the
+    * TakeOrdered special case. */
+  def bm25Multi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allTerms = bm25Queries.flatMap(_._2).distinct
+    val docs = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    val stats = broadcast(docs.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl")))
+    val tf = docs.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("t"))
+      .filter(col("t").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfT = tf.groupBy(col("t"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(broadcast(dfT), "t").crossJoin(stats)
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("sc",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    // one (doc) aggregate pivots every term's single contribution row
+    // into columns; per-query scores are then fixed-order literal sums
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(
+        allTerms.map(t => coalesce(sum(when(col("t") === t, col("sc"))),
+          lit(0.0)).as(s"s_$t")).head,
+        (allTerms.map(t => coalesce(sum(when(col("t") === t, col("sc"))),
+          lit(0.0)).as(s"s_$t")).tail ++
+          allTerms.map(t =>
+            max(when(col("t") === t, 1L).otherwise(0L)).as(s"m_$t"))): _*)
+    val qRows = array(bm25Queries.map { case (q, ts) =>
+      struct(lit(q).as("q_id"),
+        round(ts.map(t => col(s"s_$t")).reduce(_ + _), 6).as("bm25"),
+        ts.map(t => col(s"m_$t")).reduce(_ + _).as("n_terms_matched"))
+    }: _*)
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    perDoc.select(col("doc_id"), explode(qRows).as("qs"))
+      .select(col("qs.q_id").as("q_id"), col("doc_id"),
+        col("qs.bm25").as("bm25"),
+        col("qs.n_terms_matched").as("n_terms_matched"))
+      .filter(col("n_terms_matched") > 0)
+      .withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= 10)
+      .select(col("q_id").cast("int").as("q_id"),
+        col("rk").cast("int").as("rk"), col("doc_id"),
+        col("n_terms_matched"), col("bm25"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   /** Code-vs-prose detection — the "route code to the code pipeline"
@@ -603,18 +684,21 @@ object LlmText extends QueryModule {
     * doc_id), and RRF fuses them with Σ 1/(60 + rank) over each arm's
     * top-50 — rank-based fusion needs no score calibration, which is why
     * production search uses it. The two reciprocal terms are divisions of
-    * identical ints summed in fixed order — exact; ranks come from
-    * already-REDUCED per-doc score tables (the global rank windows see
-    * |candidates| rows, never the corpus — at scale each arm's top-50
-    * arrives via TakeOrderedAndProject from its index). */
+    * identical ints summed in fixed order — exact. Each arm's top-50 is
+    * cut by orderBy + limit (TakeOrderedAndProject — a distributed
+    * per-partition top-k merge) BEFORE any rank window exists, so every
+    * row_number in the plan runs over a constant-bounded table (≤50 per
+    * arm, ≤100 fused) — no window ever sees the corpus, even for a
+    * common query term. */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val lex = bm25Scores(s, d)
       .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
-      .filter(col("lex_rank") <= 50)
       .select(col("doc_id").as("id"), col("lex_rank"))
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
@@ -622,17 +706,19 @@ object LlmText extends QueryModule {
       .crossJoin(broadcast(q))
       .withColumn("score",
         graft.functions.GraftFunctions.dot(col("embedding"), col("q_emb")))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(50)
       .withColumn("dense_rank",
         row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("dense_rank") <= 50)
       .select(col("vec_id").as("id"), col("dense_rank"))
     lex.join(dense, Seq("id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(10)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("rrf").desc, col("id"))))
-      .filter(col("rk") <= 10)
       .select(col("rk").cast("int").as("rk"), col("id"),
         col("lex_rank").cast("long").as("lex_rank"),
         col("dense_rank").cast("long").as("dense_rank"), col("rrf"))
@@ -721,6 +807,7 @@ object LlmText extends QueryModule {
     "sim_hybrid_rrf" -> (hybridRrf _),
     "text_code_filter" -> (codeFilter _),
     "text_bm25" -> (bm25 _),
+    "text_bm25_multi" -> (bm25Multi _),
     "text_readability" -> (readability _),
     "text_bpe_encode" -> (bpeEncode _),
     "text_classifier_train" -> (classifierTrain _),
@@ -891,6 +978,74 @@ object LlmText extends QueryModule {
          |    AS rk,
          |  doc_id, n_terms_matched, bm25
          |FROM pd QUALIFY rk <= 10 ORDER BY rk""".stripMargin,
+    "text_bm25_multi" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS dl,
+         |    $sqlToks AS toks
+         |  FROM documents WHERE lang = 'en'),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+         |tf AS (
+         |  SELECT doc_id, dl, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS t FROM dd)
+         |  WHERE t IN ('hash', 'window', 'data', 'sort', 'merge', 'join',
+         |    'stream', 'batch')
+         |  GROUP BY 1, 2, 3),
+         |dft AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.t,
+         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl /
+         |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+         |  FROM tf JOIN dft USING (t) CROSS JOIN st),
+         |pd AS (
+         |  SELECT doc_id,
+         |    COALESCE(SUM(CASE WHEN t = 'hash' THEN sc END), 0.0) AS s_hash,
+         |    COALESCE(SUM(CASE WHEN t = 'window' THEN sc END), 0.0)
+         |      AS s_window,
+         |    COALESCE(SUM(CASE WHEN t = 'data' THEN sc END), 0.0) AS s_data,
+         |    COALESCE(SUM(CASE WHEN t = 'sort' THEN sc END), 0.0) AS s_sort,
+         |    COALESCE(SUM(CASE WHEN t = 'merge' THEN sc END), 0.0) AS s_merge,
+         |    COALESCE(SUM(CASE WHEN t = 'join' THEN sc END), 0.0) AS s_join,
+         |    COALESCE(SUM(CASE WHEN t = 'stream' THEN sc END), 0.0)
+         |      AS s_stream,
+         |    COALESCE(SUM(CASE WHEN t = 'batch' THEN sc END), 0.0) AS s_batch,
+         |    CAST(MAX(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_hash,
+         |    CAST(MAX(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_window,
+         |    CAST(MAX(CASE WHEN t = 'data' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_data,
+         |    CAST(MAX(CASE WHEN t = 'sort' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_sort,
+         |    CAST(MAX(CASE WHEN t = 'merge' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_merge,
+         |    CAST(MAX(CASE WHEN t = 'join' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_join,
+         |    CAST(MAX(CASE WHEN t = 'stream' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_stream,
+         |    CAST(MAX(CASE WHEN t = 'batch' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS m_batch
+         |  FROM sc GROUP BY 1),
+         |q AS (
+         |  SELECT 1 AS q_id, doc_id,
+         |    round(s_hash + s_window + s_data, 6) AS bm25,
+         |    m_hash + m_window + m_data AS n_terms_matched FROM pd
+         |  UNION ALL
+         |  SELECT 2 AS q_id, doc_id,
+         |    round(s_sort + s_merge + s_join, 6) AS bm25,
+         |    m_sort + m_merge + m_join AS n_terms_matched FROM pd
+         |  UNION ALL
+         |  SELECT 3 AS q_id, doc_id,
+         |    round(s_stream + s_batch, 6) AS bm25,
+         |    m_stream + m_batch AS n_terms_matched FROM pd)
+         |SELECT CAST(q_id AS INT) AS q_id,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY bm25 DESC, doc_id) AS INT) AS rk,
+         |  doc_id, n_terms_matched, bm25
+         |FROM q WHERE n_terms_matched > 0
+         |QUALIFY rk <= 10 ORDER BY q_id, rk""".stripMargin,
     "text_readability" ->
       """WITH c AS (
         |  SELECT doc_id,

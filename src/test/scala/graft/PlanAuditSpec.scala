@@ -341,4 +341,86 @@ class PlanAuditSpec extends AnyFunSuite {
   test("ev_gapfill: the fill windows run on the hourly grid, not raw events") {
     assertWindowReadsAggregated("ev_gapfill")
   }
+
+  /** The bucket-localization contract (round 9): any window that still
+    * sees the FINE-grain column (the distinct-value grid / the raw key)
+    * must partition on its bucket column — the unpartitioned prefix-sum
+    * windows may only read the knob-bounded per-bucket table, which by
+    * construction no longer carries the fine column. */
+  private def assertBucketLocalized(
+      name: String, fine: String, bucket: String*): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"$name: expected windows in the plan:\n$lp")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+      if (w.child.output.exists(_.name == fine))
+        assert(bucket.exists(keys.contains),
+          s"$name: window over the '$fine' grid must partition on " +
+            s"${bucket.mkString("/")}, got $keys:\n$lp")
+    }
+  }
+
+  test("agg_mann_whitney: the value-grid cumsum partitions on the price bucket") {
+    assertBucketLocalized("agg_mann_whitney", "v", "bucket")
+  }
+
+  test("agg_ks_test: both CDF cumsums partition on the price bucket") {
+    assertBucketLocalized("agg_ks_test", "v", "bucket")
+  }
+
+  test("agg_gini_wealth: the per-segment value-grid cumsum partitions on (seg, bucket)") {
+    assertBucketLocalized("agg_gini_wealth", "v", "bucket")
+  }
+
+  test("ev_interarrival: the gap-grid cumsum partitions on the hourly gap bucket") {
+    assertBucketLocalized("ev_interarrival", "gap_s", "bucket")
+  }
+
+  test("ev_time_to_convert: the survival cumsum partitions on the day bucket") {
+    assertBucketLocalized("ev_time_to_convert", "delay_hours", "dday")
+  }
+
+  test("ev_pareto_share: the only user-level row_number partitions on the id-range bucket") {
+    assertBucketLocalized("ev_pareto_share", "user_id", "ub")
+  }
+
+  test("text_bm25: the top-10 cut is a TakeOrdered merge, not a global rank window") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must compile to a distributed top-k:\n$p")
+  }
+
+  test("sim_hybrid_rrf: every arm cuts via TakeOrdered before any rank window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val q = SparkEntry.queries("sim_hybrid_rrf")(spark, TestSpark.sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"arm cuts must be distributed top-k merges:\n$p")
+    val wins = q.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the rank-label windows")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case l: GlobalLimit => l }.nonEmpty,
+        s"every rank window must read a limit-bounded input:\n" +
+          q.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("text_bm25_multi: every rank window partitions on the query id") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = SparkEntry.queries("text_bm25_multi")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the per-query rank window")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+      assert(keys.contains("q_id"),
+        s"multi-query rank must partition by q_id, got $keys")
+    }
+  }
 }
