@@ -50,7 +50,11 @@ class AuditPipeline {
     def row(name: String, findings: DataFrame, bad: org.apache.spark.sql.Column,
         worst: org.apache.spark.sql.Column): DataFrame =
       findings.agg(
-        sum(when(bad, 1L).otherwise(0L)).cast("long").as("n_findings"),
+        // coalesce: an EMPTY audit table aggregates to NULL, which must
+        // read as "0 findings, passed" (vacuously clean), not as a
+        // failed audit with null counts
+        coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).cast("long")
+          .as("n_findings"),
         max(worst).as("worst"))
         .select(lit(name).as("audit"), col("n_findings"),
           col("worst").cast("double").as("worst"),

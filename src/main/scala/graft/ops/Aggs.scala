@@ -488,16 +488,57 @@ object Aggs extends QueryModule {
   }
 
   /** Equi-depth (equal-frequency) histogram — the complement of the
-    * equi-width [[histogram]]: bin BOUNDARIES come from exact interpolated
-    * percentiles (≡ DuckDB `quantile_cont` bit-for-bit), then every row is
-    * assigned map-side by comparing against the broadcast 7-value boundary
-    * array — no global sort, no ntile's single-partition window. At 100 TB
-    * the percentile agg would swap to the mergeable KLL sketch
-    * ([[approxQuantileSketch]]) with identical downstream shape. */
+    * equi-width [[histogram]]. Bin BOUNDARIES are exact interpolated
+    * percentiles (quantile_cont semantics: h = p·(n−1), linear between
+    * the two neighboring order statistics), but they are located with
+    * the [[median2Pass]] two-pass bucket plan instead of the buffering
+    * `percentile` aggregate whose single group holds EVERY value: pass 1
+    * counts a coarse value-bucket histogram (one tiny table), a prefix
+    * sum over it localizes all 14 needed order statistics (k and k+1
+    * for each of the 7 boundaries) to their buckets, and pass 2
+    * re-scans only the target buckets with a (vb)-partitioned
+    * row_number — max sort state is ONE value bucket, the knob that
+    * makes this the 100-TB exact form. The interpolation
+    * v_lo + (r/8)·(v_hi − v_lo) runs the identical IEEE expression in
+    * the oracle, which derives its order statistics the OTHER way (one
+    * full-sort row_number) — so the gate proves the localization. Rows
+    * are then assigned map-side against the broadcast 7-value boundary
+    * array exactly as before; [[equidepthSketch]] remains the
+    * sketch-based alternative when approximate boundaries suffice. */
   def equidepthHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("p"))
-    val bounds = li.agg(percentile(col("p"),
-      array((1 to 7).map(i => lit(i / 8.0)): _*)).as("bs"))
+      .withColumn("vb", floor(col("p") / 1000.0).cast("long"))
+    val counts = li.groupBy(col("vb")).agg(count(lit(1)).as("bn"))
+    val cum = counts
+      .withColumn("cum", sum(col("bn")).over(Window.orderBy(col("vb"))))
+      .withColumn("cb", col("cum") - col("bn"))
+    val ks = counts.agg(sum(col("bn")).as("n"))
+      .select(col("n"), explode(array((1 to 7).map(i =>
+        struct(lit(i).as("bi"),
+          expr(s"(n - 1) * $i div 8 + 1").as("k1"),
+          expr(s"(n - 1) * $i % 8").as("r"))): _*)).as("bk"))
+      .select(col("bk.bi").as("bi"), col("bk.r").as("r"),
+        explode(array(col("bk.k1"),
+          col("bk.k1") + when(col("bk.r") > 0, 1L).otherwise(0L))).as("k"))
+    val tgt = ks.crossJoin(broadcast(cum))
+      .filter(col("cum") >= col("k") && col("cb") < col("k"))
+      .select(col("bi"), col("r"), col("vb"),
+        (col("k") - col("cb")).as("off"))
+    val wIn = Window.partitionBy(col("vb")).orderBy(col("p"))
+    val stats = li
+      .join(broadcast(tgt.select(col("vb")).distinct()), Seq("vb"))
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(tgt), Seq("vb"))
+      .filter(col("rn") === col("off"))
+      .groupBy(col("bi"), col("r"))
+      .agg(min(col("p")).as("lo_v"), max(col("p")).as("hi_v"))
+    val bounds = stats
+      .select(col("bi"), (col("lo_v") +
+        col("r").cast("double") / lit(8.0) * (col("hi_v") - col("lo_v")))
+        .as("bval"))
+      .agg(transform(array_sort(collect_list(struct(col("bi"), col("bval")))),
+        x => x.getField("bval")).as("bs"))
     val bucket = (1 to 7).map(i =>
       when(col("p") > element_at(col("bs"), i), 1).otherwise(0))
       .reduce(_ + _) + lit(1)
@@ -1176,9 +1217,23 @@ object Aggs extends QueryModule {
         |  (m3/(m2*sqrt(m2))) AS skewness,
         |  ((m4/(m2*m2)) - 3.0) AS excess_kurtosis
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // INDEPENDENT: one full-sort row_number locates the boundary order
+    // statistics directly; the interpolation is the same explicit IEEE
+    // expression as the Spark side (quantile_cont itself is NOT used, so
+    // the gate checks the 2-pass localization against first principles).
     "agg_equidepth" ->
-      """WITH b AS (SELECT quantile_cont(l_extendedprice,
-        |    [0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS bs FROM lineitem),
+      """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+        |t AS (SELECT l_extendedprice AS p,
+        |  row_number() OVER (ORDER BY l_extendedprice) AS rn FROM lineitem),
+        |ks AS (SELECT bi, (n - 1) * bi // 8 + 1 AS k1,
+        |    (n - 1) * bi % 8 AS r,
+        |    (n - 1) * bi // 8 + 1 +
+        |      (CASE WHEN (n - 1) * bi % 8 > 0 THEN 1 ELSE 0 END) AS k2
+        |  FROM (SELECT unnest([1,2,3,4,5,6,7]) AS bi) CROSS JOIN nn),
+        |bv AS (SELECT ks.bi,
+        |    t1.p + CAST(ks.r AS DOUBLE) / 8.0 * (t2.p - t1.p) AS bval
+        |  FROM ks JOIN t t1 ON t1.rn = ks.k1 JOIN t t2 ON t2.rn = ks.k2),
+        |b AS (SELECT list(bval ORDER BY bi) AS bs FROM bv),
         |a AS (SELECT l_extendedprice AS p,
         |  (CASE WHEN l_extendedprice > bs[1] THEN 1 ELSE 0 END
         |   + CASE WHEN l_extendedprice > bs[2] THEN 1 ELSE 0 END

@@ -141,20 +141,25 @@ object Corpus extends QueryModule {
       .otherwise(3.0)
     val u = md5bucket(concat(lit("rep:"), col("doc_id").cast("string")), 1000)
       .cast("double") / 1000.0
-    Tables.documents(s, d)
+    val perDoc = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), w.as("w"), u.as("u"))
       .withColumn("n",
         floor(col("w")).cast("long") +
           when(col("u") < col("w") - floor(col("w")), 1L).otherwise(0L))
-      // sequence(1, 0) DESCENDS in Spark (emits [1,0]) — a weight < 1
-      // would inflate copies instead of dropping the doc. Filter first so
-      // n = 0 fails safe to zero copies.
-      .filter(col("n") >= 1L)
+    // sequence(1, 0) DESCENDS in Spark (emits [1,0]) — a weight < 1
+    // would inflate copies instead of dropping the doc. Filter first so
+    // n = 0 fails safe to zero copies IN THE CORPUS, while the summary
+    // denominator below still counts every input doc (the oracle's
+    // COUNT(*)) — a future weight < 1 shrinks realized_epochs instead of
+    // silently dropping n = 0 docs from n_docs.
+    val copies = perDoc.filter(col("n") >= 1L)
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1L), col("n"))).as("copy_id"))
-      .groupBy(col("lang"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_copies"))
+    val denom = perDoc.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    copies.groupBy(col("lang")).agg(count(lit(1)).as("n_copies"))
+      .join(denom, Seq("lang"), "right")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_copies"), lit(0L)).as("n_copies"))
       .withColumn("realized_epochs",
         col("n_copies").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("lang"))

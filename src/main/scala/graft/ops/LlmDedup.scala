@@ -541,6 +541,22 @@ object LlmDedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** State root for [[bloomStateRuns]]: the SANITIZED dataset path keys
+    * the directory (two datasets can no longer hashCode-collide into the
+    * same state), and a per-JVM random token isolates concurrent
+    * processes sharing one tmpdir (two simultaneous runs over the same
+    * dataset each get their own run-scoped root instead of racing
+    * overwrite-vs-lazy-read on shared files). Exposed package-private so
+    * the equivalence spec can audit THIS run's rolled-forward
+    * artifacts. */
+  private[graft] val bloomStateToken: String =
+    java.util.UUID.randomUUID.toString.take(8)
+  private[graft] def bloomStateDir(d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bloom_state_${safe}_$bloomStateToken").getAbsolutePath
+  }
+
   /** CROSS-RUN incremental dedup — the two-run twin of the in-plan
     * [[bloomIncremental]], completing the incremental story: run 1 (the
     * prior ingest) persists its dedup state as a parquet artifact — the
@@ -557,10 +573,7 @@ object LlmDedup extends QueryModule {
     * Round9Spec additionally pins the rolled-forward artifacts against a
     * from-scratch build over the whole corpus. */
   def bloomStateRuns(s: SparkSession, d: String): DataFrame = {
-    val stateDir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_bloom_state_" + java.lang.Integer.toHexString(d.hashCode))
-      .getAbsolutePath
+    val stateDir = bloomStateDir(d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("h"))
     val existing = docs.filter(col("doc_id") % 5 =!= 0)

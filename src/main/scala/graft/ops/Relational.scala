@@ -499,37 +499,77 @@ object Relational extends QueryModule {
 
   /** RFM segmentation (recency / frequency / monetary) — the classic
     * customer-value cube: per-customer R/F/M from one orders aggregate,
-    * quintile boundaries from exact interpolated percentiles over the
-    * REDUCED per-customer table (broadcast back — no ntile, no global
-    * window on facts; at 100 TB swap boundaries to the registered
-    * percentile_approx sketch, downstream shape unchanged), scores
-    * assigned map-side by boundary comparison, then the 125-cell segment
-    * rollup. Recency is measured against the corpus max date built into
-    * the plan as a broadcast scalar. Note scores rank raw values
-    * ascending (r_score 5 = LEAST recent); consumers flip signs, the
-    * mechanics don't care. */
+    * quintile boundaries as DISCRETE integer order statistics (the
+    * ⌈0.2·i·n⌉-th smallest value per dimension — all three dimensions
+    * are integer-valued: days, order counts, cents), scores assigned
+    * map-side by boundary comparison, then the 125-cell segment rollup.
+    * Discrete boundaries replace the earlier interpolated `percentile`
+    * for two reasons: (a) an interpolated double boundary that lands
+    * exactly on an integer data value is one ulp of cross-engine
+    * interpolation divergence away from flipping a score (round-8
+    * ADVICE), while integer order statistics are bit-exact by
+    * construction; (b) `percentile`'s single group buffers every
+    * customer, whereas the order statistics locate on the
+    * distinct-value grid with the bucket-localized cumsum
+    * ([[graft.ops.Aggs.median2Pass]] posture) — no whole-table buffer,
+    * no unpartitioned window. The oracle derives the same boundaries
+    * the OTHER way (full-sort row_number at rank k). Recency is
+    * measured against the corpus max date built into the plan as a
+    * broadcast scalar. Note scores rank raw values ascending (r_score
+    * 5 = LEAST recent); consumers flip signs, the mechanics don't
+    * care. */
   def rfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, d)
     val cust = o.groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate")).as("lastd"),
-        count(lit(1)).cast("double").as("f"),
+        count(lit(1)).as("f"),
         sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
           .cast("long").as("m"))
     val ref = o.agg(max(col("o_orderdate")).as("mx"))
     val base = cust.crossJoin(broadcast(ref))
-      .withColumn("r", datediff(col("mx"), col("lastd")).cast("double"))
-    val qs = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
-    val bounds = base.agg(
-      percentile(col("r"), qs).as("rb"),
-      percentile(col("f"), qs).as("fb"),
-      percentile(col("m").cast("double"), qs).as("mb"))
+      .withColumn("r", datediff(col("mx"), col("lastd")).cast("long"))
+    // the ⌈0.2·i·n⌉-th smallest value of dim (i = 1..4), located on the
+    // distinct-value grid via the bucket-localized cum ≥ k selection
+    def quintileBounds(dim: DataFrame, w: Long): DataFrame = {
+      val grid = dim.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("qb", expr(s"v div $w"))
+      val bk = grid.groupBy(col("qb")).agg(sum(col("c")).as("bc"))
+      val wB = Window.orderBy(col("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bbase = bk
+        .withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+        .select(col("qb"), col("base"))
+      val wIn = Window.partitionBy(col("qb")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid.join(broadcast(bbase), Seq("qb"))
+        .withColumn("cum", col("base") + sum(col("c")).over(wIn))
+      val ks = grid.agg(sum(col("c")).as("n"))
+        .select(explode(array((1 to 4).map(i =>
+          struct(lit(i).as("bi"),
+            expr(s"(2 * $i * n + 9) div 10").as("k"))): _*)).as("tk"))
+        .select(col("tk.bi").as("bi"), col("tk.k").as("k"))
+      cum.crossJoin(broadcast(ks))
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("bi")).agg(min(col("v")).as("bv"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("bi"), col("bv")))),
+          x => x.getField("bv")).as("bs"))
+    }
+    val rb = quintileBounds(base.select(col("r").as("v")), 100L)
+      .select(col("bs").as("rb"))
+    val fb = quintileBounds(base.select(col("f").as("v")), 4L)
+      .select(col("bs").as("fb"))
+    val mb = quintileBounds(base.select(col("m").as("v")), 1000000L)
+      .select(col("bs").as("mb"))
     def score(c: Column, b: Column): Column =
       (1 to 4).map(i => when(c > element_at(b, i), 1).otherwise(0))
         .reduce(_ + _) + 1
-    base.crossJoin(broadcast(bounds))
+    base.crossJoin(broadcast(rb)).crossJoin(broadcast(fb))
+      .crossJoin(broadcast(mb))
       .select(score(col("r"), col("rb")).as("r_score"),
         score(col("f"), col("fb")).as("f_score"),
-        score(col("m").cast("double"), col("mb")).as("m_score"),
+        score(col("m"), col("mb")).as("m_score"),
         col("m"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_customers"),
@@ -815,22 +855,36 @@ object Relational extends QueryModule {
         |SELECT t2.event_type, band, n1, n2, p1, p2, contrib, psi
         |FROM t2 JOIN psi USING (event_type)
         |ORDER BY event_type, band""".stripMargin,
+    // INDEPENDENT boundary derivation: full-sort row_number at rank
+    // k = ceil(0.2*i*n) per dimension (the Spark side locates the same
+    // discrete order statistics via the bucketed cum >= k grid).
     "rel_rfm" ->
       """WITH c AS (
         |  SELECT o_custkey, max(o_orderdate) AS lastd,
-        |    CAST(COUNT(*) AS DOUBLE) AS f,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
         |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
         |      AS BIGINT) AS m
         |  FROM orders GROUP BY o_custkey),
         |ref AS (SELECT max(o_orderdate) AS mx FROM orders),
         |base AS (
-        |  SELECT c.*, CAST(date_diff('day', lastd, mx) AS DOUBLE) AS r
+        |  SELECT c.*, CAST(date_diff('day', lastd, mx) AS BIGINT) AS r
         |  FROM c, ref),
-        |b AS (
-        |  SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rb,
-        |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fb,
-        |    quantile_cont(CAST(m AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS mb
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |ks AS (SELECT bi, (2 * bi * n + 9) // 10 AS k
+        |  FROM (SELECT unnest([1,2,3,4]) AS bi) CROSS JOIN nn),
+        |rr AS (SELECT r AS v, row_number() OVER (ORDER BY r) AS rn
         |  FROM base),
+        |ff AS (SELECT f AS v, row_number() OVER (ORDER BY f) AS rn
+        |  FROM base),
+        |mm AS (SELECT m AS v, row_number() OVER (ORDER BY m) AS rn
+        |  FROM base),
+        |b AS (
+        |  SELECT (SELECT list(rr.v ORDER BY ks.bi) FROM ks
+        |      JOIN rr ON rr.rn = ks.k) AS rb,
+        |    (SELECT list(ff.v ORDER BY ks.bi) FROM ks
+        |      JOIN ff ON ff.rn = ks.k) AS fb,
+        |    (SELECT list(mm.v ORDER BY ks.bi) FROM ks
+        |      JOIN mm ON mm.rn = ks.k) AS mb),
         |scored AS (
         |  SELECT
         |    1 + (CASE WHEN r > rb[1] THEN 1 ELSE 0 END)
@@ -841,11 +895,10 @@ object Relational extends QueryModule {
         |      + (CASE WHEN f > fb[2] THEN 1 ELSE 0 END)
         |      + (CASE WHEN f > fb[3] THEN 1 ELSE 0 END)
         |      + (CASE WHEN f > fb[4] THEN 1 ELSE 0 END) AS f_score,
-        |    1 + (CASE WHEN CAST(m AS DOUBLE) > mb[1] THEN 1 ELSE 0 END)
-        |      + (CASE WHEN CAST(m AS DOUBLE) > mb[2] THEN 1 ELSE 0 END)
-        |      + (CASE WHEN CAST(m AS DOUBLE) > mb[3] THEN 1 ELSE 0 END)
-        |      + (CASE WHEN CAST(m AS DOUBLE) > mb[4] THEN 1 ELSE 0 END)
-        |      AS m_score,
+        |    1 + (CASE WHEN m > mb[1] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m > mb[2] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m > mb[3] THEN 1 ELSE 0 END)
+        |      + (CASE WHEN m > mb[4] THEN 1 ELSE 0 END) AS m_score,
         |    m
         |  FROM base, b)
         |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,

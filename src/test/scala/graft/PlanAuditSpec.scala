@@ -389,6 +389,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assertBucketLocalized("ev_pareto_share", "user_id", "ub")
   }
 
+  test("agg_equidepth: the boundary order-statistic window partitions on the value bucket") {
+    assertBucketLocalized("agg_equidepth", "p", "vb")
+  }
+
   test("text_bm25: the top-10 cut is a TakeOrdered merge, not a global rank window") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"),

@@ -115,10 +115,7 @@ class Round9Spec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // Running the query materializes run-1 state AND run-2's merged state.
     SparkEntry.queries("dd_bloom_state")(spark, TestSpark.sf).collect()
-    val stateDir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_bloom_state_" +
-        java.lang.Integer.toHexString(TestSpark.sf.hashCode)).getAbsolutePath
+    val stateDir = LlmDedup.bloomStateDir(TestSpark.sf)
     val docs = graft.Tables.documents(spark, TestSpark.sf)
       .select(col("doc_id"), md5(col("text")).as("h"))
     // From-scratch bloom over the WHOLE corpus (existing ∪ batch).
