@@ -8,14 +8,18 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata structs, with decode / feature-extraction as
   * per-partition batch processing.
   *
-  * The fixtures carry no real media, so payloads are synthesized
-  * deterministically from document text (utf-8 bytes) and the DECODE STEP
-  * IS A STUB — `decodeBlockMeans` computes per-block byte means where a real
-  * pipeline would invoke an image/audio codec (no codec libs in this
-  * container). Everything around the stub is real and tested: BinaryType
-  * schema, metadata struct, partition-preserving batched iteration
-  * (`mapPartitions`, the Scala analog of `mapInPandas` batch shape), and
-  * fixed-width feature-vector output.
+  * The fixtures carry no real compressed media, so payloads are
+  * synthesized deterministically from document text — but inside REAL
+  * containers: [[imageAssets]] emits spec-correct PNG/JPEG headers,
+  * [[audioAssets]] emits complete RIFF/WAVE PCM files whose data chunk
+  * holds the text bytes as samples. The decode step is therefore REAL:
+  * [[features]] runs an actual PCM WAV decoder (container chunk walk,
+  * little-endian fmt parse, interleaved-channel 8-bit-unsigned /
+  * 16-bit-signed sample extraction) inside the `mapPartitions` batch
+  * contract a codec UDF plugs into — the one codec this container can
+  * honestly exercise end-to-end. Image/video stay at header parse +
+  * routing ([[imageDims]], [[sniffRoute]]) because no image codec lib
+  * ships here; their decode would reuse the identical plumbing.
   *
   * Scale posture: assets are map-only; feature extraction is
   * embarrassingly parallel per partition with zero shuffle; downstream
@@ -48,42 +52,99 @@ object Multimodal extends QueryModule {
       col("meta.height").as("height"))
       .orderBy(col("doc_id"))
 
-  /** Feature extraction over binary payloads: 8 per-block byte means.
+  /** REAL PCM WAV decode: walk the RIFF container (fourcc + LE32 size,
+    * exactly as [[audioAssets]] writes it), read the fmt chunk's
+    * little-endian channel/rate/depth fields, then decode the data
+    * chunk's interleaved frames — 8-bit PCM is unsigned-biased
+    * (byte − 128), 16-bit PCM is signed little-endian — and return one
+    * amplitude-statistics row per (asset, channel): frame count, exact
+    * integer sample sum and peak, mean and RMS. Truncated trailing
+    * bytes that don't fill a whole frame are dropped, as a real reader
+    * does. Returns Nil for anything that is not a RIFF/WAVE PCM file.
     *
-    * STUB decode (see object doc): real codec would replace
-    * `blockMeans`. The mapPartitions shape — iterate rows, emit fixed-width
-    * Array[Double] — is the real contract a codec UDF would plug into.
-    * Registered rows-only (byte-level math is not reasonably expressible in
-    * the SQL oracle); MultimodalSpec pins exact feature values.
-    *
-    * Output contract: registered queries never emit raw ARRAY columns (the
-    * driver's pandas comparer can't sort ndarray cells), so the feature
-    * vector is unpacked into scalar columns f0..f7 + feature_sum. */
+    * All accumulation is integer (Long), so mean = sum/n and
+    * rms = sqrt(sq/n) divide identical longs in any engine — this is
+    * what lets a byte-level codec be ORACLE-GATED: DuckDB re-derives
+    * the same samples character-arithmetically from the source text
+    * (the payload's data chunk), never seeing the container the decoder
+    * must walk. */
+  private def decodePcm(bytes: Array[Byte]): Seq[(Int, Int, Long, Long, Long, Long)] = {
+    def fourcc(off: Int): String =
+      if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII") else ""
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return Seq.empty
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var ch = 0; var sr = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && dataOff < 0) {
+      val id = fourcc(off)
+      val size = bb.getInt(off + 4)
+      if (id == "fmt ") {
+        ch = bb.getShort(off + 10); sr = bb.getInt(off + 12)
+        bits = bb.getShort(off + 22)
+      }
+      if (id == "data") { dataOff = off + 8; dataLen = size }
+      else off += 8 + size
+    }
+    if (dataOff < 0 || ch <= 0 || (bits != 8 && bits != 16)) return Seq.empty
+    val bps = bits / 8
+    val frameBytes = ch * bps
+    val n = math.min(dataLen, bytes.length - dataOff) / frameBytes
+    (0 until ch).map { c =>
+      var sum = 0L; var sq = 0L; var peak = 0L; var i = 0
+      while (i < n) {
+        val p = dataOff + i * frameBytes + c * bps
+        val v: Long =
+          if (bits == 8) (bytes(p) & 0xff).toLong - 128L
+          else bb.getShort(p).toLong
+        sum += v; sq += v * v
+        val a = math.abs(v); if (a > peak) peak = a
+        i += 1
+      }
+      (c, sr, n.toLong, sum, sq, peak)
+    }
+  }
+
+  /** Feature extraction over binary media — a GENUINE decode, not a
+    * byte-block stand-in: every [[audioAssets]] payload (a complete
+    * RIFF/WAVE PCM file) runs through [[decodePcm]] inside
+    * `mapPartitions` (iterate rows in batches, emit fixed-width rows —
+    * the exact contract an Arrow-batched codec UDF plugs into), producing
+    * per-channel amplitude features: n_frames, integer sample sum, mean,
+    * RMS, peak. The oracle recomputes the expected samples from the
+    * source text characters (8-bit: ord − 128; 16-bit: LE char pairs,
+    * interleaved by channel) — it never parses the container, so a pass
+    * proves the chunk walk + fmt decode + frame de-interleave against
+    * byte-level first principles. Map-only, zero shuffle; the only
+    * non-codegen region is the codec itself, which is irreducibly
+    * imperative. */
   def features(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val dim = 8
-    val vecs = assets(s, d)
+    audioAssets(s, d)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // batch the iterator like an Arrow-batched UDF would
-        rows.grouped(64).flatMap(_.iterator.map { case (id, bytes) =>
-          val block = math.max(1, math.ceil(bytes.length.toDouble / dim).toInt)
-          val feats = Array.tabulate(dim) { i =>
-            val seg = bytes.slice(i * block, math.min((i + 1) * block, bytes.length))
-            if (seg.isEmpty) 0.0
-            else seg.map(b => (b & 0xff).toDouble).sum / seg.length
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          decodePcm(bytes).map { case (c, sr, n, sum, sq, peak) =>
+            (id, c, sr, n, sum, sq, peak)
           }
-          (id, feats)
         })
       }
-      .toDF("doc_id", "features")
-    val fCols = (0 until dim).map(i => element_at(col("features"), i + 1).as(s"f$i"))
-    vecs
-      .select(col("doc_id") +: fCols :+
-        aggregate(col("features"), lit(0.0), (a, x) => a + x).as("feature_sum"): _*)
-      .orderBy(col("doc_id"))
+      .toDF("doc_id", "channel", "sample_rate", "n_frames",
+        "sum_amp", "sum_sq", "peak")
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("channel"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_frames"), col("sum_amp"),
+        (col("sum_amp").cast("double") / col("n_frames").cast("double"))
+          .as("mean_amp"),
+        sqrt(col("sum_sq").cast("double") / col("n_frames").cast("double"))
+          .as("rms"),
+        col("peak"))
+      .orderBy(col("doc_id"), col("channel"))
   }
 
   /** Frame sampling (the video/audio analog of image decode): every 128th
@@ -312,9 +373,9 @@ object Multimodal extends QueryModule {
     * always matches) — which is exactly what the deliberately BRUTE-FORCE
     * within-block oracle proves. The "pixels" are the first 65 content
     * samples (codepoints of the padded payload text; 63 bits keeps the
-    * top shift in signed-int64 range on both engines — the honest no-codec
-    * stand-in, same contract as [[features]]: a real pipeline swaps in
-    * decoded luma without touching the dataflow). Scale: sig is map-only
+    * top shift in signed-int64 range on both engines — an image pipeline
+    * swaps in decoded luma, as [[features]] already does for PCM audio,
+    * without touching the dataflow). Scale: sig is map-only
     * codegen (64 compare-shift-ORs), the explode is 4×, the join is
     * per-(block, band, key) buckets — never all-pairs; blocks on
     * (lang, source) like every dd_* query. */
@@ -567,7 +628,40 @@ object Multimodal extends QueryModule {
         |  CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
         |  CAST((doc_id % 3) * 120 + 240 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // mm_features: rows-only (stubbed byte-level decode; see Scaladoc)
+    // The decoder's samples re-derived character-arithmetically from the
+    // source text (the data chunk's bytes), using only the SYNTHESIS
+    // formulas for channel count / rate / depth — the container the Spark
+    // decoder must actually walk is never parsed here, so equality proves
+    // the real chunk walk + LE fmt decode + frame de-interleave.
+    "mm_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |    CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS sample_rate,
+        |    CAST((doc_id % 2 + 1) * 8 AS INT) AS bits,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, ch, sample_rate, bits,
+        |    len // (ch * bits // 8) AS n_frames FROM p),
+        |s AS (
+        |  SELECT doc_id, c AS channel, sample_rate, n_frames,
+        |    list_transform(generate_series(0, n_frames - 1), i ->
+        |      CASE WHEN bits = 8
+        |        THEN ord(substr(text, CAST(i * ch + c + 1 AS INT), 1)) - 128
+        |        ELSE ((ord(substr(text, CAST((i * ch + c) * 2 + 1 AS INT), 1))
+        |          + 256 * ord(substr(text,
+        |              CAST((i * ch + c) * 2 + 2 AS INT), 1))
+        |          + 32768) % 65536) - 32768 END) AS v
+        |  FROM f CROSS JOIN (SELECT unnest([0, 1]) AS c)
+        |  WHERE c < ch AND n_frames > 0)
+        |SELECT doc_id, channel, sample_rate,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(list_sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(list_sum(v) AS DOUBLE) / CAST(n_frames AS DOUBLE) AS mean_amp,
+        |  sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE) /
+        |    CAST(n_frames AS DOUBLE)) AS rms,
+        |  CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak
+        |FROM s ORDER BY doc_id, channel""".stripMargin,
     "mm_resize" -> {
       val picks = (0 until 16)
         .map(i => s"substring(text, $i * stride + 1, 1)").mkString(" || ")
