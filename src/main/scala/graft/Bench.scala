@@ -49,6 +49,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
+    // The driver archives only the TAIL of stdout, which truncates the
+    // per-query line above on large catalogs — emit a second, SHORT
+    // summary line LAST so the total/failure count always survives.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+        s""""sf":"$sfDir"}""")
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
