@@ -368,9 +368,12 @@ object Corpus extends QueryModule {
     * function of the data: re-runs, re-shards, and cluster size never
     * change the schedule. The global position reuses the
     * [[globalIds]] offset algebra — rank within each round, plus a
-    * broadcast prefix-sum of the tiny per-round count table — so there is
-    * never a single-partition window over the corpus; the oracle IS that
-    * naive global row_number. */
+    * broadcast prefix-sum of the per-round count table — and because the
+    * round grid itself is data-proportional (max per-source count), that
+    * prefix-sum is bucket-localized too: 1024-rank buckets, per-bucket
+    * bases from the knob-shrunk bucket table, inner cumsum partitioned on
+    * the bucket. No single-task window anywhere reads an input that grows
+    * with the corpus; the oracle IS the naive global row_number. */
   def interleave(s: SparkSession, d: String): DataFrame = {
     val key = conv(substring(
       md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -379,10 +382,25 @@ object Corpus extends QueryModule {
     val ranked = Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
       .withColumn("rk", row_number().over(w))
-    val wOff = Window.orderBy(col("rk"))
+    // Distinct rk = the LARGEST source's doc count — data-proportional —
+    // so the offset prefix-sum is bucket-localized like every other grid
+    // cumsum in the repo: 1024-wide rank buckets get base offsets from an
+    // unpartitioned window over the maxRk/1024-row bucket table (knob-
+    // shrunk, no longer corpus-scale in one task), then the per-rank
+    // cumsum partitions on the bucket and adds the broadcast base.
+    // Identical longs to the single-window form.
+    val cnt = ranked.groupBy(col("rk")).agg(count(lit(1)).as("n"))
+      .withColumn("rb", floor((col("rk") - 1) / 1024.0).cast("long"))
+    val wB = Window.orderBy(col("rb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = ranked.groupBy(col("rk")).agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+    val base = cnt.groupBy(col("rb")).agg(sum(col("n")).as("bn"))
+      .withColumn("base", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("rb"), col("base"))
+    val wIn = Window.partitionBy(col("rb")).orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnt.join(broadcast(base), Seq("rb"))
+      .withColumn("off",
+        col("base") + coalesce(sum(col("n")).over(wIn), lit(0L)))
       .select(col("rk"), col("off"))
     ranked
       .withColumn("r2", row_number().over(

@@ -774,9 +774,11 @@ object LlmText extends QueryModule {
     * bucket reports its token volume and how many word types appear for
     * the FIRST time there (type → min first doc, one aggregate — no
     * quadratic rescan of growing prefixes), plus cumulative tokens /
-    * types and the type-token ratio. Cumulative windows run over the
-    * ≤|docs|/50 bucket grid. Integer-exact throughout; the one ratio
-    * divides identical BIGINTs. */
+    * types and the type-token ratio. The bucket grid is corpus-linear,
+    * so the cumulatives are bucket-localized (super-bucket bases +
+    * partitioned inner windows) — no single-task window reads an input
+    * that grows with the corpus. Integer-exact throughout; the one
+    * ratio divides identical BIGINTs. */
   def vocabGrowth(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val postings = Tables.documents(s, d)
@@ -788,15 +790,34 @@ object LlmText extends QueryModule {
       .agg(min(col("doc_id")).as("first_doc"))
       .groupBy(expr("first_doc div 50").as("bucket"))
       .agg(count(lit(1)).as("n_new_types"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    tokensPerBucket.join(newTypes, Seq("bucket"), "full_outer")
+    // The bucket grid is |docs|/50 rows — corpus-linear — so the
+    // cumulative runs bucket-localized like every other grid cumsum:
+    // 1024-bucket super-buckets get base sums from an unpartitioned
+    // window over the |docs|/51200-row super-bucket table (knob-shrunk),
+    // and the per-bucket cumsum partitions on the super-bucket, adding
+    // the broadcast base. Identical longs to the single-window form.
+    val grid = tokensPerBucket.join(newTypes, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
-      .withColumn("cum_types", sum(col("n_new_types")).over(w).cast("long"))
+      .withColumn("sb", floor(col("bucket") / 1024.0).cast("long"))
+    val wSb = Window.orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = grid.groupBy(col("sb"))
+      .agg(sum(col("n_tokens")).as("bt"), sum(col("n_new_types")).as("by"))
+      .withColumn("base_tok", coalesce(sum(col("bt")).over(wSb), lit(0L)))
+      .withColumn("base_typ", coalesce(sum(col("by")).over(wSb), lit(0L)))
+      .select(col("sb"), col("base_tok"), col("base_typ"))
+    val wIn = Window.partitionBy(col("sb")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(broadcast(base), Seq("sb"))
+      .withColumn("cum_tokens",
+        (col("base_tok") + sum(col("n_tokens")).over(wIn)).cast("long"))
+      .withColumn("cum_types",
+        (col("base_typ") + sum(col("n_new_types")).over(wIn)).cast("long"))
       .withColumn("type_token_ratio",
         col("cum_types").cast("double") / col("cum_tokens").cast("double"))
+      .select(col("bucket"), col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_types"), col("type_token_ratio"))
       .orderBy(col("bucket"))
   }
 

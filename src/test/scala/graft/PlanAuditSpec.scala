@@ -393,6 +393,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assertBucketLocalized("agg_equidepth", "p", "vb")
   }
 
+  /** THE global scale invariant (round 10): across the ENTIRE registered
+    * catalog, no unpartitioned window may read an input that grows with
+    * the corpus. Mechanically: every logical Window with an empty
+    * partitionSpec must either (a) read a limit-bounded subtree (a
+    * TakeOrdered-cut top-k), or (b) read only columns from the documented
+    * bounded grids — knob-bounded bucket/base tables (rb/sb/vb/qb/bucket/
+    * dday/nb + their counters), tiny dimensions (lang/source/month/
+    * decile), or the aggregated hourly grid. A new unpartitioned window
+    * over raw corpus columns (doc_id, text, order keys, …) fails here
+    * before it ships. */
+  test("catalog-wide: every unpartitioned window reads a bounded grid or a limit-cut input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val boundedCols = Set(
+      // knob-bounded bucket/base tables
+      "rb", "sb", "vb", "qb", "nb", "bucket", "dday",
+      "bn", "bt", "by", "bc", "b1", "b2",
+      // tiny dimension grids
+      "lang", "n", "source", "toks", "base", "rem", "leftover",
+      "month", "n_orders", "cents",
+      "decile", "n_users", "n_events", "t_events", "share",
+      // aggregated hourly grid (ev_interpolate/ev_gapfill fills)
+      "h", "v", "ph", "pv", "_w0")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val lp = fn(spark, TestSpark.sf).queryExecution.optimizedPlan
+        lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+          .flatMap { w =>
+            val cols = w.child.output.map(_.name)
+            val limitBounded =
+              w.child.collectFirst { case l: GlobalLimit => l }.nonEmpty
+            if (limitBounded || cols.forall(boundedCols)) None
+            else Some(s"$name: unpartitioned window over [${cols.mkString(",")}]")
+          }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded unpartitioned windows found:\n${offenders.mkString("\n")}")
+  }
+
+  test("corpus_interleave: the rank-grid offset cumsum partitions on the 1024-rank bucket") {
+    // rk itself is also an allowed partition key: the r2 window partitions
+    // BY rk, bounding each partition at |sources| rows.
+    assertBucketLocalized("corpus_interleave", "rk", "rb", "rk")
+  }
+
+  test("text_vocab_growth: the bucket-grid cumsums partition on the super-bucket") {
+    assertBucketLocalized("text_vocab_growth", "bucket", "sb")
+  }
+
   test("text_bm25: the top-10 cut is a TakeOrdered merge, not a global rank window") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"),
