@@ -51,9 +51,11 @@ object Bench {
     println(line)
     // The driver archives only the TAIL of stdout, which truncates the
     // per-query line above on large catalogs — emit a second, SHORT
-    // summary line LAST so the total/failure count always survives.
+    // summary line LAST so the total/failure count always survives. The
+    // distinct metric name keeps metric-keyed consumers from picking the
+    // wrong schema or double-counting the two "total" lines.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s"""{"metric":"total_summary","value":$total,"unit":"sec",""" +
         s""""n_queries":${results.size},"n_failed":${failed.size},""" +
         s""""sf":"$sfDir"}""")
     try {

@@ -546,12 +546,29 @@ object LlmDedup extends QueryModule {
     * same state), and a per-JVM random token isolates concurrent
     * processes sharing one tmpdir (two simultaneous runs over the same
     * dataset each get their own run-scoped root instead of racing
-    * overwrite-vs-lazy-read on shared files). Exposed package-private so
-    * the equivalence spec can audit THIS run's rolled-forward
-    * artifacts. */
+    * overwrite-vs-lazy-read on shared files). NOTE: the token makes the
+    * state RUN-SCOPED, not cross-process — the query simulates both runs
+    * inside one JVM; a production cross-process pipeline would key the
+    * root by dataset + run epoch instead. A JVM shutdown hook deletes
+    * this process's roots so repeated runs never accumulate tmp litter.
+    * Exposed package-private so the equivalence spec can audit THIS
+    * run's rolled-forward artifacts. */
   private[graft] val bloomStateToken: String =
     java.util.UUID.randomUUID.toString.take(8)
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(): Unit
+  }
+  private lazy val bloomStateCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("graft_bloom_state_") &&
+          f.getName.endsWith(s"_$bloomStateToken"))
+        .foreach(deleteRec)
+    }))
   private[graft] def bloomStateDir(d: String): String = {
+    bloomStateCleanupHook
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_bloom_state_${safe}_$bloomStateToken").getAbsolutePath

@@ -77,15 +77,25 @@ object Multimodal extends QueryModule {
     var off = 12
     var ch = 0; var sr = 0; var bits = 0
     var dataOff = -1; var dataLen = 0
-    while (off + 8 <= bytes.length && dataOff < 0) {
+    var bad = false
+    while (!bad && off + 8 <= bytes.length && dataOff < 0) {
       val id = fourcc(off)
       val size = bb.getInt(off + 4)
-      if (id == "fmt ") {
-        ch = bb.getShort(off + 10); sr = bb.getInt(off + 12)
-        bits = bb.getShort(off + 22)
+      if (size < 0) bad = true // corrupt LE32 size: refuse, don't loop
+      else if (id == "data") { dataOff = off + 8; dataLen = size }
+      else {
+        // fmt fields live at off+10..off+23; a truncated fmt chunk must
+        // not read past the buffer (ch/bits stay 0 → Seq.empty below)
+        if (id == "fmt " && off + 24 <= bytes.length) {
+          ch = bb.getShort(off + 10); sr = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22)
+        }
+        // advance in Long space (RIFF pads odd chunks to even); a huge
+        // size must end the walk cleanly, not wrap the int offset
+        val next = off.toLong + 8L + size.toLong + (size & 1)
+        if (next > bytes.length) bad = true
+        else off = next.toInt
       }
-      if (id == "data") { dataOff = off + 8; dataLen = size }
-      else off += 8 + size
     }
     if (dataOff < 0 || ch <= 0 || (bits != 8 && bits != 16)) return Seq.empty
     val bps = bits / 8
@@ -285,7 +295,9 @@ object Multimodal extends QueryModule {
 
   /** Audio asset table with REAL RIFF/WAVE containers: canonical 12-byte
     * RIFF header, PCM fmt chunk, a variable-length LIST chunk (as real
-    * encoders emit) and the data chunk holding the document bytes.
+    * encoders emit — odd-sized bodies padded to the even byte boundary
+    * the RIFF spec requires, declared size left odd) and the data chunk
+    * holding the document bytes.
     * Channels / sample rate / bit depth derive from doc_id. All multi-byte
     * integers are little-endian — the opposite byte order of the PNG/JPEG
     * assets, so the parser family covers both. */
@@ -299,8 +311,12 @@ object Multimodal extends QueryModule {
         octet_length(col("text").cast("binary")).as("data_len"))
       .withColumn("br", (col("sr") * col("ch") * col("bits") / 8).cast("int"))
       .withColumn("ba", (col("ch") * col("bits") / 8).cast("int"))
+      // RIFF pads odd-sized chunk bodies to even boundaries (the declared
+      // size stays odd; the pad byte sits outside it but inside riff_size)
+      .withColumn("pad", pmod(col("list_body"), lit(2)).cast("int"))
       .withColumn("riff_size",
-        (lit(4 + 24) + 8 + col("list_body") + 8 + col("data_len")).cast("int"))
+        (lit(4 + 24) + 8 + col("list_body") + col("pad") + 8 +
+          col("data_len")).cast("int"))
       .withColumn("header_hex", concat(
         lit("52494646"), leHex(col("riff_size"), 4),           // RIFF....
         lit("57415645"), lit("666D7420"), lit("10000000"),     // WAVEfmt .
@@ -308,7 +324,7 @@ object Multimodal extends QueryModule {
         leHex(col("sr"), 4), leHex(col("br"), 4),              // rates
         leHex(col("ba"), 2), leHex(col("bits"), 2),            // align, depth
         lit("4C495354"), leHex(col("list_body"), 4),           // LIST chunk
-        expr("repeat('00', list_body)"),
+        expr("repeat('00', list_body + pad)"),
         lit("64617461"), leHex(col("data_len"), 4)))           // data chunk
       .select(col("doc_id"),
         concat(unhex(col("header_hex")), col("text").cast("binary"))
@@ -348,7 +364,8 @@ object Multimodal extends QueryModule {
            |    WHEN substring(hx, acc.off * 2 + 1, 8) = '64617461'
            |      THEN named_struct('off', acc.off, 'at', acc.off)
            |    ELSE named_struct('off',
-           |      acc.off + 8 + ${le("acc.off + 4", 4)}, 'at', CAST(-1 AS BIGINT))
+           |      acc.off + 8 + ${le("acc.off + 4", 4)}
+           |        + ${le("acc.off + 4", 4)} % 2, 'at', CAST(-1 AS BIGINT))
            |    END).at""".stripMargin))
       .withColumn("data_len", expr(le("data_off + 4", 4)))
       .select(col("doc_id"), col("valid"), col("channels"),
@@ -571,7 +588,8 @@ object Multimodal extends QueryModule {
         |    CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
         |    CAST((doc_id % 3 + 1) * 8000 AS BIGINT) AS sample_rate,
         |    CAST((doc_id % 2 + 1) * 8 AS BIGINT) AS bits_per_sample,
-        |    CAST(36 + 8 + (doc_id % 5 + 4) AS BIGINT) AS data_off,
+        |    CAST(36 + 8 + (doc_id % 5 + 4) + (doc_id % 5 + 4) % 2
+        |      AS BIGINT) AS data_off,
         |    CAST(length(text) AS BIGINT) AS data_len
         |  FROM documents)
         |SELECT doc_id, 1 AS valid, channels, sample_rate, bits_per_sample,

@@ -176,8 +176,10 @@ class Round9Spec extends AnyFunSuite {
       assert(r.getLong(4) == (bb.getShort(34) & 0xffff).toLong, s"bits doc $id")
       // Walk chunks independently to find 'data'.
       var off = 36
-      while (new String(bytes.slice(off, off + 4), "ASCII") != "data")
-        off += 8 + bb.getInt(off + 4)
+      while (new String(bytes.slice(off, off + 4), "ASCII") != "data") {
+        val size = bb.getInt(off + 4)
+        off += 8 + size + (size & 1) // RIFF even-boundary pad
+      }
       assert(r.getLong(6) == off.toLong, s"data_off doc $id")
       assert(r.getLong(7) == bb.getInt(off + 4).toLong, s"data_len doc $id")
       assert(r.getInt(5) == 1 && r.getInt(8) == 1) // byte_rate_ok, len_ok
