@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,
+    streaming.StreamQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

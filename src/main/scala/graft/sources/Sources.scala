@@ -247,6 +247,71 @@ object Sources extends QueryModule {
       .orderBy(col("lang"), col("group_id"))
   }
 
+  /** Small-file compaction EXECUTED — the maintenance pass
+    * [[compactionPlan]] only plans: build a deliberately fragmented lake
+    * (one parquet file per 16-doc shard under lang/file_id dirs —
+    * repartitioning on the dir keys pins exactly one file per dir), derive
+    * the bin-packing merge plan from the ACTUAL file manifest
+    * (`_metadata.file_path` + per-file byte sums, listing-scale), then
+    * REWRITE: rows join their broadcast merge-group assignment and land in
+    * an EPOCH-ADDRESSED output (`epoch=1`, mode=overwrite) — the
+    * idempotent-sink pattern from the streaming side: a retried
+    * maintenance run replaces its own output, never appends duplicates.
+    * The gate is a before/after equality audit measured from the REAL
+    * files on both sides: per lang, file counts from distinct
+    * `_metadata.file_path` (after must equal the planned group count —
+    * compaction actually happened), row counts, and an ORDER-FREE content
+    * checksum (sum of md5(doc_id:text) prefixes — commutative, so file
+    * order and row order inside rewritten files cannot fake a match). The
+    * oracle recomputes every column closed-form from `documents` with the
+    * same packing algebra, so a hash match proves the rewrite moved every
+    * row and lost none. At 100 TB each merge group is an independent
+    * rewrite task and the manifest window is listing-scale, never
+    * data-scale. */
+  def compactionExec(s: SparkSession, d: String): DataFrame = {
+    val target = 4096L
+    val root = tmp("compact_lake", d)
+    val frag = s"$root/frag"
+    if (!Files.exists(Paths.get(frag, "_SUCCESS")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          expr("doc_id div 16").as("file_id"))
+        .repartition(col("lang"), col("file_id"))
+        .write.mode("overwrite").partitionBy("lang", "file_id").parquet(frag)
+    val contentH = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":"), col("text"))), 1, 8), 16, 10).cast("long")
+    val before = s.read.option("basePath", frag).parquet(frag)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        col("file_id").cast("long").as("file_id"),
+        col("_metadata.file_path").as("path"))
+    val manifest = before.groupBy(col("lang"), col("file_id"))
+      .agg(sum(col("n_chars")).cast("long").as("bytes"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plan = manifest
+      .withColumn("bytes_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .select(col("lang"), col("file_id"),
+        expr(s"bytes_before div $target").as("group_id"))
+    val epochDir = s"$root/epoch=1"
+    before.join(broadcast(plan), Seq("lang", "file_id"))
+      .select(col("doc_id"), col("n_chars"), col("text"), col("lang"),
+        col("group_id"))
+      .repartition(col("lang"), col("group_id"))
+      .write.mode("overwrite").partitionBy("lang", "group_id").parquet(epochDir)
+    val after = s.read.option("basePath", epochDir).parquet(epochDir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("_metadata.file_path").as("path"))
+    val b = before.groupBy(col("lang"))
+      .agg(countDistinct(col("path")).as("n_files_before"),
+        count(lit(1)).as("rows_before"),
+        sum(contentH).cast("long").as("sum_h_before"))
+    val a = after.groupBy(col("lang"))
+      .agg(countDistinct(col("path")).as("n_files_after"),
+        count(lit(1)).as("rows_after"),
+        sum(contentH).cast("long").as("sum_h_after"))
+    b.join(a, Seq("lang")).orderBy(col("lang"))
+  }
+
   /** Corrupt-record-tolerant JSON ingest (PERMISSIVE mode +
     * `columnNameOfCorruptRecord`) — the real-world contract of any feed
     * reader: malformed lines must neither kill the job NOR silently
@@ -295,6 +360,7 @@ object Sources extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_json_corrupt" -> (jsonCorrupt _),
     "layout_compaction" -> (compactionPlan _),
+    "layout_compaction_exec" -> (compactionExec _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binary_files" -> (binaryFiles _),
@@ -342,6 +408,34 @@ object Sources extends QueryModule {
         |  MIN(file_id) AS first_file, MAX(file_id) AS last_file,
         |  CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS INT) AS compacts
         |FROM planned GROUP BY 1, 2 ORDER BY lang, group_id""".stripMargin,
+    // Every column recomputed closed-form from documents with the same
+    // packing algebra: file counts before = distinct 16-doc shards, after
+    // = distinct merge groups; checksums are order-free md5-prefix sums
+    // over (doc_id:text), so a match proves the executed rewrite moved
+    // every row bit-exactly and hit the planned file layout.
+    "layout_compaction_exec" ->
+      """WITH f AS (
+        |  SELECT lang, doc_id // 16 AS fid,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes,
+        |    CAST(COUNT(*) AS BIGINT) AS nrows,
+        |    CAST(SUM(CAST(('0x' || substring(
+        |      md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT))
+        |      AS BIGINT) AS h
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, fid, nrows, h,
+        |    COALESCE(SUM(bytes) OVER (PARTITION BY lang ORDER BY fid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)) // 4096 AS gid
+        |  FROM f)
+        |SELECT lang,
+        |  CAST(COUNT(DISTINCT fid) AS BIGINT) AS n_files_before,
+        |  CAST(SUM(nrows) AS BIGINT) AS rows_before,
+        |  CAST(SUM(h) AS BIGINT) AS sum_h_before,
+        |  CAST(COUNT(DISTINCT gid) AS BIGINT) AS n_files_after,
+        |  CAST(SUM(nrows) AS BIGINT) AS rows_after,
+        |  CAST(SUM(h) AS BIGINT) AS sum_h_after
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "src_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
         |    ELSE o_orderpriority END AS priority,

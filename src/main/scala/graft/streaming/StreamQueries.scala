@@ -1,0 +1,310 @@
+package graft.streaming
+
+import graft.{OracleSafe, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, Trigger, ValueState}
+import org.apache.spark.sql.types._
+
+/** REGISTERED Structured Streaming queries — §2.10 surfaced in the driver's
+  * correctness roster, not just in StreamingSpec. Each query runs a REAL
+  * streaming job inside the query function: `readStream` over the fixture
+  * parquet, a watermarked/stateful transform, `processAllAvailable` (the
+  * AvailableNow drain — the backlog is finite), then returns the sink
+  * contents as an ordered DataFrame. Because the batch twins are
+  * oracle-gated and streaming semantics here are deterministic (Complete-
+  * mode aggregates; Update-mode state emissions reduced by exact
+  * aggregation), these are ORACLE-GATED too — DuckDB recomputes the same
+  * result relationally, so a hash match proves stream ≡ batch ≡ SQL.
+  *
+  * Scale posture: everything stateful keys by user/window — state shards
+  * across executors by the grouping key exactly as the batch shuffles do;
+  * watermarks bound state for the interval join; the memory sinks hold
+  * only aggregate-cardinality rows (the interval join writes an
+  * epoch-addressed parquet sink instead — the idempotent reprocessing
+  * pattern, overwrite-by-epoch, never append). */
+object StreamQueries extends QueryModule {
+
+  /** Unique sink names so re-runs in one JVM (Verify then Bench) never
+    * collide on the memory sink's temp view. */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def sinkName(tag: String): String =
+    s"graft_stream_${tag}_${seq.incrementAndGet()}"
+
+  /** Run-scoped scratch root for file sinks + checkpoints, deleted on JVM
+    * exit (same hygiene as LlmDedup.bloomStateDir). */
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(): Unit
+  }
+  private lazy val scratchRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+    dir.getAbsolutePath
+  }
+
+  /** Streaming source over the fixture's events table. `readStream` needs
+    * an explicit schema, so probe the batch footer for `ts`'s physical
+    * form (the fixture has shipped both `timestamp[ns]`-as-long and
+    * `timestamp[us]` NTZ — see [[Tables.events]]) and normalize to the
+    * session-zoned TimestampType either way. */
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsPhysical = s.read
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .schema("ts").dataType
+    val eventsSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsPhysical),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = s.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    tsPhysical match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+
+  /** Drain a streaming DataFrame into a memory sink and return the sink
+    * table (Complete for aggregates, Update for stateful emissions). */
+  private def drain(s: SparkSession, streamed: DataFrame, mode: OutputMode,
+      tag: String): DataFrame = {
+    val name = sinkName(tag)
+    val q = streamed.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    s.table(name)
+  }
+
+  /** Stateful queries need the RocksDB state store; set it for the run and
+    * restore the previous provider after. */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** Streaming tumbling 1-hour window counts + exact value sums per event
+    * type — the `readStream` twin of `ev_tumbling`, watermarked and run in
+    * Complete mode so the drained sink holds the final window table. The
+    * decimal-exact sum makes the hash portable (same dsum as batch). */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val agg = streamEvents(s, d)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), OracleSafe.dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+    drain(s, agg, OutputMode.Complete(), "tumbling")
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
+  /** Streaming session windows (30-minute gap) per user — the `readStream`
+    * twin of `ev_sessions`: session_window + watermark, Complete mode,
+    * emitting the same (user, first, last, n) rows the batch
+    * gaps-and-islands oracle derives. */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    val agg = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("first_us"),
+        unix_micros(max(col("ts"))).as("last_us"))
+      .select(col("user_id"), col("first_us"), col("last_us"), col("n_events"))
+    drain(s, agg, OutputMode.Complete(), "sessions")
+      .orderBy(col("user_id"), col("first_us"))
+  }
+
+  /** Stream-stream interval join — each click joined to the same user's
+    * views in the preceding 10 minutes, both sides watermarked so join
+    * state purges past the watermark (the canonical bounded-state
+    * stream-stream join). The sink is the epoch-addressed idempotent
+    * parquet pattern: foreachBatch OVERWRITES `epoch=N`, so a reprocessed
+    * epoch replaces itself instead of appending — exactly-once output on
+    * top of at-least-once reprocessing. The result is read back from the
+    * files, proving the full write path. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratchRoot/ssj_${seq.incrementAndGet()}"
+    val ckpt = s"$out-ckpt"
+    val clicks = streamEvents(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "30 minutes")
+    val views = streamEvents(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "30 minutes")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v_ts") <= col("c_ts"))
+      .select(col("c_id"), col("v_id"))
+    val q = joined.writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, epoch: Long) =>
+        df.write.mode("overwrite").parquet(s"$out/epoch=$epoch")
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).select(col("c_id"), col("v_id"))
+      .orderBy(col("c_id"), col("v_id"))
+  }
+
+  /** Bounded top-k as streaming state — the `readStream` twin of
+    * `agg_topk_heap`, REUSING TopK3.reduce so the batch ObjectHashAggregate
+    * and the streaming state transition share one merge function. State
+    * emissions are cumulative and every member of the final top-3 appears
+    * in some emission (an entry only leaves state when dominated forever),
+    * so distinct-emissions → rank ≤ 3 reproduces the final state under ANY
+    * micro-batching — that reduction is what makes an Update-mode stateful
+    * stream ORACLE-GATABLE. */
+  def streamTopK(s: SparkSession, d: String): DataFrame = withRocksDb(s) {
+    import graft.functions.{TopK3, TopKEntry}
+    import s.implicits._
+    class TopKProcessor
+        extends StatefulProcessor[Long, (Long, Double, Long), (Long, Double, Long)] {
+      @transient private var st: ValueState[Seq[TopKEntry]] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Seq[TopKEntry]]("top",
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKEntry]](),
+          TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double, Long)],
+          timers: TimerValues): Iterator[(Long, Double, Long)] = {
+        val prev = if (st.exists()) st.get() else TopK3.zero
+        val merged = rows.foldLeft(prev)((b, r) => TopK3.reduce(b, TopKEntry(r._2, r._3)))
+        st.update(merged)
+        merged.iterator.map(e => (key, e.value, e.id))
+      }
+    }
+    val top = streamEvents(s, d)
+      .select(col("user_id"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopKProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "value", "event_id")
+    val emissions = drain(s, top, OutputMode.Update(), "topk").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    emissions.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("user_id"), col("rk").cast("int").as("rk"),
+        col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("rk"))
+  }
+
+  /** Markov transition extraction as streaming state — the `readStream`
+    * twin of `ev_markov_transitions`' lead() pairs: per user, the last
+    * event type carries across micro-batches in a ValueState; each arriving
+    * event emits one (prev, cur) transition, so total counts are exact
+    * under any batching. Within a micro-batch rows sort by (ts, event_id) —
+    * the production contract is per-key ordered ingestion (Kafka keyed
+    * partitions); the sort makes an arbitrary batch honor it. */
+  def streamMarkov(s: SparkSession, d: String): DataFrame = withRocksDb(s) {
+    import s.implicits._
+    class PairProcessor
+        extends StatefulProcessor[Long, (Long, Long, Long, String), (String, String)] {
+      @transient private var last: ValueState[String] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        last = getHandle.getValueState[String]("last", Encoders.STRING, TTLConfig.NONE)
+      override def handleInputRows(key: Long,
+          rows: Iterator[(Long, Long, Long, String)],
+          timers: TimerValues): Iterator[(String, String)] = {
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var prev = if (last.exists()) last.get() else null
+        sorted.foreach { r =>
+          if (prev != null) out += ((prev, r._4))
+          prev = r._4
+        }
+        if (prev != null) last.update(prev)
+        out.iterator
+      }
+    }
+    val pairs = streamEvents(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new PairProcessor, TimeMode.None(), OutputMode.Update())
+      .toDF("cur", "nxt")
+    drain(s, pairs, OutputMode.Update(), "markov")
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stream_tumbling" -> (streamTumbling _),
+    "ev_stream_sessions" -> (streamSessions _),
+    "ev_stream_interval_join" -> (streamIntervalJoin _),
+    "ev_stream_topk" -> (streamTopK _),
+    "ev_stream_markov" -> (streamMarkov _),
+  )
+
+  private def sqlDsum(inner: String): String =
+    s"CAST(CAST(SUM($inner) AS VARCHAR) AS DOUBLE)"
+
+  override def oracleSql: Map[String, String] = Map(
+    // Identical to the ev_tumbling oracle: streaming Complete-mode windows
+    // must equal the batch hour-truncated aggregate.
+    "ev_stream_tumbling" ->
+      s"""SELECT epoch_us(datetrunc('hour', ts)) AS window_start_us, event_type,
+         |  COUNT(*) AS n, ${sqlDsum("CAST(value AS DECIMAL(18,4))")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+    // Identical to the ev_sessions gaps-and-islands oracle.
+    "ev_stream_sessions" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) >= 1800000000
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, first_us""".stripMargin,
+    // The stream-stream interval join relationally: clicks × views on the
+    // same user with the view in the click's preceding 10 minutes.
+    "ev_stream_interval_join" ->
+      """SELECT c.event_id AS c_id, v.event_id AS v_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND epoch_us(v.ts) >= epoch_us(c.ts) - CAST(600 AS BIGINT) * 1000000
+        |  AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |ORDER BY c_id, v_id""".stripMargin,
+    // Final top-3 per user by (value DESC, event_id) — what the bounded
+    // state must converge to regardless of batching.
+    "ev_stream_topk" ->
+      """SELECT user_id, CAST(rk AS INT) AS rk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events) t
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    // Exact transition counts from the batch lead() pairs.
+    "ev_stream_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS cur, nxt, COUNT(*) AS n
+        |FROM e WHERE nxt IS NOT NULL
+        |GROUP BY cur, nxt ORDER BY cur, nxt""".stripMargin,
+  )
+}
