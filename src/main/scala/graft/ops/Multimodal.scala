@@ -381,6 +381,128 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Image asset table with REAL uncompressed BMP files — the image twin
+    * of [[audioAssets]]: 14-byte 'BM' file header, 40-byte
+    * BITMAPINFOHEADER (all little-endian), then 24-bpp pixel rows stored
+    * BOTTOM-UP with each row zero-padded to a 4-byte boundary, exactly as
+    * the format requires. Pixel bytes derive from the document text in
+    * logical row-major order (pixel (x,y) channel c = text char at
+    * (y·w + x)·3 + c, space-padded/truncated to w·h·3), so a decoder must
+    * undo BOTH the vertical flip and the row padding to recover them —
+    * which is what makes the decode provable. Dimensions derive from
+    * doc_id (w = 4 + id%3, h = 3 + id%2). Entirely expression-level hex
+    * assembly (codegen, map-only), same as the WAV writer. */
+  def bmpAssets(s: SparkSession, d: String): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(3)) + 4).cast("int")
+    val h = (pmod(col("doc_id"), lit(2)) + 3).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), w.as("w"), h.as("h"))
+      .withColumn("row_bytes", (col("w") * 3).cast("int"))
+      .withColumn("pad", ((lit(4) - pmod(col("row_bytes"), lit(4))) % 4).cast("int"))
+      .withColumn("stride", (col("row_bytes") + col("pad")).cast("int"))
+      .withColumn("img_size", (col("stride") * col("h")).cast("int"))
+      .withColumn("file_size", (lit(54) + col("img_size")).cast("int"))
+      // logical pixel array as hex (ASCII text → 1 byte per char)
+      .withColumn("ph",
+        hex(expr("cast(rpad(text, w * h * 3, ' ') as binary)")))
+      // bottom-up row assembly: file row fr holds logical row h-1-fr,
+      // followed by the per-row zero pad
+      .withColumn("rows_hex", array_join(expr(
+        """transform(sequence(0, h - 1), fr ->
+          |  concat(substring(ph, (h - 1 - fr) * row_bytes * 2 + 1,
+          |    row_bytes * 2), repeat('00', pad)))""".stripMargin), ""))
+      .withColumn("header_hex", concat(
+        lit("424D"), leHex(col("file_size"), 4),              // 'BM', size
+        lit("00000000"), lit("36000000"),                     // reserved, data @54
+        lit("28000000"), leHex(col("w"), 4), leHex(col("h"), 4), // info hdr
+        lit("0100"), lit("1800"),                             // planes, 24 bpp
+        lit("00000000"), leHex(col("img_size"), 4),           // BI_RGB, size
+        lit("130B0000"), lit("130B0000"),                     // 2835 ppm
+        lit("00000000"), lit("00000000")))                    // colors
+      .select(col("doc_id"),
+        unhex(concat(col("header_hex"), col("rows_hex"))).as("payload"))
+  }
+
+  /** REAL BMP pixel decode: parse the LE file/info headers (data offset,
+    * width, height, bpp), then walk the pixel rows bottom-up, skipping
+    * each row's 4-byte-boundary pad, and de-interleave the 3 channels.
+    * Emits per-channel statistics including a POSITION-WEIGHTED sum
+    * (Σ (y·w + x)·v over logical row-major pixel index) — the weighted
+    * sum is what proves the decoder reconstructed logical positions: a
+    * reader that forgot the vertical flip or read pad bytes as pixels
+    * produces the same plain sum but a different weighted sum. Returns
+    * Nil for anything that is not a 24-bpp uncompressed BMP; corrupt
+    * sizes/offsets end the decode cleanly (same contract as
+    * [[decodePcm]]). */
+  private def decodeBmp(bytes: Array[Byte]): Seq[(Int, Long, Long, Long, Long, Long)] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return Seq.empty
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    if (dataOff < 54 || w <= 0 || h <= 0 || bpp != 24 || compression != 0)
+      return Seq.empty
+    val rowBytes = w * 3
+    val stride = (rowBytes + 3) / 4 * 4
+    if (dataOff.toLong + stride.toLong * h > bytes.length) return Seq.empty
+    (0 until 3).map { c =>
+      var sum = 0L; var wsum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var fr = 0
+      while (fr < h) {
+        val y = h - 1 - fr // bottom-up storage → logical row
+        val base = dataOff + fr * stride
+        var x = 0
+        while (x < w) {
+          val v = (bytes(base + x * 3 + c) & 0xff).toLong
+          sum += v; wsum += (y.toLong * w + x) * v
+          if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        fr += 1
+      }
+      (c, w.toLong * h, sum, wsum, mn, mx)
+    }
+  }
+
+  /** Test hook: Round10Spec feeds [[decodeBmp]] malformed containers. */
+  private[ops] def decodeBmpForTest(bytes: Array[Byte]): Seq[(Int, Long, Long, Long, Long, Long)] =
+    decodeBmp(bytes)
+
+  /** Per-channel pixel statistics over genuinely decoded BMP images — the
+    * image-side completion of the decode story ([[features]] is the audio
+    * side): every [[bmpAssets]] payload runs through [[decodeBmp]] inside
+    * the same `mapPartitions` batch contract, and the oracle re-derives
+    * the expected pixels character-arithmetically from the source text
+    * WITHOUT parsing the container — so a hash match proves the header
+    * parse, the bottom-up row walk, the pad skip, and the channel
+    * de-interleave at the byte level. Round10Spec additionally decodes
+    * the same payloads with the JDK's stock ImageIO BMP reader and gets
+    * identical statistics, proving the writer emits real BMPs, not a
+    * private dialect. Map-only, zero shuffle. */
+  def pixelStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    bmpAssets(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          decodeBmp(bytes).map { case (c, n, sum, wsum, mn, mx) =>
+            (id, c, n, sum, wsum, mn, mx)
+          }
+        })
+      }
+      .toDF("doc_id", "channel", "n_px", "sum_v", "wsum_v", "min_v", "max_v")
+      .select(col("doc_id"), col("channel").cast("int").as("channel"),
+        col("n_px"), col("sum_v"), col("wsum_v"), col("min_v"), col("max_v"),
+        (col("sum_v").cast("double") / col("n_px").cast("double"))
+          .as("mean_v"))
+      .orderBy(col("doc_id"), col("channel"))
+  }
+
   /** Perceptual-hash near-duplicate detection over media content — the
     * image-dedup analog of MinHash/LSH: a 63-bit dHash (each bit = "is
     * sample i darker than sample i+1") per asset, banded into 4×16-bit
@@ -508,6 +630,7 @@ object Multimodal extends QueryModule {
     "mm_audio_meta"  -> (audioMeta _),
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features"    -> (features _),
+    "mm_pixel_stats" -> (pixelStats _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize"      -> (resize _),
     "mm_image_dims"  -> (imageDims _),
@@ -680,6 +803,38 @@ object Multimodal extends QueryModule {
         |    CAST(n_frames AS DOUBLE)) AS rms,
         |  CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak
         |FROM s ORDER BY doc_id, channel""".stripMargin,
+    // The decoder's pixels re-derived character-arithmetically from the
+    // source text (logical row-major order, space-padded to w·h·3) using
+    // only the synthesis formulas for the dimensions — the BMP container
+    // (bottom-up rows, stride pad, LE headers) is never parsed here, so
+    // equality proves the byte-level decode including the vertical flip
+    // (the position-weighted sum is flip-sensitive).
+    "mm_pixel_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 3 + 4 AS INT) AS w,
+        |    CAST(doc_id % 2 + 3 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    rpad(text, w * h * 3, ' ') AS s
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_id, w, h, c.c AS channel, i.i AS i,
+        |    ord(substr(s, CAST(i.i * 3 + c.c + 1 AS INT), 1)) AS val
+        |  FROM px
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) c
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(w AS BIGINT) * h - 1)) AS i) i)
+        |SELECT doc_id, CAST(channel AS INT) AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(val) AS BIGINT) AS sum_v,
+        |  CAST(SUM(i * val) AS BIGINT) AS wsum_v,
+        |  CAST(MIN(val) AS BIGINT) AS min_v,
+        |  CAST(MAX(val) AS BIGINT) AS max_v,
+        |  CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+        |FROM v GROUP BY doc_id, channel
+        |ORDER BY doc_id, channel""".stripMargin,
     "mm_resize" -> {
       val picks = (0 until 16)
         .map(i => s"substring(text, $i * stride + 1, 1)").mkString(" || ")

@@ -1,85 +1,77 @@
 package graft.ops
 
 import graft.{SparkEntry, TestSpark}
-import graft.functions.BitmapDistinctAggregator
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Mechanics tests for the round-10 operators — invariants the DuckDB
-  * oracle can't express (the gates pin values; these pin behavior under
-  * partitioning, merge order, and edge inputs). */
+/** Round-10 pins: the BMP pixel decode cross-checked against the JDK's
+  * stock ImageIO reader, and the executed compaction's physical layout. */
 class Round10Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("BitmapDistinctAggregator: popcount over growth + asymmetric merges") {
-    val agg = new BitmapDistinctAggregator
-    assert(agg.finish(agg.zero) == 0L)
-    // growth: ids straddling word boundaries, duplicates collapse
-    val b = Seq(0L, 63L, 64L, 64L, 1000L, 0L).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.finish(b) == 4L)
-    // merge is symmetric regardless of buffer lengths
-    val small = Seq(1L, 2L).foldLeft(agg.zero)(agg.reduce)
-    val big = Seq(2L, 700L).foldLeft(agg.zero)(agg.reduce)
-    assert(agg.finish(agg.merge(small, big)) == 3L)
-    assert(agg.finish(agg.merge(big, small)) == 3L)
-    // contract: dense non-negative ids only
-    intercept[IllegalArgumentException](agg.reduce(agg.zero, -1L))
+  test("mm_pixel_stats: bmpAssets payloads decode identically under javax.imageio") {
+    // The oracle proves our decoder against text-derived first principles;
+    // this proves the WRITER against an independent, stock BMP reader —
+    // together: real container, real decode, no private dialect.
+    val payloads = Multimodal.bmpAssets(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(12).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val got = SparkEntry.queries("mm_pixel_stats")(spark, TestSpark.sf)
+      .filter(col("doc_id") < 12).collect()
+    assert(got.length == 36) // 12 docs x 3 channels
+    got.foreach { r =>
+      val id = r.getLong(0); val c = r.getInt(1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(id)))
+      assert(img != null, s"ImageIO must read doc $id as an image")
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0L; var wsum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        // BMP 24-bpp stores B,G,R in byte order; our channel c is the
+        // c-th byte of the pixel, so c=0 → blue, 1 → green, 2 → red.
+        val v = (c match {
+          case 0 => rgb & 0xff
+          case 1 => (rgb >> 8) & 0xff
+          case _ => (rgb >> 16) & 0xff
+        }).toLong
+        sum += v; wsum += (y.toLong * w + x) * v
+        if (v < mn) mn = v; if (v > mx) mx = v
+      }
+      assert(r.getLong(2) == w.toLong * h, s"n_px doc $id ch $c")
+      assert(r.getLong(3) == sum, s"sum doc $id ch $c")
+      assert(r.getLong(4) == wsum, s"weighted sum doc $id ch $c")
+      assert(r.getLong(5) == mn && r.getLong(6) == mx, s"min/max doc $id ch $c")
+    }
   }
 
-  test("bitmap distinct equals countDistinct under adversarial partitioning") {
-    import spark.implicits._
-    val bm = udaf(new BitmapDistinctAggregator)
-    val df = (0L until 5000L).map(i => (i % 7, i % 911))
-      .toDF("g", "id").repartition(13, col("id"))
-    val got = df.groupBy(col("g"))
-      .agg(bm(col("id")).as("b"), countDistinct(col("id")).as("e"))
+  test("decodeBmp refuses malformed containers instead of looping or throwing") {
+    // Not a BMP at all / truncated header / bad bpp / truncated pixel data.
+    assert(Multimodal.decodeBmpForTest(Array[Byte]()) == Seq.empty)
+    assert(Multimodal.decodeBmpForTest("hello".getBytes) == Seq.empty)
+    val real = Multimodal.bmpAssets(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(1).collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.decodeBmpForTest(real).nonEmpty)
+    assert(Multimodal.decodeBmpForTest(real.take(40)) == Seq.empty,
+      "truncated header")
+    assert(Multimodal.decodeBmpForTest(real.take(real.length - 4)) == Seq.empty,
+      "truncated pixel rows")
+    val badBpp = real.clone(); badBpp(28) = 8
+    assert(Multimodal.decodeBmpForTest(badBpp) == Seq.empty, "non-24-bpp")
+  }
+
+  test("layout_compaction_exec: compacted lake has fewer files, same rows") {
+    val rows = SparkEntry.queries("layout_compaction_exec")(spark, TestSpark.sf)
       .collect()
-    assert(got.nonEmpty)
-    got.foreach(r => assert(r.getLong(1) == r.getLong(2), s"group ${r.get(0)}"))
-  }
-
-  test("rel_ri_audit: fixture FKs are clean and the audit detects an injected orphan") {
-    val rows = SparkEntry.queries("rel_ri_audit")(spark, TestSpark.sf).collect()
-    assert(rows.length == 5)
-    rows.foreach(r => assert(r.getInt(4) == 1, s"unexpected orphans: $r"))
-    // The detector itself must fire: a child row with an impossible key.
-    import spark.implicits._
-    val child = Seq(1L, 2L, -999L).toDF("k")
-    val parent = Seq(1L, 2L, 3L).toDF("k")
-    val orphans = child.join(parent, Seq("k"), "left_anti").count()
-    assert(orphans == 1L)
-  }
-
-  test("win_rolling_slope: constant series slopes 0; manufactured linear trend slopes 1") {
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("x")).rowsBetween(-6, 0)
-    def slope(df: org.apache.spark.sql.DataFrame) = df
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("sx", sum(col("x")).over(w))
-      .withColumn("sy", sum(col("y")).over(w))
-      .withColumn("sxy", sum(col("x") * col("y")).over(w))
-      .withColumn("sxx", sum(col("x") * col("x")).over(w))
-      .filter(col("cnt") === 7)
-      .select(((col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")).as("s"))
-      .collect().map(_.getDouble(0))
-    val const = (1L to 20L).map(x => (x, 5L)).toDF("x", "y")
-    assert(slope(const).forall(_ == 0.0))
-    val linear = (1L to 20L).map(x => (x, x + 100L)).toDF("x", "y")
-    assert(slope(linear).forall(_ == 1.0))
-  }
-
-  test("ev_attribution_multi: per-touch credit caps and channel structure hold") {
-    val rows = SparkEntry.queries("ev_attribution_multi")(spark, TestSpark.sf)
-      .collect()
-    assert(rows.map(_.getString(0)).toSet == Set("click", "view"))
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val touches = r.getLong(1)
-      assert(r.getLong(2) <= touches, "a conversion needs at least one touch")
-      // every touch's credit is 1e6 div n ∈ (0, 1e6] for both models
-      assert(r.getLong(3) > 0 && r.getLong(3) <= 1000000L * touches)
-      assert(r.getLong(4) > 0 && r.getLong(4) <= 1000000L * touches)
+      val lang = r.getString(0)
+      assert(r.getLong(1) > r.getLong(4),
+        s"$lang: compaction must reduce file count " +
+          s"(${r.getLong(1)} -> ${r.getLong(4)})")
+      assert(r.getLong(2) == r.getLong(5), s"$lang: row count must survive")
+      assert(r.getLong(3) == r.getLong(6), s"$lang: content checksum must survive")
     }
   }
 }
