@@ -312,6 +312,94 @@ object Sources extends QueryModule {
     b.join(a, Seq("lang")).orderBy(col("lang"))
   }
 
+  /** Copy-on-write MERGE EXECUTED — the other half of lakehouse
+    * maintenance ([[compactionExec]] rewrites layout; this rewrites
+    * CONTENT): a base lake of orders in 256-key file buckets (one parquet
+    * file per bucket dir), a deterministic CDC batch derived from the
+    * same table (DELETE where key%1280=0; else UPDATE cents×2 where
+    * key%448=0; INSERT shifted keys where key%640=0 — inserts land in
+    * brand-new buckets; the moduli exceed the 256-key bucket width, so
+    * most buckets are untouched and pruning has real work to skip), and
+    * a Delta/Iceberg-class copy-on-write apply:
+    *  1. FILE-LEVEL PRUNING — only buckets named by the change keys are
+    *     touched (broadcast semi/anti join on the bucket id); at 100 TB
+    *     this is the difference between rewriting gigabytes and the lake.
+    *  2. Affected buckets rewrite: anti-join deletes, left-join updates,
+    *     union inserts, repartition on the bucket → exactly one new file
+    *     per touched bucket in an EPOCH-ADDRESSED overwrite dir (retried
+    *     merges replace themselves).
+    *  3. The merged table is untouched-files ∪ rewritten-files; the audit
+    *     aggregates it per status with exact integer cents and counts
+    *     REAL files on both sides via `_metadata.file_path`.
+    * The oracle recomputes the post-merge table closed-form from orders
+    * (same precedence: delete beats update) including both file counts,
+    * so a hash match proves pruning picked exactly the planned buckets
+    * and the rewrite applied every change and lost nothing else. */
+  def mergeExec(s: SparkSession, d: String): DataFrame = {
+    val root = tmp("merge_lake", d)
+    val base = s"$root/base"
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("fb").cast("long").as("fb"),
+        col("_metadata.file_path").as("path"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    // CDC batch. Delete wins over update (matching the oracle's CASE).
+    val changes = o
+      .select(col("k"), col("st"), col("c"),
+        when(col("k") % 1280 === 0, "D")
+          .when(col("k") % 448 === 0, "U").as("op"))
+      .filter(col("op").isNotNull)
+      .select(col("k"), col("op"), (col("c") * 2).as("new_cents"),
+        expr("k div 256").as("fb"))
+      .unionByName(o.filter(col("k") % 640 === 0)
+        .select((col("k") + 16777216L).as("k"), lit("I").as("op"),
+          (col("c") + 1).as("new_cents"),
+          expr("(k + 16777216) div 256").as("fb"))
+        .select(col("k"), col("op"), col("new_cents"), col("fb")))
+    val touched = changes.select(col("fb")).distinct()
+    val affected = baseDf.join(broadcast(touched), Seq("fb"))
+    val untouched = baseDf.join(broadcast(touched), Seq("fb"), "left_anti")
+    val dels = changes.filter(col("op") === "D")
+      .select(col("k").as("o_orderkey"), lit(1).as("del"))
+    val upds = changes.filter(col("op") === "U")
+      .select(col("k").as("o_orderkey"), col("new_cents"))
+    val ins = changes.filter(col("op") === "I")
+      .join(o.select((col("k") + 16777216L).as("k"), col("st")), Seq("k"))
+      .select(col("k").as("o_orderkey"), col("st").as("o_orderstatus"),
+        col("new_cents").as("cents"), col("fb"))
+    val applied = affected
+      .join(dels, Seq("o_orderkey"), "left").filter(col("del").isNull)
+      .join(upds, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("new_cents"), col("cents")).as("cents"), col("fb"))
+      .unionByName(ins)
+    val epochDir = s"$root/epoch=2"
+    applied.repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(epochDir)
+    val rewritten = s.read.option("basePath", epochDir).parquet(epochDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("_metadata.file_path").as("path"))
+    val filesTotal = baseDf.agg(countDistinct(col("path")).as("n_files_total"))
+    val filesRewritten = rewritten
+      .agg(countDistinct(col("path")).as("n_files_rewritten"))
+    untouched.select(col("o_orderstatus"), col("cents"))
+      .unionByName(rewritten.select(col("o_orderstatus"), col("cents")))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).cast("long").as("cents"))
+      .crossJoin(broadcast(filesTotal))
+      .crossJoin(broadcast(filesRewritten))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Corrupt-record-tolerant JSON ingest (PERMISSIVE mode +
     * `columnNameOfCorruptRecord`) — the real-world contract of any feed
     * reader: malformed lines must neither kill the job NOR silently
@@ -361,6 +449,7 @@ object Sources extends QueryModule {
     "src_json_corrupt" -> (jsonCorrupt _),
     "layout_compaction" -> (compactionPlan _),
     "layout_compaction_exec" -> (compactionExec _),
+    "layout_merge_exec" -> (mergeExec _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binary_files" -> (binaryFiles _),
@@ -436,6 +525,41 @@ object Sources extends QueryModule {
         |  CAST(SUM(nrows) AS BIGINT) AS rows_after,
         |  CAST(SUM(h) AS BIGINT) AS sum_h_after
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    // Post-merge table recomputed closed-form with the same change rules
+    // (delete beats update; inserts shift into fresh buckets). The file
+    // counts mirror what the Spark side measures from _metadata paths:
+    // total = distinct base buckets, rewritten = distinct touched buckets
+    // that still hold at least one row after the merge (an all-deleted
+    // bucket writes no file).
+    "layout_merge_exec" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |final AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 1280 <> 0 AND k % 448 = 0 THEN c * 2 ELSE c END
+        |      AS cents,
+        |    k // 256 AS fb
+        |  FROM o WHERE k % 1280 <> 0
+        |  UNION ALL
+        |  SELECT k + 16777216, st, c + 1, (k + 16777216) // 256
+        |  FROM o WHERE k % 640 = 0),
+        |tch AS (
+        |  SELECT DISTINCT fb FROM (
+        |    SELECT k // 256 AS fb FROM o WHERE k % 1280 = 0 OR k % 448 = 0
+        |    UNION ALL
+        |    SELECT (k + 16777216) // 256 FROM o WHERE k % 640 = 0) t),
+        |nt AS (SELECT CAST(COUNT(DISTINCT k // 256) AS BIGINT)
+        |  AS n_files_total FROM o),
+        |nr AS (SELECT CAST(COUNT(DISTINCT f.fb) AS BIGINT)
+        |  AS n_files_rewritten FROM final f JOIN tch USING (fb))
+        |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  n_files_total, n_files_rewritten
+        |FROM final, nt, nr
+        |GROUP BY st, n_files_total, n_files_rewritten
+        |ORDER BY o_orderstatus""".stripMargin,
     "src_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'LEGACY'
         |    ELSE o_orderpriority END AS priority,

@@ -61,6 +61,30 @@ class Round10Spec extends AnyFunSuite {
     assert(Multimodal.decodeBmpForTest(badBpp) == Seq.empty, "non-24-bpp")
   }
 
+  test("layout_merge_exec: copy-on-write prunes — untouched buckets never rewrite") {
+    val rows = SparkEntry.queries("layout_merge_exec")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getLong(3)
+    val rewritten = rows.head.getLong(4)
+    assert(rewritten > 0, "the CDC batch must touch some buckets")
+    // Expected bucket arithmetic recomputed from the fixture: the change
+    // rules touch base buckets holding a %448/%1280 key plus fresh insert
+    // buckets; pruning must leave every other base bucket alone.
+    val o = graft.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey").as("k"))
+    val baseBuckets = o.select(expr("k div 256").as("fb")).distinct().count()
+    val touchedBase = o.filter(col("k") % 1280 === 0 || col("k") % 448 === 0)
+      .select(expr("k div 256").as("fb")).distinct().count()
+    val insertBuckets = o.filter(col("k") % 640 === 0)
+      .select(expr("(k + 16777216) div 256").as("fb")).distinct().count()
+    assert(total == baseBuckets, "total must count the real base files")
+    assert(rewritten <= touchedBase + insertBuckets,
+      "rewritten files must not exceed the planned touched set")
+    assert(touchedBase < baseBuckets || baseBuckets <= 1,
+      "fixture sanity: pruning must have something to skip")
+  }
+
   test("layout_compaction_exec: compacted lake has fewer files, same rows") {
     val rows = SparkEntry.queries("layout_compaction_exec")(spark, TestSpark.sf)
       .collect()
