@@ -503,6 +503,226 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"), col("channel"))
   }
 
+  /** PNG asset table with REAL compressed PNGs — the final rung of the
+    * decode ladder (WAV: raw samples in a chunked container; BMP: raw
+    * pixels with layout tricks; PNG: pixels behind per-row FILTERS and a
+    * zlib DEFLATE stream). Each payload is a complete spec-correct PNG:
+    * 8-byte signature, big-endian IHDR (8-bit RGB, color type 2), the
+    * filtered scanlines deflated into TWO IDAT chunks (readers must
+    * concatenate before inflating), CRC32 on every chunk, IEND. The
+    * writer applies a different filter per row (None/Sub/Up cycling by
+    * y%3), so a decoder that skips unfiltering cannot reproduce the
+    * pixels. Pixel values are the same logical row-major text mapping as
+    * [[bmpAssets]] — one oracle proves both containers. Synthesis runs in
+    * the same mapPartitions codec contract as the decoders (Deflater is
+    * imperative by nature); compressed bytes may vary across zlib
+    * versions but the DECODED pixels cannot, which is why the gate hashes
+    * statistics, never payload bytes. */
+  def pngAssets(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (pmod(col("doc_id"), lit(3)) + 4).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(2)) + 3).cast("int").as("h"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, w, h) =>
+          val n = w * h * 3
+          val txt = text.getBytes("UTF-8")
+          val px = Array.tabulate[Byte](n)(i =>
+            if (i < txt.length) txt(i) else ' '.toByte)
+          // Filtered scanlines: filter byte + w*3 filtered values per row.
+          val raw = new Array[Byte](h * (1 + w * 3))
+          var y = 0
+          while (y < h) {
+            val ft = y % 3 // 0 None, 1 Sub, 2 Up
+            val rowOff = y * (1 + w * 3)
+            raw(rowOff) = ft.toByte
+            var i = 0
+            while (i < w * 3) {
+              val cur = px(y * w * 3 + i) & 0xff
+              val left = if (i >= 3) px(y * w * 3 + i - 3) & 0xff else 0
+              val up = if (y > 0) px((y - 1) * w * 3 + i) & 0xff else 0
+              val f = ft match {
+                case 0 => cur
+                case 1 => (cur - left) & 0xff
+                case _ => (cur - up) & 0xff
+              }
+              raw(rowOff + 1 + i) = f.toByte
+              i += 1
+            }
+            y += 1
+          }
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(raw); defl.finish()
+          val zbuf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](512)
+          while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          val z = zbuf.toByteArray
+          val out = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(out)
+          def chunk(typ: String, data: Array[Byte]): Unit = {
+            dos.writeInt(data.length)
+            val tb = typ.getBytes("US-ASCII")
+            val crc = new java.util.zip.CRC32()
+            crc.update(tb); crc.update(data)
+            dos.write(tb); dos.write(data); dos.writeInt(crc.getValue.toInt)
+          }
+          dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+          ihdr.putInt(w).putInt(h)
+            .put(8.toByte).put(2.toByte) // bit depth 8, truecolor RGB
+            .put(0.toByte).put(0.toByte).put(0.toByte)
+          chunk("IHDR", ihdr.array())
+          val split = z.length / 2 // two IDATs: readers must concatenate
+          chunk("IDAT", z.slice(0, split))
+          chunk("IDAT", z.slice(split, z.length))
+          chunk("IEND", Array.emptyByteArray)
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL PNG decode: verify the signature, walk the big-endian chunk
+    * stream VALIDATING every CRC32 (a corrupt chunk rejects the file, as
+    * the spec requires), parse IHDR (only 8-bit truecolor RGB accepted),
+    * concatenate all IDAT payloads, INFLATE the zlib stream, then undo
+    * the per-row filters — None/Sub/Up/Average/Paeth, the full filter
+    * set, reconstructing each byte from left/up/up-left neighbors exactly
+    * per the PNG specification — and emit the same per-channel statistics
+    * as [[decodeBmp]] (position-weighted sum included, so a decoder that
+    * misreconstructs any row cannot pass). Returns Nil on any
+    * malformation: bad signature, CRC mismatch, truncated chunks,
+    * non-RGB8 images, or a broken DEFLATE stream. */
+  private def decodePng(bytes: Array[Byte]): Seq[(Int, Long, Long, Long, Long, Long)] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length < 8 || !bytes.slice(0, 8).sameElements(sig)) return Seq.empty
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    var off = 8
+    var w = -1; var h = -1; var ok = true; var sawEnd = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (ok && !sawEnd && off + 12 <= bytes.length) {
+      val len = bb.getInt(off)
+      if (len < 0 || off.toLong + 12 + len > bytes.length) ok = false
+      else {
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, off + 4, 4 + len)
+        if (crc.getValue.toInt != bb.getInt(off + 8 + len)) ok = false
+        else {
+          typ match {
+            case "IHDR" =>
+              if (len != 13) ok = false
+              else {
+                w = bb.getInt(off + 8); h = bb.getInt(off + 12)
+                val depth = bytes(off + 16); val color = bytes(off + 17)
+                val interlace = bytes(off + 20)
+                if (depth != 8 || color != 2 || interlace != 0) ok = false
+              }
+            case "IDAT" => idat.write(bytes, off + 8, len)
+            case "IEND" => sawEnd = true
+            case _ => () // ancillary chunks skip
+          }
+          off += 12 + len
+        }
+      }
+    }
+    if (!ok || !sawEnd || w <= 0 || h <= 0 || idat.size == 0) return Seq.empty
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, got, raw.length - got)
+        if (k == 0 && inf.needsInput()) return Seq.empty // truncated stream
+        got += k
+      }
+      inf.end()
+      if (got != raw.length) return Seq.empty
+    } catch { case _: java.util.zip.DataFormatException => return Seq.empty }
+    // Unfilter in place into the pixel array.
+    val px = new Array[Int](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      if (ft > 4) return Seq.empty
+      var i = 0
+      while (i < stride) {
+        val f = raw(y * (1 + stride) + 1 + i) & 0xff
+        val a = if (i >= 3) px(y * stride + i - 3) else 0        // left
+        val b = if (y > 0) px((y - 1) * stride + i) else 0       // up
+        val c = if (i >= 3 && y > 0) px((y - 1) * stride + i - 3) else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => (f + a) & 0xff
+          case 2 => (f + b) & 0xff
+          case 3 => (f + (a + b) / 2) & 0xff
+          case 4 => // Paeth predictor
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            (f + pred) & 0xff
+        }
+        px(y * stride + i) = v
+        i += 1
+      }
+      y += 1
+    }
+    (0 until 3).map { ch =>
+      var sum = 0L; var wsum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      var idx = 0
+      while (idx < w * h) {
+        val v = px(idx * 3 + ch).toLong
+        sum += v; wsum += idx.toLong * v
+        if (v < mn) mn = v; if (v > mx) mx = v
+        idx += 1
+      }
+      (ch, w.toLong * h, sum, wsum, mn, mx)
+    }
+  }
+
+  /** Test hook: Round10Spec feeds [[decodePng]] external and malformed
+    * containers. */
+  private[ops] def decodePngForTest(bytes: Array[Byte]): Seq[(Int, Long, Long, Long, Long, Long)] =
+    decodePng(bytes)
+
+  /** Per-channel pixel statistics over genuinely decoded COMPRESSED PNGs —
+    * same output contract and same closed-form oracle family as
+    * [[pixelStats]], but the decode now crosses a zlib DEFLATE stream,
+    * CRC-validated chunk framing, and per-row filter reconstruction. A
+    * hash match proves all three, because any slip changes the
+    * position-weighted sums. Round10Spec additionally (a) reads the same
+    * payloads with ImageIO and (b) feeds OUR decoder PNGs written by
+    * ImageIO (whatever filters it picked), proving interop both
+    * directions. */
+  def pngPixelStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    pngAssets(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          decodePng(bytes).map { case (c, n, sum, wsum, mn, mx) =>
+            (id, c, n, sum, wsum, mn, mx)
+          }
+        })
+      }
+      .toDF("doc_id", "channel", "n_px", "sum_v", "wsum_v", "min_v", "max_v")
+      .select(col("doc_id"), col("channel").cast("int").as("channel"),
+        col("n_px"), col("sum_v"), col("wsum_v"), col("min_v"), col("max_v"),
+        (col("sum_v").cast("double") / col("n_px").cast("double"))
+          .as("mean_v"))
+      .orderBy(col("doc_id"), col("channel"))
+  }
+
   /** Perceptual-hash near-duplicate detection over media content — the
     * image-dedup analog of MinHash/LSH: a 63-bit dHash (each bit = "is
     * sample i darker than sample i+1") per asset, banded into 4×16-bit
@@ -631,6 +851,7 @@ object Multimodal extends QueryModule {
     "mm_binary_meta" -> (binaryMeta _),
     "mm_features"    -> (features _),
     "mm_pixel_stats" -> (pixelStats _),
+    "mm_png_pixels"  -> (pngPixelStats _),
     "mm_frame_sample" -> (frameSample _),
     "mm_resize"      -> (resize _),
     "mm_image_dims"  -> (imageDims _),
@@ -810,6 +1031,36 @@ object Multimodal extends QueryModule {
     // equality proves the byte-level decode including the vertical flip
     // (the position-weighted sum is flip-sensitive).
     "mm_pixel_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 3 + 4 AS INT) AS w,
+        |    CAST(doc_id % 2 + 3 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    rpad(text, w * h * 3, ' ') AS s
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_id, w, h, c.c AS channel, i.i AS i,
+        |    ord(substr(s, CAST(i.i * 3 + c.c + 1 AS INT), 1)) AS val
+        |  FROM px
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS c) c
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(w AS BIGINT) * h - 1)) AS i) i)
+        |SELECT doc_id, CAST(channel AS INT) AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(val) AS BIGINT) AS sum_v,
+        |  CAST(SUM(i * val) AS BIGINT) AS wsum_v,
+        |  CAST(MIN(val) AS BIGINT) AS min_v,
+        |  CAST(MAX(val) AS BIGINT) AS max_v,
+        |  CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+        |FROM v GROUP BY doc_id, channel
+        |ORDER BY doc_id, channel""".stripMargin,
+    // Identical oracle to mm_pixel_stats: BMP and PNG carry the SAME
+    // logical pixels (row-major text mapping, same dims formulas) behind
+    // different containers — one first-principles recomputation proves
+    // both decoders, including the PNG side's inflate + unfilter.
+    "mm_png_pixels" ->
       """WITH p AS (
         |  SELECT doc_id, text,
         |    CAST(doc_id % 3 + 4 AS INT) AS w,

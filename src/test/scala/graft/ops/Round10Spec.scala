@@ -61,6 +61,89 @@ class Round10Spec extends AnyFunSuite {
     assert(Multimodal.decodeBmpForTest(badBpp) == Seq.empty, "non-24-bpp")
   }
 
+  test("mm_png_pixels: pngAssets payloads decode identically under javax.imageio") {
+    val payloads = Multimodal.pngAssets(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(12).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val got = SparkEntry.queries("mm_png_pixels")(spark, TestSpark.sf)
+      .filter(col("doc_id") < 12).collect()
+    assert(got.length == 36)
+    got.foreach { r =>
+      val id = r.getLong(0); val c = r.getInt(1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payloads(id)))
+      assert(img != null, s"ImageIO must read doc $id as a PNG")
+      val w = img.getWidth; val h = img.getHeight
+      var sum = 0L; var wsum = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        // PNG RGB: channel 0 = red byte first in the stream.
+        val v = (c match {
+          case 0 => (rgb >> 16) & 0xff
+          case 1 => (rgb >> 8) & 0xff
+          case _ => rgb & 0xff
+        }).toLong
+        sum += v; wsum += (y.toLong * w + x) * v
+        if (v < mn) mn = v; if (v > mx) mx = v
+      }
+      assert(r.getLong(2) == w.toLong * h, s"n_px doc $id ch $c")
+      assert(r.getLong(3) == sum, s"sum doc $id ch $c")
+      assert(r.getLong(4) == wsum, s"weighted sum doc $id ch $c")
+      assert(r.getLong(5) == mn && r.getLong(6) == mx, s"min/max doc $id ch $c")
+    }
+  }
+
+  test("decodePng reads PNGs written by ImageIO (foreign filter choices)") {
+    // The inverse interop direction: a stock encoder picks its own row
+    // filters and deflate strategy; our decoder must still recover the
+    // exact pixels. Build a gradient-ish RGB image, round-trip via
+    // ImageIO PNG, decode with decodePng, compare exact stats.
+    val w = 23; val h = 17 // odd sizes, not multiples of anything
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 11 + y * 7) % 256
+      val g = (x * 3 + y * 31) % 256
+      val b = (x * 29 + y * 13) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val stats = Multimodal.decodePngForTest(bos.toByteArray)
+    assert(stats.length == 3, "ImageIO PNG must decode as RGB8")
+    stats.foreach { case (c, n, sum, wsum, mn, mx) =>
+      assert(n == w.toLong * h)
+      var esum = 0L; var ewsum = 0L
+      var emn = Long.MaxValue; var emx = Long.MinValue
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (c match {
+          case 0 => (x * 11 + y * 7) % 256
+          case 1 => (x * 3 + y * 31) % 256
+          case _ => (x * 29 + y * 13) % 256
+        }).toLong
+        esum += v; ewsum += (y.toLong * w + x) * v
+        if (v < emn) emn = v; if (v > emx) emx = v
+      }
+      assert(sum == esum && wsum == ewsum && mn == emn && mx == emx,
+        s"channel $c stats must match the source pixels")
+    }
+  }
+
+  test("decodePng rejects malformed containers: bad CRC, truncation, wrong type") {
+    val real = Multimodal.pngAssets(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(1).collect()(0).getAs[Array[Byte]]("payload")
+    assert(Multimodal.decodePngForTest(real).nonEmpty)
+    assert(Multimodal.decodePngForTest(Array[Byte]()) == Seq.empty)
+    assert(Multimodal.decodePngForTest("not a png at all".getBytes) == Seq.empty)
+    val badCrc = real.clone()
+    badCrc(20) = (badCrc(20) ^ 0x01).toByte // flip a bit inside IHDR data
+    assert(Multimodal.decodePngForTest(badCrc) == Seq.empty,
+      "a CRC mismatch must reject the file")
+    assert(Multimodal.decodePngForTest(real.take(real.length / 2)) == Seq.empty,
+      "a truncated chunk stream must reject cleanly")
+  }
+
   test("layout_merge_exec: copy-on-write prunes — untouched buckets never rewrite") {
     val rows = SparkEntry.queries("layout_merge_exec")(spark, TestSpark.sf)
       .collect()
