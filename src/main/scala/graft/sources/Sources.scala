@@ -400,6 +400,82 @@ object Sources extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SCD-type-2 MERGE EXECUTED — the third maintenance op made physical
+    * ([[compactionExec]] rewrites layout, [[mergeExec]] applies row CDC,
+    * this applies VERSIONED upserts): the customer dimension's day-0
+    * snapshot lives in 64-key bucket files; the update batch (every 96th
+    * key upgrades segment + balance, effective 2024-06-01 — the same
+    * scenario rel_scd2_merge plans, but with a batch sparser than the
+    * bucket so pruning has real work) rewrites ONLY touched buckets:
+    * inside each, the current row of an updated key closes (valid_to =
+    * eff, is_current = 0) and a new version opens; every other row copies
+    * through. Untouched bucket files are never read past the prune nor
+    * rewritten. The audit aggregates the merged dimension (untouched ∪
+    * rewritten) per (is_current, segment) with exact balance cents and
+    * counts real files on both sides via `_metadata.file_path`; the
+    * oracle rebuilds the post-merge dimension and both file counts
+    * closed-form from customer. */
+  def scd2Exec(s: SparkSession, d: String): DataFrame = {
+    val root = tmp("scd2_lake", d)
+    val base = s"$root/base"
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("bal_cents"),
+          lit("2024-01-01").as("valid_from"),
+          lit("2200-01-01").as("valid_to"),
+          lit(1).cast("int").as("is_current"),
+          expr("c_custkey div 64").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val cols = Seq("c_custkey", "c_mktsegment", "bal_cents",
+      "valid_from", "valid_to", "is_current")
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("fb").cast("long").as("fb"),
+        col("_metadata.file_path").as("path"))
+    val upd = Tables.customer(s, d).filter(col("c_custkey") % 96 === 0)
+      .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
+        floor((col("c_acctbal") + 100.0) * 100.0 + 0.5).cast("long")
+          .as("bal_cents"),
+        expr("c_custkey div 64").as("fb"))
+    val touched = upd.select(col("fb")).distinct()
+    val affected = baseDf.join(broadcast(touched), Seq("fb"))
+    val untouched = baseDf.join(broadcast(touched), Seq("fb"), "left_anti")
+    val updKeys = upd.select(col("c_custkey"), lit(1).as("hit"))
+    val inAffected = affected
+      .join(broadcast(updKeys), Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+        col("valid_from"),
+        when(col("hit").isNotNull, lit("2024-06-01")).otherwise(col("valid_to"))
+          .as("valid_to"),
+        when(col("hit").isNotNull, lit(0)).otherwise(col("is_current"))
+          .cast("int").as("is_current"),
+        col("fb"))
+    val opened = upd.select(col("c_custkey"), col("c_mktsegment"),
+      col("bal_cents"), lit("2024-06-01").as("valid_from"),
+      lit("2200-01-01").as("valid_to"), lit(1).cast("int").as("is_current"),
+      col("fb"))
+    val epochDir = s"$root/epoch=2"
+    inAffected.unionByName(opened)
+      .repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(epochDir)
+    val rewritten = s.read.option("basePath", epochDir).parquet(epochDir)
+      .select(cols.map(col) :+ col("_metadata.file_path").as("path"): _*)
+    val filesTotal = baseDf.agg(countDistinct(col("path")).as("n_files_total"))
+    val filesRewritten = rewritten
+      .agg(countDistinct(col("path")).as("n_files_rewritten"))
+    untouched.select(cols.map(col): _*)
+      .unionByName(rewritten.select(cols.map(col): _*))
+      .groupBy(col("is_current"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("bal_cents")).cast("long").as("bal_cents"))
+      .crossJoin(broadcast(filesTotal))
+      .crossJoin(broadcast(filesRewritten))
+      .orderBy(col("is_current"), col("c_mktsegment"))
+  }
+
   /** Corrupt-record-tolerant JSON ingest (PERMISSIVE mode +
     * `columnNameOfCorruptRecord`) — the real-world contract of any feed
     * reader: malformed lines must neither kill the job NOR silently
@@ -450,6 +526,7 @@ object Sources extends QueryModule {
     "layout_compaction" -> (compactionPlan _),
     "layout_compaction_exec" -> (compactionExec _),
     "layout_merge_exec" -> (mergeExec _),
+    "layout_scd2_exec" -> (scd2Exec _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binary_files" -> (binaryFiles _),
@@ -525,6 +602,34 @@ object Sources extends QueryModule {
         |  CAST(SUM(nrows) AS BIGINT) AS rows_after,
         |  CAST(SUM(h) AS BIGINT) AS sum_h_after
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    // Post-merge SCD2 dimension recomputed closed-form: closed versions,
+    // opened versions, pass-throughs, plus the same _metadata-mirrored
+    // file counts (rewritten = touched buckets; every touched bucket
+    // keeps rows here, since closing a version never deletes it).
+    "layout_scd2_exec" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(floor((c_acctbal + 100.0) * 100.0 + 0.5) AS BIGINT)
+        |      AS new_cents
+        |  FROM customer),
+        |final AS (
+        |  SELECT k, seg, cents,
+        |    CASE WHEN k % 96 = 0 THEN 0 ELSE 1 END AS is_current
+        |  FROM c
+        |  UNION ALL
+        |  SELECT k, 'UPGRADED', new_cents, 1 FROM c WHERE k % 96 = 0),
+        |nt AS (SELECT CAST(COUNT(DISTINCT k // 64) AS BIGINT)
+        |  AS n_files_total FROM c),
+        |nr AS (SELECT CAST(COUNT(DISTINCT k // 64) AS BIGINT)
+        |  AS n_files_rewritten FROM c WHERE k % 96 = 0)
+        |SELECT CAST(is_current AS INT) AS is_current, seg AS c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(cents) AS BIGINT) AS bal_cents,
+        |  n_files_total, n_files_rewritten
+        |FROM final, nt, nr
+        |GROUP BY is_current, seg, n_files_total, n_files_rewritten
+        |ORDER BY is_current, c_mktsegment""".stripMargin,
     // Post-merge table recomputed closed-form with the same change rules
     // (delete beats update; inserts shift into fresh buckets). The file
     // counts mirror what the Spark side measures from _metadata paths:
