@@ -476,6 +476,87 @@ object Sources extends QueryModule {
       .orderBy(col("is_current"), col("c_mktsegment"))
   }
 
+  /** Transaction LOG + snapshot TIME TRAVEL — the commit-atomicity layer
+    * the epoch-addressed rewrites plug into (Delta/Iceberg-class): every
+    * commit appends a log version listing file-level add/remove actions,
+    * and a snapshot at version V is "replay the log ≤ V, read only live
+    * files". Commit 0 adds the base bucket files; commit 1 is a
+    * delete+compact rewrite (drop key%640 rows, pack each PAIR of touched
+    * buckets into one file) that REMOVES the replaced files and ADDS the
+    * packed ones. The commit point is the log write itself — data files
+    * land first, invisible until their log version exists, so a crash
+    * mid-rewrite never corrupts a snapshot (the idempotent-overwrite
+    * epoch dirs make retries safe). Snapshot reads are PURE JOINS: the
+    * union scan of all data dirs semi-joins `_metadata.file_path` against
+    * the log's live-path set (adds ≤ V anti-joined by removes ≤ V) — no
+    * driver-side file list, no collect; a production planner would prune
+    * the scan with the same log relation. The audit emits per-version row
+    * counts, exact cents, and LIVE file counts; the oracle recomputes all
+    * of it closed-form (v0 = the full table; v1 = post-delete rows, file
+    * count = untouched buckets + paired packs), so the hash proves log
+    * replay selects exactly the right files at each version. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = tmp("tlog_lake", d)
+    val base = s"$root/base"
+    val e1 = s"$root/epoch=1"
+    val logDir = s"$root/log"
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
+          expr("o_orderkey div 512").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("fb").cast("long").as("fb"),
+        col("_metadata.file_path").as("path"))
+    // Commit 0: the base files become visible.
+    baseDf.select(col("path")).distinct()
+      .select(col("path"), lit("add").as("action"))
+      .write.mode("overwrite").parquet(s"$logDir/v=0")
+    // Commit 1: delete key%640 rows; survivors of each touched bucket
+    // PAIR pack into one file (delete + compact in one rewrite).
+    val touched = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 640 === 0)
+      .select(expr("o_orderkey div 512").as("fb")).distinct()
+    val affected = baseDf.join(broadcast(touched), Seq("fb"))
+    affected.filter(col("o_orderkey") % 640 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        expr("fb div 2").as("gb"))
+      .repartition(col("gb"))
+      .write.mode("overwrite").partitionBy("gb").parquet(e1)
+    val e1Df = s.read.option("basePath", e1).parquet(e1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("_metadata.file_path").as("path"))
+    affected.select(col("path")).distinct()
+      .select(col("path"), lit("remove").as("action"))
+      .unionByName(e1Df.select(col("path")).distinct()
+        .select(col("path"), lit("add").as("action")))
+      .write.mode("overwrite").parquet(s"$logDir/v=1")
+    // Snapshot reads: replay the log ≤ V with joins only.
+    val log = s.read.option("basePath", logDir).parquet(logDir)
+      .select(col("path"), col("action"), col("v").cast("int").as("v"))
+    val allFiles = baseDf
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"), col("path"))
+      .unionByName(e1Df)
+    def snapshot(ver: Int): DataFrame = {
+      val adds = log.filter(col("v") <= ver && col("action") === "add")
+        .select(col("path"))
+      val removes = log.filter(col("v") <= ver && col("action") === "remove")
+        .select(col("path"))
+      val live = adds.join(removes, Seq("path"), "left_anti")
+      allFiles.join(live, Seq("path"), "left_semi")
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("cents"),
+          countDistinct(col("path")).as("n_files"))
+        .select(lit(ver).as("version"), col("n_rows"), col("cents"),
+          col("n_files"))
+    }
+    snapshot(0).unionByName(snapshot(1)).orderBy(col("version"))
+  }
+
   /** Corrupt-record-tolerant JSON ingest (PERMISSIVE mode +
     * `columnNameOfCorruptRecord`) — the real-world contract of any feed
     * reader: malformed lines must neither kill the job NOR silently
@@ -527,6 +608,7 @@ object Sources extends QueryModule {
     "layout_compaction_exec" -> (compactionExec _),
     "layout_merge_exec" -> (mergeExec _),
     "layout_scd2_exec" -> (scd2Exec _),
+    "layout_time_travel" -> (timeTravel _),
     "src_schema_evolution" -> (schemaEvolution _),
     "src_text_roundtrip" -> (textRoundTrip _),
     "src_binary_files" -> (binaryFiles _),
@@ -602,6 +684,33 @@ object Sources extends QueryModule {
         |  CAST(SUM(nrows) AS BIGINT) AS rows_after,
         |  CAST(SUM(h) AS BIGINT) AS sum_h_after
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    // Both snapshots closed-form: v0 is the whole table over all base
+    // buckets; v1 drops the %640 keys and repacks each touched bucket
+    // PAIR into one file, so live files = untouched buckets + distinct
+    // touched-bucket pairs.
+    "layout_time_travel" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |t AS (SELECT DISTINCT k // 512 AS fb FROM o WHERE k % 640 = 0),
+        |v0 AS (
+        |  SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(c) AS BIGINT) AS cents,
+        |    CAST(COUNT(DISTINCT k // 512) AS BIGINT) AS n_files
+        |  FROM o),
+        |v1 AS (
+        |  SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(c) AS BIGINT) AS cents,
+        |    (SELECT CAST(COUNT(DISTINCT k // 512) AS BIGINT) FROM o
+        |       WHERE k // 512 NOT IN (SELECT fb FROM t))
+        |      + (SELECT CAST(COUNT(DISTINCT fb // 2) AS BIGINT) FROM t)
+        |      AS n_files
+        |  FROM o WHERE k % 640 <> 0)
+        |SELECT version, n_rows, cents, n_files FROM v0
+        |UNION ALL
+        |SELECT version, n_rows, cents, n_files FROM v1
+        |ORDER BY version""".stripMargin,
     // Post-merge SCD2 dimension recomputed closed-form: closed versions,
     // opened versions, pass-throughs, plus the same _metadata-mirrored
     // file counts (rewritten = touched buckets; every touched bucket

@@ -168,6 +168,21 @@ class Round10Spec extends AnyFunSuite {
       "fixture sanity: pruning must have something to skip")
   }
 
+  test("layout_time_travel: snapshots see exactly their commit's files") {
+    val rows = SparkEntry.queries("layout_time_travel")(spark, TestSpark.sf)
+      .orderBy("version").collect()
+    assert(rows.length == 2)
+    val (v0, v1) = (rows(0), rows(1))
+    // v0 must still show the pre-delete table even though commit 1's data
+    // files exist on disk when the snapshot is read — log replay, not
+    // directory listing, decides visibility.
+    val nOrders = graft.Tables.orders(spark, TestSpark.sf).count()
+    assert(v0.getLong(1) == nOrders, "snapshot 0 must be the full base table")
+    assert(v1.getLong(1) < v0.getLong(1), "commit 1 deleted rows")
+    assert(v1.getLong(3) < v0.getLong(3),
+      "commit 1 pair-packed touched buckets, so live files must shrink")
+  }
+
   test("layout_compaction_exec: compacted lake has fewer files, same rows") {
     val rows = SparkEntry.queries("layout_compaction_exec")(spark, TestSpark.sf)
       .collect()
