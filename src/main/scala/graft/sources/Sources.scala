@@ -24,6 +24,26 @@ object Sources extends QueryModule {
     p.toString
   }
 
+  /** Per-INVOCATION output root for the maintenance rewrites. Base lakes
+    * are sentinel-cached (written once, read-only after), but epoch/log
+    * REWRITE outputs must be unique per invocation: two live DataFrames
+    * from two invocations would otherwise race overwrite-vs-lazy-read on
+    * the same files (Spark caches the file listing at plan time, so the
+    * second invocation's overwrite strands the first plan on deleted
+    * paths). A shutdown hook deletes this JVM's run dirs. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
+    f.delete(): Unit
+  }
+  private lazy val runRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rewrite_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+    dir.getAbsolutePath
+  }
+  private def freshRun(tag: String): String =
+    s"$runRoot/${tag}_${runSeq.incrementAndGet()}"
+
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
     StructField("n_regionkey", IntegerType)))
@@ -292,7 +312,7 @@ object Sources extends QueryModule {
       .withColumn("bytes_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
       .select(col("lang"), col("file_id"),
         expr(s"bytes_before div $target").as("group_id"))
-    val epochDir = s"$root/epoch=1"
+    val epochDir = s"${freshRun("compact")}/epoch=1"
     before.join(broadcast(plan), Seq("lang", "file_id"))
       .select(col("doc_id"), col("n_chars"), col("text"), col("lang"),
         col("group_id"))
@@ -382,7 +402,7 @@ object Sources extends QueryModule {
       .select(col("o_orderkey"), col("o_orderstatus"),
         coalesce(col("new_cents"), col("cents")).as("cents"), col("fb"))
       .unionByName(ins)
-    val epochDir = s"$root/epoch=2"
+    val epochDir = s"${freshRun("merge")}/epoch=2"
     applied.repartition(col("fb"))
       .write.mode("overwrite").partitionBy("fb").parquet(epochDir)
     val rewritten = s.read.option("basePath", epochDir).parquet(epochDir)
@@ -457,7 +477,7 @@ object Sources extends QueryModule {
       col("bal_cents"), lit("2024-06-01").as("valid_from"),
       lit("2200-01-01").as("valid_to"), lit(1).cast("int").as("is_current"),
       col("fb"))
-    val epochDir = s"$root/epoch=2"
+    val epochDir = s"${freshRun("scd2")}/epoch=2"
     inAffected.unionByName(opened)
       .repartition(col("fb"))
       .write.mode("overwrite").partitionBy("fb").parquet(epochDir)
@@ -498,8 +518,9 @@ object Sources extends QueryModule {
   def timeTravel(s: SparkSession, d: String): DataFrame = {
     val root = tmp("tlog_lake", d)
     val base = s"$root/base"
-    val e1 = s"$root/epoch=1"
-    val logDir = s"$root/log"
+    val run = freshRun("tlog")
+    val e1 = s"$run/epoch=1"
+    val logDir = s"$run/log"
     if (!Files.exists(Paths.get(base, "_SUCCESS")))
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"),

@@ -125,4 +125,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(byName("referential_integrity").getInt(3) == 1)
     assert(byName("pii_scan").getLong(1) > 0)
   }
+
+  test("MaintenancePipeline stages reproduce their gated queries; summary passes") {
+    val api = new MaintenancePipeline
+    val plan = api.compactionPlan(spark, TestSpark.sf)
+    val q = graft.sources.Sources.compactionPlan(spark, TestSpark.sf)
+    assert(plan.exceptAll(q).isEmpty && q.exceptAll(plan).isEmpty,
+      "API stage must BE the gated query, not a re-implementation")
+    val tt = api.timeTravel(spark, TestSpark.sf)
+    val qtt = graft.sources.Sources.timeTravel(spark, TestSpark.sf)
+    assert(tt.exceptAll(qtt).isEmpty && qtt.exceptAll(tt).isEmpty)
+    val sm = api.summary(spark, TestSpark.sf).collect()
+    assert(sm.map(_.getString(0)).toSeq ==
+      Seq("cdc_merge", "compaction", "time_travel"))
+    // every maintenance invariant must hold on the fixture: compaction
+    // preserves rows+checksums, time travel shrinks live files at v1
+    sm.foreach(r => assert(r.getInt(4) == 1,
+      s"${r.getString(0)} maintenance invariant failed"))
+  }
 }
