@@ -241,7 +241,55 @@ object StreamQueries extends QueryModule {
       .orderBy(col("cur"), col("nxt"))
   }
 
+  /** Streaming ingestion COMMITTING INTO a transaction log — the fusion
+    * of the streaming side's epoch-addressed idempotent sink and the
+    * lakehouse side's log-decides-visibility protocol (the Delta-sink
+    * contract): each micro-batch writes its data files under
+    * `epoch=N/` (overwrite — a retried epoch replaces itself), then
+    * appends log version N listing those files as adds. The LOG WRITE is
+    * the commit point: a crash between data-write and log-write leaves
+    * invisible files, never a torn table. The final read resolves
+    * visibility by joins against the log (adds only here — ingestion
+    * never removes) and aggregates per event type with exact cents; the
+    * oracle recomputes from the raw events table, so the hash proves the
+    * log-visible union of all epochs is EXACTLY the input — every batch
+    * committed once, none lost, none duplicated. */
+  def streamLogCommits(s: SparkSession, d: String): DataFrame = {
+    val run = s"$scratchRoot/slog_${seq.incrementAndGet()}"
+    val dataDir = s"$run/data"
+    val logDir = s"$run/log"
+    val ckpt = s"$run/ckpt"
+    val q = streamEvents(s, d)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, epoch: Long) =>
+        val dir = s"$dataDir/epoch=$epoch"
+        df.write.mode("overwrite").parquet(dir)
+        // Commit point: log version = the file list of this epoch.
+        df.sparkSession.read.parquet(dir)
+          .select(col("_metadata.file_path").as("path")).distinct()
+          .select(col("path"), lit("add").as("action"))
+          .write.mode("overwrite").parquet(s"$logDir/v=$epoch")
+      }
+      .start()
+    q.awaitTermination()
+    val log = s.read.option("basePath", logDir).parquet(logDir)
+      .select(col("path"))
+    s.read.option("basePath", dataDir).parquet(dataDir)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("_metadata.file_path").as("path"))
+      .join(log, Seq("path"), "left_semi")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(col("cents")).cast("long").as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stream_log_commits" -> (streamLogCommits _),
     "ev_stream_tumbling" -> (streamTumbling _),
     "ev_stream_sessions" -> (streamSessions _),
     "ev_stream_interval_join" -> (streamIntervalJoin _),
@@ -253,6 +301,15 @@ object StreamQueries extends QueryModule {
     s"CAST(CAST(SUM($inner) AS VARCHAR) AS DOUBLE)"
 
   override def oracleSql: Map[String, String] = Map(
+    // The log-visible union of all committed epochs must be EXACTLY the
+    // input stream — recomputed from the raw events table.
+    "ev_stream_log_commits" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Identical to the ev_tumbling oracle: streaming Complete-mode windows
     // must equal the batch hour-truncated aggregate.
     "ev_stream_tumbling" ->

@@ -51,6 +51,19 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("ev_stream_log_commits: log-visible union of epochs equals the input") {
+    import org.apache.spark.sql.functions._
+    val streamed = run("ev_stream_log_commits")
+    val batch = graft.Tables.events(spark, TestSpark.sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("long")
+          .as("cents"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("ev_stream_interval_join equals the batch interval self-join") {
     import org.apache.spark.sql.functions._
     val streamed = run("ev_stream_interval_join")
