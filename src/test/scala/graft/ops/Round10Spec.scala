@@ -168,6 +168,32 @@ class Round10Spec extends AnyFunSuite {
       "fixture sanity: pruning must have something to skip")
   }
 
+  test("layout_scd2_exec: versioning arithmetic and pruning hold on the fixture") {
+    val rows = SparkEntry.queries("layout_scd2_exec")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getLong(4)
+    val rewritten = rows.head.getLong(5)
+    val o = graft.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey").as("k"))
+    val baseBuckets = o.select(expr("k div 64").as("fb")).distinct().count()
+    val touchedBuckets = o.filter(col("k") % 96 === 0)
+      .select(expr("k div 64").as("fb")).distinct().count()
+    val nUpdated = o.filter(col("k") % 96 === 0).count()
+    assert(total == baseBuckets, "total must count the real base files")
+    assert(rewritten == touchedBuckets,
+      "exactly the touched buckets must rewrite (closing keeps rows, so " +
+        "none can vanish)")
+    assert(touchedBuckets < baseBuckets, "pruning must have skipped buckets")
+    // SCD2 row algebra: every updated key contributes one closed + one
+    // opened version; current rows = all keys, closed rows = updates.
+    val nKeys = o.count()
+    val current = rows.filter(_.getInt(0) == 1).map(_.getLong(2)).sum
+    val closed = rows.filter(_.getInt(0) == 0).map(_.getLong(2)).sum
+    assert(current == nKeys, "one current version per key after the merge")
+    assert(closed == nUpdated, "one closed version per updated key")
+  }
+
   test("layout_time_travel: snapshots see exactly their commit's files") {
     val rows = SparkEntry.queries("layout_time_travel")(spark, TestSpark.sf)
       .orderBy("version").collect()
