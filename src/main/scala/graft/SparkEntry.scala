@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,
+    sources.Lakehouse,
     streaming.StreamQueries,
   )
 

@@ -1,0 +1,492 @@
+package graft.sources
+
+import graft.{QueryModule, Tables}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The rest of the Delta/Iceberg-class lakehouse surface, built on the same
+  * primitives as [[Sources]] (epoch-addressed rewrites, file-level txn log,
+  * `_metadata.file_path` audits): VACUUM with retention, a change-data-feed
+  * derived from the file-level diff of a copy-on-write commit, min/max
+  * stats-based file skipping, and an EXECUTED Z-order layout that proves
+  * both-dimension pruning against a linear layout.
+  *
+  * Shared design rules (SURVEY.md §2.13 layout family):
+  *  - base lakes that are only READ are sentinel-cached per sf (`tmp`);
+  *    anything a query MUTATES (vacuum) or REWRITES (epoch dirs) lives in a
+  *    per-invocation `freshRun` dir so two live plans never race
+  *    overwrite-vs-lazy-read;
+  *  - every physical claim (file counts, pruning) is measured from REAL
+  *    files — `_metadata.file_path` or a `binaryFile` listing — never from
+  *    what the plan intended to write;
+  *  - no driver-side collect: file sets move through joins; physical
+  *    deletes run executor-side via `foreach` (the object-store bulk-delete
+  *    shape);
+  *  - the oracle recomputes every output column closed-form from the raw
+  *    table, so a hash match proves the physical operation preserved (or
+  *    removed) exactly the intended bytes.
+  */
+object Lakehouse extends QueryModule {
+
+  private def cents(c: Column): Column =
+    floor(c * 100.0 + 0.5).cast("long")
+
+  /** 20-bit Morton interleave of two 10-bit dims (x at even bits, y odd) —
+    * the [[Sources.zorderKey]] formula, applied here to a physical layout. */
+  private def morton(x: Column, y: Column): Column =
+    (0 until 10).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private val sqlZ: String = (0 until 10).map { i =>
+    s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))"
+  }.mkString(" + ")
+
+  /** Real on-disk parquet listing of a data dir (recursive, data files
+    * only) — the ground truth a vacuum audit must measure, independent of
+    * the log that *claims* what exists. */
+  private def diskListing(s: SparkSession, dirs: String*): DataFrame =
+    dirs.map { dir =>
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(dir).select(col("path"))
+    }.reduce(_ unionByName _)
+
+  /** VACUUM with retention 0 — the maintenance op that makes rewrites pay
+    * off: after [[Sources.timeTravel]]-style commit 1 (delete key%640 rows,
+    * pack each touched-bucket PAIR into one file), the replaced base files
+    * are still on disk, readable by snapshot(0) but dead weight at the
+    * current version. VACUUM resolves the doomed set FROM THE LOG (paths
+    * removed at any committed version and never re-added — pure joins, no
+    * driver listing), materializes it, and deletes executor-side via
+    * `foreach` (the parallel object-store bulk delete; retention 0 here,
+    * so time travel to v0 is knowingly sacrificed — exactly Delta's
+    * documented VACUUM trade). The audit is measured, not claimed: file
+    * counts come from REAL `binaryFile` listings taken before and after
+    * the delete (the before-listing is materialized to parquet first, so
+    * the lazy plan cannot accidentally observe the post-delete state), and
+    * the surviving snapshot(1) is re-read through log replay AFTER the
+    * vacuum, proving retention removed only dead files. The whole lake is
+    * per-invocation (`freshRun`) because this query mutates it. Oracle:
+    * every count closed-form from the bucket/pack/modulus algebra. */
+  def vacuum(s: SparkSession, d: String): DataFrame = {
+    val run = Sources.freshRun("vacuum")
+    val base = s"$run/base"
+    val e1 = s"$run/epoch=1"
+    val logDir = s"$run/log"
+    val audit = s"$run/audit"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+        expr("o_orderkey div 256").as("fb"))
+      .repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("o_orderkey"), col("cents"), col("fb").cast("long").as("fb"),
+        col("_metadata.file_path").as("path"))
+    baseDf.select(col("path")).distinct()
+      .select(col("path"), lit("add").as("action"))
+      .write.mode("overwrite").parquet(s"$logDir/v=0")
+    val touched = Tables.orders(s, d).filter(col("o_orderkey") % 640 === 0)
+      .select(expr("o_orderkey div 256").as("fb")).distinct()
+    val affected = baseDf.join(broadcast(touched), Seq("fb"))
+    affected.filter(col("o_orderkey") % 640 =!= 0)
+      .select(col("o_orderkey"), col("cents"), expr("fb div 2").as("gb"))
+      .repartition(col("gb"))
+      .write.mode("overwrite").partitionBy("gb").parquet(e1)
+    val e1Df = s.read.option("basePath", e1).parquet(e1)
+      .select(col("o_orderkey"), col("cents"),
+        col("_metadata.file_path").as("path"))
+    affected.select(col("path")).distinct()
+      .select(col("path"), lit("remove").as("action"))
+      .unionByName(e1Df.select(col("path")).distinct()
+        .select(col("path"), lit("add").as("action")))
+      .write.mode("overwrite").parquet(s"$logDir/v=1")
+    // Ground-truth listing BEFORE the delete, pinned to parquet.
+    diskListing(s, base, e1).write.mode("overwrite").parquet(s"$audit/before")
+    val log = s.read.option("basePath", logDir).parquet(logDir)
+      .select(col("path"), col("action"), col("v").cast("int").as("v"))
+    // Doomed = removed at a committed version and not in the live set
+    // (adds anti removes) — the general rule; this log has no re-adds.
+    val liveSet = log.filter(col("action") === "add").select(col("path"))
+      .join(log.filter(col("action") === "remove").select(col("path")),
+        Seq("path"), "left_anti")
+    log.filter(col("action") === "remove").select(col("path")).distinct()
+      .join(liveSet, Seq("path"), "left_anti")
+      .write.mode("overwrite").parquet(s"$audit/doomed")
+    s.read.parquet(s"$audit/doomed").foreach { r =>
+      Files.deleteIfExists(Paths.get(new java.net.URI(r.getString(0)))); ()
+    }
+    // Everything below is constructed AFTER the physical delete, so the
+    // file listings underneath see the post-vacuum disk.
+    val nBefore = s.read.parquet(s"$audit/before")
+      .agg(count(lit(1)).as("n_files_before"))
+    val nVac = s.read.parquet(s"$audit/doomed")
+      .agg(count(lit(1)).as("n_vacuumed"))
+    val nAfter = diskListing(s, base, e1).agg(count(lit(1)).as("n_files_after"))
+    val live = log.filter(col("action") === "add").select(col("path"))
+      .join(log.filter(col("action") === "remove").select(col("path")),
+        Seq("path"), "left_anti")
+    // Explicit schema on the post-vacuum read: a lake whose every bucket
+    // was touched would be an empty dir here, and an empty parquet read
+    // without a schema cannot even resolve.
+    val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fb",
+        org.apache.spark.sql.types.LongType)))
+    val allAfter = s.read.option("basePath", base).schema(baseSchema)
+      .parquet(base)
+      .select(col("o_orderkey"), col("cents"),
+        col("_metadata.file_path").as("path"))
+      .unionByName(e1Df)
+    val snap = allAfter.join(live, Seq("path"), "left_semi")
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).cast("long").as("cents"))
+    nBefore.crossJoin(nVac).crossJoin(nAfter).crossJoin(snap)
+      .orderBy(col("n_files_before"))
+  }
+
+  /** CHANGE DATA FEED derived from the file-level diff of a copy-on-write
+    * commit — the inverse of rel_cdc_apply (which consumes a given change
+    * batch): here the lake only has "files removed at v1" and "files added
+    * at v1" in its log, and the feed is RECONSTRUCTED by reading both file
+    * sets and full-outer-joining on the key: post-image missing → delete,
+    * pre-image missing → insert, values differ → update, equal → a
+    * copied-through row (Delta's table_changes hides these; we surface
+    * them as the copy-on-write AMPLIFICATION audit — the copied/changed
+    * ratio is the number a compaction scheduler actually tunes on). The
+    * commit itself is a pruned CoW rewrite (delete key%1344, update
+    * cents+7 on key%576, insert shifted keys on key%960 — inserts land in
+    * fresh buckets past the base keyspace) into a per-invocation epoch
+    * dir; the base lake is read-only and sentinel-cached. At 100 TB the
+    * feed costs exactly the changed-file bytes — the log prunes the scan
+    * to removed∪added files; nothing untouched is ever read. Oracle:
+    * change rows rebuilt closed-form from the moduli, grouped by type, so
+    * absent types are absent on both sides. */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.tmp("cdf_lake", d)
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val run = Sources.freshRun("cdf")
+    val e1 = s"$run/epoch=1"
+    val logDir = s"$run/log"
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("fb").cast("long").as("fb"),
+        col("_metadata.file_path").as("path"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents(col("o_totalprice")).as("c"))
+    val dels = o.filter(col("k") % 1344 === 0)
+      .select(col("k"), expr("k div 256").as("fb"))
+    val upds = o.filter(col("k") % 1344 =!= 0 && col("k") % 576 === 0)
+      .select(col("k"), (col("c") + 7).as("new_cents"),
+        expr("k div 256").as("fb"))
+    val ins = o.filter(col("k") % 960 === 0)
+      .select((col("k") + 16777216L).as("o_orderkey"),
+        col("st").as("o_orderstatus"), (col("c") + 3).as("cents"),
+        expr("(k + 16777216) div 256").as("fb"))
+    val touched = dels.select(col("fb"))
+      .unionByName(upds.select(col("fb")))
+      .unionByName(ins.select(col("fb"))).distinct()
+    val affected = baseDf.join(broadcast(touched), Seq("fb"))
+    affected
+      .join(dels.select(col("k").as("o_orderkey"), lit(1).as("del")),
+        Seq("o_orderkey"), "left").filter(col("del").isNull)
+      .join(upds.select(col("k").as("o_orderkey"), col("new_cents")),
+        Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        coalesce(col("new_cents"), col("cents")).as("cents"), col("fb"))
+      .unionByName(ins)
+      .repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(e1)
+    val e1Df = s.read.option("basePath", e1).parquet(e1)
+      .select(col("o_orderkey"), col("cents"),
+        col("_metadata.file_path").as("path"))
+    // The commit: v0 adds the base; v1 removes replaced files, adds the
+    // rewritten epoch. The feed below reads ONLY through this log.
+    baseDf.select(col("path")).distinct()
+      .select(col("path"), lit("add").as("action"))
+      .write.mode("overwrite").parquet(s"$logDir/v=0")
+    affected.select(col("path")).distinct()
+      .select(col("path"), lit("remove").as("action"))
+      .unionByName(e1Df.select(col("path")).distinct()
+        .select(col("path"), lit("add").as("action")))
+      .write.mode("overwrite").parquet(s"$logDir/v=1")
+    val log = s.read.option("basePath", logDir).parquet(logDir)
+      .select(col("path"), col("action"), col("v").cast("int").as("v"))
+    val removedAtV1 = log.filter(col("v") === 1 && col("action") === "remove")
+      .select(col("path"))
+    val addedAtV1 = log.filter(col("v") === 1 && col("action") === "add")
+      .select(col("path"))
+    val pre = baseDf.join(removedAtV1, Seq("path"), "left_semi")
+      .select(col("o_orderkey"), col("cents").as("pre_cents"))
+    val post = e1Df.join(addedAtV1, Seq("path"), "left_semi")
+      .select(col("o_orderkey"), col("cents").as("post_cents"))
+    pre.join(post, Seq("o_orderkey"), "full_outer")
+      .select(
+        when(col("post_cents").isNull, "delete")
+          .when(col("pre_cents").isNull, "insert")
+          .when(col("pre_cents") =!= col("post_cents"), "update")
+          .otherwise("copy").as("change_type"),
+        col("pre_cents"), col("post_cents"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("pre_cents"), lit(0L))).cast("long").as("pre_cents"),
+        sum(coalesce(col("post_cents"), lit(0L))).cast("long").as("post_cents"))
+      .orderBy(col("change_type"))
+  }
+
+  /** MIN/MAX stats-based FILE SKIPPING — the data-skipping mechanism under
+    * every lakehouse query planner: a listing-scale stats table (per real
+    * file: min/max of each column, from `_metadata.file_path` group-bys),
+    * a candidate set = files whose [min,max] interval intersects the
+    * predicate, and a scan that reads ONLY candidates (path semi-join)
+    * with the residual predicate re-applied. Two predicates make the
+    * point: a band on the CLUSTERED key prunes most files (tight per-file
+    * key ranges), the same-width band on unclustered cents scans nearly
+    * everything (every file spans the value range) — the measured
+    * motivation for [[zorderExec]]. Bounds derive from the data's own
+    * max/min quartiles so the demo is scale-free. The audited result rows
+    * come THROUGH the pruned scan; the oracle computes them from the raw
+    * predicate, so a hash match proves skipping lost no qualifying row. */
+  def statsSkipping(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.tmp("stats_lake", d)
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val data = s.read.option("basePath", base).parquet(base)
+      .select(col("o_orderkey"), col("cents"),
+        col("_metadata.file_path").as("path"))
+    val stats = data.groupBy(col("path"))
+      .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"),
+        min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+    val bounds = broadcast(data
+      .agg(max(col("o_orderkey")).as("maxk"),
+        min(col("cents")).as("callmin"), max(col("cents")).as("callmax"))
+      .select(expr("maxk div 4").as("klo"), expr("maxk div 2").as("khi"),
+        expr("callmin + (callmax - callmin) div 4").as("clo"),
+        expr("callmin + (callmax - callmin) div 2").as("chi")))
+    val nTotal = stats.agg(count(lit(1)).as("n_files_total"))
+    def arm(pred: String, candOf: DataFrame => DataFrame,
+            residual: Column): DataFrame = {
+      val cand = candOf(stats.crossJoin(bounds)).select(col("path"))
+      val scanned = cand.agg(count(lit(1)).as("n_files_scanned"))
+      val res = data.join(broadcast(cand), Seq("path"), "left_semi")
+        .crossJoin(bounds).filter(residual)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).cast("long").as("cents"))
+      nTotal.crossJoin(scanned).crossJoin(res)
+        .select(lit(pred).as("pred"), col("n_files_total"),
+          col("n_files_scanned"), col("n_rows"), col("cents"))
+    }
+    val keyArm = arm("key",
+      st => st.filter(col("kmin") <= col("khi") && col("kmax") >= col("klo")),
+      col("o_orderkey") >= col("klo") && col("o_orderkey") <= col("khi"))
+    val centsArm = arm("cents",
+      st => st.filter(col("cmin") <= col("chi") && col("cmax") >= col("clo")),
+      col("cents") >= col("clo") && col("cents") <= col("chi"))
+    keyArm.unionByName(centsArm).orderBy(col("pred"))
+  }
+
+  /** Z-ORDER EXECUTED — [[Sources.zorderKey]] computes the Morton key;
+    * this writes the two physical layouts and MEASURES the pruning claim
+    * from their real files. Same rows, two lakes: `linear` files cluster
+    * on x alone (f = x div 64); `zorder` files cluster on the interleaved
+    * curve (f = z div 65536, the top 4 Morton bits = y9 x9 y8 x8 — every
+    * file fixes two bits of x AND two of y, so its min/max box is tight in
+    * BOTH dims). Per-file min/max stats come from `_metadata` group-bys
+    * exactly as [[statsSkipping]]; the four audit arms scan an x-band and
+    * a y-band through each layout. Expected shape (and what the spec
+    * asserts): linear prunes the x-band to ≤1 file but scans everything
+    * for the y-band; z-order prunes BOTH bands to ≤4 of 16 files — the
+    * curve trades a little x-selectivity for y-selectivity, which is the
+    * entire reason OPTIMIZE ZORDER exists. Result rows flow through the
+    * pruned scans and must match the oracle's raw-predicate recompute at
+    * equal values for both layouts — skipping loses nothing either way. */
+  def zorderExec(s: SparkSession, d: String): DataFrame = {
+    val root = Sources.tmp("zx_lake", d)
+    val src = Tables.orders(s, d)
+      .select((col("o_custkey") % 1024).as("x"),
+        (floor(col("o_totalprice")).cast("long") % 1024).as("y"),
+        cents(col("o_totalprice")).as("cents"))
+      .withColumn("zval", morton(col("x"), col("y")))
+    val layouts = Seq(
+      "linear" -> "x div 64",
+      "zorder" -> "zval div 65536")
+    layouts.map { case (name, fExpr) =>
+      val dir = s"$root/$name"
+      if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+        src.withColumn("f", expr(fExpr))
+          .repartition(col("f"))
+          .write.mode("overwrite").partitionBy("f").parquet(dir)
+      val data = s.read.option("basePath", dir).parquet(dir)
+        .select(col("x"), col("y"), col("cents"),
+          col("_metadata.file_path").as("path"))
+      val stats = data.groupBy(col("path"))
+        .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      val nTotal = stats.agg(count(lit(1)).as("n_files_total"))
+      def arm(pred: String, lo: Long, hi: Long, c: String): DataFrame = {
+        val (mn, mx) = (s"${c}min", s"${c}max")
+        val cand = stats.filter(col(mn) <= hi && col(mx) >= lo)
+          .select(col("path"))
+        val scanned = cand.agg(count(lit(1)).as("n_files_scanned"))
+        val res = data.join(broadcast(cand), Seq("path"), "left_semi")
+          .filter(col(c) >= lo && col(c) <= hi)
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).cast("long").as("cents"))
+        nTotal.crossJoin(scanned).crossJoin(res)
+          .select(lit(name).as("layout"), lit(pred).as("pred"),
+            col("n_files_total"), col("n_files_scanned"),
+            col("n_rows"), col("cents"))
+      }
+      arm("x", 64L, 127L, "x").unionByName(arm("y", 512L, 575L, "y"))
+    }.reduce(_ unionByName _).orderBy(col("layout"), col("pred"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_vacuum" -> (vacuum _),
+    "layout_cdf" -> (changeFeed _),
+    "layout_stats_skipping" -> (statsSkipping _),
+    "layout_zorder_exec" -> (zorderExec _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    // Closed-form bucket/pack/modulus algebra: before = base buckets +
+    // pair-packs, vacuumed = touched buckets, after = before - vacuumed;
+    // the surviving snapshot is the post-delete table.
+    "layout_vacuum" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |t AS (SELECT DISTINCT k // 256 AS fb FROM o WHERE k % 640 = 0),
+        |m AS (SELECT CAST(COUNT(DISTINCT k // 256) AS BIGINT) AS buckets
+        |  FROM o),
+        |p AS (SELECT CAST(COUNT(DISTINCT fb // 2) AS BIGINT) AS packs,
+        |  CAST(COUNT(*) AS BIGINT) AS touched FROM t),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) AS BIGINT) AS cents FROM o WHERE k % 640 <> 0)
+        |SELECT buckets + packs AS n_files_before, touched AS n_vacuumed,
+        |  buckets - touched + packs AS n_files_after, n_rows, cents
+        |FROM m, p, v ORDER BY n_files_before""".stripMargin,
+    // The feed rebuilt closed-form from the change rules; the 'copy' rows
+    // are the CoW amplification (rows rewritten only because they share a
+    // file with a change). Types absent in the data are absent here too.
+    "layout_cdf" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |tch AS (SELECT DISTINCT fb FROM (
+        |  SELECT k // 256 AS fb FROM o WHERE k % 1344 = 0 OR k % 576 = 0
+        |  UNION ALL
+        |  SELECT (k + 16777216) // 256 FROM o WHERE k % 960 = 0) t),
+        |feed AS (
+        |  SELECT 'delete' AS ct, c AS pre, CAST(NULL AS BIGINT) AS post
+        |  FROM o WHERE k % 1344 = 0
+        |  UNION ALL
+        |  SELECT 'update', c, c + 7 FROM o
+        |  WHERE k % 1344 <> 0 AND k % 576 = 0
+        |  UNION ALL
+        |  SELECT 'insert', CAST(NULL AS BIGINT), c + 3 FROM o
+        |  WHERE k % 960 = 0
+        |  UNION ALL
+        |  SELECT 'copy', c, c FROM o
+        |  WHERE k // 256 IN (SELECT fb FROM tch)
+        |    AND k % 1344 <> 0 AND k % 576 <> 0)
+        |SELECT ct AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(COALESCE(pre, 0)) AS BIGINT) AS pre_cents,
+        |  CAST(SUM(COALESCE(post, 0)) AS BIGINT) AS post_cents
+        |FROM feed GROUP BY ct ORDER BY change_type""".stripMargin,
+    // Candidate files = bucket groups whose min/max interval intersects
+    // the band; result rows from the raw predicate — equality proves the
+    // pruned scan is lossless.
+    "layout_stats_skipping" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+        |    o_orderkey // 256 AS fb
+        |  FROM orders),
+        |b AS (SELECT MAX(k) // 4 AS klo, MAX(k) // 2 AS khi,
+        |  MIN(c) + (MAX(c) - MIN(c)) // 4 AS clo,
+        |  MIN(c) + (MAX(c) - MIN(c)) // 2 AS chi FROM o),
+        |f AS (SELECT fb, MIN(k) AS kmin, MAX(k) AS kmax,
+        |  MIN(c) AS cmin, MAX(c) AS cmax FROM o GROUP BY fb),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nf FROM f)
+        |SELECT 'cents' AS pred, nf AS n_files_total,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f, b
+        |     WHERE cmin <= chi AND cmax >= clo) AS n_files_scanned,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o, b
+        |     WHERE c BETWEEN clo AND chi) AS n_rows,
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM o, b
+        |     WHERE c BETWEEN clo AND chi) AS cents
+        |FROM tot
+        |UNION ALL
+        |SELECT 'key', nf,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f, b
+        |     WHERE kmin <= khi AND kmax >= klo),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o, b
+        |     WHERE k BETWEEN klo AND khi),
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM o, b
+        |     WHERE k BETWEEN klo AND khi)
+        |FROM tot ORDER BY pred""".stripMargin,
+    // Per-layout file groups with min/max boxes; scanned = boxes
+    // intersecting the band; results from the raw band predicate (equal
+    // for both layouts — layout changes cost, never answers).
+    "layout_zorder_exec" ->
+      s"""WITH t AS (
+         |  SELECT o_custkey % 1024 AS x,
+         |    CAST(floor(o_totalprice) AS BIGINT) % 1024 AS y,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+         |  FROM orders),
+         |z AS (SELECT x, y, c, $sqlZ AS zval FROM t),
+         |lin AS (SELECT x // 64 AS f, MIN(x) AS xmin, MAX(x) AS xmax,
+         |  MIN(y) AS ymin, MAX(y) AS ymax FROM z GROUP BY 1),
+         |zb AS (SELECT zval // 65536 AS f, MIN(x) AS xmin, MAX(x) AS xmax,
+         |  MIN(y) AS ymin, MAX(y) AS ymax FROM z GROUP BY 1),
+         |rx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS cents FROM z
+         |  WHERE x BETWEEN 64 AND 127),
+         |ry AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS cents FROM z
+         |  WHERE y BETWEEN 512 AND 575)
+         |SELECT 'linear' AS layout, 'x' AS pred,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lin) AS n_files_total,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lin
+         |     WHERE xmin <= 127 AND xmax >= 64) AS n_files_scanned,
+         |  n_rows, cents FROM rx
+         |UNION ALL
+         |SELECT 'linear', 'y',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lin),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lin
+         |     WHERE ymin <= 575 AND ymax >= 512),
+         |  n_rows, cents FROM ry
+         |UNION ALL
+         |SELECT 'zorder', 'x',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zb),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zb
+         |     WHERE xmin <= 127 AND xmax >= 64),
+         |  n_rows, cents FROM rx
+         |UNION ALL
+         |SELECT 'zorder', 'y',
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zb),
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zb
+         |     WHERE ymin <= 575 AND ymax >= 512),
+         |  n_rows, cents FROM ry
+         |ORDER BY layout, pred""".stripMargin,
+  )
+}

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * round-trip is lossless. Temp dirs are content-keyed so re-runs reuse. */
 object Sources extends QueryModule {
 
-  private def tmp(tag: String, sfDir: String): String = {
+  private[sources] def tmp(tag: String, sfDir: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_$tag$key")
     p.toString
@@ -41,7 +41,7 @@ object Sources extends QueryModule {
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
     dir.getAbsolutePath
   }
-  private def freshRun(tag: String): String =
+  private[sources] def freshRun(tag: String): String =
     s"$runRoot/${tag}_${runSeq.incrementAndGet()}"
 
   private val nationSchema = StructType(Seq(
