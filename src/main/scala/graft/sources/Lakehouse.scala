@@ -357,7 +357,36 @@ object Lakehouse extends QueryModule {
     }.reduce(_ unionByName _).orderBy(col("layout"), col("pred"))
   }
 
+  /** Materialized-view REWRITE exercised end-to-end: build the summary
+    * (lang × 256-doc bucket partial states — finer than any query it
+    * serves, so serving is always a roll-up merge), install
+    * [[graft.plans.MvAggRewrite]] through the public
+    * `experimental.extraOptimizations` hook (idempotently — re-invocation
+    * replaces the stale instance, so a long-lived Verify/Bench session
+    * never accumulates rules pointing at old sf dirs), then run the query
+    * AS A USER WOULD WRITE IT — against the base table. The optimizer
+    * redirects the scan to the MV; the oracle recomputes from the raw
+    * base table, so the hash match proves the rewrite is invisible in the
+    * answers, and Round11Spec proves it is visible in the plan (the scan
+    * reads the summary, never the corpus). */
+  def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    val mvPath = Sources.tmp("mv_docs", d)
+    if (!Files.exists(Paths.get(mvPath, "_SUCCESS")))
+      Tables.documents(s, d)
+        .groupBy(col("lang"), expr("doc_id div 256").as("db"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .write.mode("overwrite").parquet(mvPath)
+    val rule = new graft.plans.MvAggRewrite(s, d, mvPath)
+    s.experimental.extraOptimizations = s.experimental.extraOptimizations
+      .filterNot(_.isInstanceOf[graft.plans.MvAggRewrite]) :+ rule
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_mv_rewrite" -> (mvRewrite _),
     "layout_vacuum" -> (vacuum _),
     "layout_cdf" -> (changeFeed _),
     "layout_stats_skipping" -> (statsSkipping _),
@@ -365,6 +394,12 @@ object Lakehouse extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // The raw base-table aggregate: a hash match proves the MV-redirected
+    // plan answers exactly like the corpus scan it replaced.
+    "layout_mv_rewrite" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Closed-form bucket/pack/modulus algebra: before = base buckets +
     // pair-packs, vacuumed = touched buckets, after = before - vacuumed;
     // the surviving snapshot is the post-delete table.

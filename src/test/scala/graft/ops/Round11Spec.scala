@@ -83,6 +83,48 @@ class Round11Spec extends AnyFunSuite {
     assert(keyCents == direct.getLong(1))
   }
 
+  test("layout_mv_rewrite: the optimizer redirects the scan to the MV — and only when sound") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+    val df = SparkEntry.queries("layout_mv_rewrite")(spark, TestSpark.sf)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("graft_mv_docs")),
+      s"rewritten plan must scan the MV, got: $paths")
+    assert(!paths.exists(_.contains("documents.parquet")),
+      "rewritten plan must not touch the base corpus")
+    // Answers are unchanged: compare against the same query with the
+    // rule uninstalled.
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_.isInstanceOf[graft.plans.MvAggRewrite])
+      val base = Tables.documents(spark, TestSpark.sf)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+      assert(!scanPaths(base).exists(_.contains("graft_mv_docs")))
+      assert(base.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == got.toSeq)
+    } finally spark.experimental.extraOptimizations = saved
+    // Non-derivable aggregates must fall through to the base scan: the
+    // rule may change plans, never answers.
+    val avgDf = Tables.documents(spark, TestSpark.sf)
+      .groupBy(col("lang")).agg(avg(col("n_chars")).as("m"))
+    assert(scanPaths(avgDf).exists(_.contains("documents.parquet")),
+      "AVG is not derivable from the summary and must not rewrite")
+    val distinctDf = Tables.documents(spark, TestSpark.sf)
+      .groupBy(col("lang")).agg(countDistinct(col("source")).as("nd"))
+    assert(scanPaths(distinctDf).exists(_.contains("documents.parquet")),
+      "DISTINCT aggregates must not rewrite")
+  }
+
   test("layout_zorder_exec: same answers through both layouts, curve prunes y") {
     val rows = SparkEntry.queries("layout_zorder_exec")(spark, TestSpark.sf)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
