@@ -385,7 +385,58 @@ object Lakehouse extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** Write-side CHECK-constraint enforcement with QUARANTINE — the
+    * ingestion contract every governed lake enforces (Delta CHECK
+    * constraints + the dead-letter pattern): a declarative constraint
+    * list (name → predicate) tags each feed row with the names of every
+    * constraint it violates, and ONE partitioned write splits the feed
+    * into the lake (`zone=valid`) and the quarantine (`zone=quarantine`,
+    * violation names kept per row for triage) — a single pass, no second
+    * scan, no dropped rows. Violations are INJECTED deterministically
+    * (every 431st key nulls the status, every 593rd negates the amount —
+    * co-prime, so key 0 violates both and multi-violation tagging is
+    * exercised); the audit re-reads the REAL files per zone and reports
+    * per-constraint counts plus the surviving lake total. The oracle
+    * rebuilds all of it closed-form from the injection moduli, so the
+    * hash proves quarantine counted every bad row (a row in both
+    * quarantine groups is counted in each) and the lake kept exactly the
+    * clean ones. */
+  def checkConstraints(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${Sources.freshRun("checks")}/lake"
+    val c = cents(col("o_totalprice"))
+    val feed = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 431 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("st"),
+      when(col("o_orderkey") % 593 === 0, -c).otherwise(c).as("cents"))
+    val checks: Seq[(String, Column)] = Seq(
+      "status_not_null" -> col("st").isNotNull,
+      "positive_amount" -> (col("cents") > 0))
+    feed
+      .withColumn("violations", array_compact(array(checks.map {
+        case (n, p) => when(!p, lit(n)).otherwise(lit(null).cast("string"))
+      }: _*)))
+      .withColumn("zone", when(size(col("violations")) === 0, "valid")
+        .otherwise("quarantine"))
+      .repartition(col("zone"))
+      .write.mode("overwrite").partitionBy("zone").parquet(dir)
+    val back = s.read.option("basePath", dir).parquet(dir)
+    val valid = back.filter(col("zone") === "valid")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("long").as("cents"))
+      .select(lit("valid").as("category"), col("n_rows"), col("cents"))
+    val quarantined = back.filter(col("zone") === "quarantine")
+      .select(explode(col("violations")).as("violated"), col("cents"))
+      .groupBy(col("violated"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("long").as("cents"))
+      .select(concat(lit("quarantine:"), col("violated")).as("category"),
+        col("n_rows"), col("cents"))
+    valid.unionByName(quarantined).orderBy(col("category"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_check_constraints" -> (checkConstraints _),
     "layout_mv_rewrite" -> (mvRewrite _),
     "layout_vacuum" -> (vacuum _),
     "layout_cdf" -> (changeFeed _),
@@ -394,6 +445,29 @@ object Lakehouse extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Quarantine groups and the surviving lake rebuilt closed-form from
+    // the injection moduli (key 0 violates BOTH constraints and must be
+    // counted in each group).
+    "layout_check_constraints" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 593 = 0
+        |      THEN -CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |    END AS c
+        |  FROM orders)
+        |SELECT 'quarantine:positive_amount' AS category,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) AS BIGINT) AS cents
+        |FROM o WHERE k % 593 = 0
+        |UNION ALL
+        |SELECT 'quarantine:status_not_null',
+        |  CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+        |FROM o WHERE k % 431 = 0
+        |UNION ALL
+        |SELECT 'valid', CAST(COUNT(*) AS BIGINT), CAST(SUM(c) AS BIGINT)
+        |FROM o WHERE k % 431 <> 0 AND k % 593 <> 0
+        |ORDER BY category""".stripMargin,
     // The raw base-table aggregate: a hash match proves the MV-redirected
     // plan answers exactly like the corpus scan it replaced.
     "layout_mv_rewrite" ->
