@@ -439,7 +439,54 @@ object Lakehouse extends QueryModule {
     valid.unionByName(quarantined).orderBy(col("category"))
   }
 
+  /** DELETION VECTORS — merge-on-read deletes, the modern complement to
+    * the copy-on-write path ([[Lakehouse.changeFeed]] / mergeExec rewrite
+    * whole files to drop rows; a DV commit rewrites NOTHING): the delete
+    * predicate is evaluated once, and the matching rows' physical
+    * coordinates (file path, `_metadata.row_index` — the row's ordinal
+    * inside its parquet file, the exact coordinate Delta DVs store) land
+    * in a sidecar. Readers apply the vector as a broadcast anti-join on
+    * (path, position) — deleted-rows scale, never data scale — so a
+    * delete costs O(deleted) instead of O(rewritten files), and the audit
+    * proves `n_files_rewritten = 0` while the row/cents totals match the
+    * post-delete table exactly. Positions are file-relative, so the
+    * sidecar is self-consistent with the immutable base files regardless
+    * of row order inside them (the oracle never needs positions — it
+    * recomputes the surviving rows from the predicate). The DV ratio per
+    * file (n_files_with_dv vs total) is what a maintenance scheduler
+    * watches to decide when merge-on-read debt should be compacted into
+    * a [[Sources.mergeExec]]-style rewrite. */
+  def deletionVectors(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.tmp("dv_lake", d)
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val run = Sources.freshRun("dv")
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("_metadata.file_path").as("path"),
+        col("_metadata.row_index").as("pos"))
+    baseDf.filter(col("o_orderkey") % 544 === 0)
+      .select(col("path"), col("pos"))
+      .write.mode("overwrite").parquet(s"$run/dv")
+    val dv = s.read.parquet(s"$run/dv")
+    val live = baseDf.join(broadcast(dv), Seq("path", "pos"), "left_anti")
+    val dvStats = dv.agg(count(lit(1)).as("n_deleted"),
+      countDistinct(col("path")).as("n_files_with_dv"))
+    live.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).cast("long").as("cents"))
+      .crossJoin(broadcast(dvStats))
+      .withColumn("n_files_rewritten", lit(0L))
+      .orderBy(col("o_orderstatus"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_deletion_vectors" -> (deletionVectors _),
     "layout_check_constraints" -> (checkConstraints _),
     "layout_mv_rewrite" -> (mvRewrite _),
     "layout_vacuum" -> (vacuum _),
@@ -449,6 +496,22 @@ object Lakehouse extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Surviving rows from the predicate alone (positions are physical
+    // coordinates the oracle never needs); rewritten files are zero by
+    // construction of merge-on-read.
+    "layout_deletion_vectors" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |dv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted,
+        |  CAST(COUNT(DISTINCT k // 256) AS BIGINT) AS n_files_with_dv
+        |  FROM o WHERE k % 544 = 0)
+        |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) AS BIGINT) AS cents, n_deleted, n_files_with_dv,
+        |  CAST(0 AS BIGINT) AS n_files_rewritten
+        |FROM o, dv WHERE k % 544 <> 0
+        |GROUP BY st, n_deleted, n_files_with_dv ORDER BY o_orderstatus""".stripMargin,
     // Quarantine groups and the surviving lake rebuilt closed-form from
     // the injection moduli (key 0 violates BOTH constraints and must be
     // counted in each group).

@@ -403,6 +403,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"layout audits must never shuffle the data side:\n$p")
   }
 
+  test("layout_deletion_vectors: the vector applies as a broadcast anti-join — the lake never shuffles") {
+    val p = plan("layout_deletion_vectors")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("BroadcastHashJoin") && p.contains("LeftAnti")),
+      s"the DV must broadcast into an anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"merge-on-read must not shuffle the data side:\n$p")
+  }
+
   test("layout_check_constraints: enforcement is a single-pass split — no joins anywhere") {
     val p = plan("layout_check_constraints")
     assert(!p.contains("Join"),

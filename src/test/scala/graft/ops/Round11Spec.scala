@@ -85,6 +85,25 @@ class Round11Spec extends AnyFunSuite {
     assert(keyCents == direct.getLong(1))
   }
 
+  test("layout_deletion_vectors: merge-on-read deletes nothing physically") {
+    val rows = SparkEntry.queries("layout_deletion_vectors")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.forall(_.getLong(5) == 0L), "DV commits rewrite zero files")
+    val nDeleted = rows.head.getLong(3)
+    assert(nDeleted == orders.filter(col("k") % 544 === 0).count())
+    assert(nDeleted > 0, "fixture sanity: the vector must be nonempty")
+    // The reader's view is exactly the post-delete table...
+    val direct = orders.filter(col("k") % 544 =!= 0).count()
+    assert(rows.map(_.getLong(1)).sum == direct)
+    // ...while the base lake on disk is physically intact: every bucket
+    // file still present (deletes live only in the sidecar).
+    val lake = spark.read.parquet(
+      java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")).toString
+        + "/graft_dv_lake" + TestSpark.sf.replaceAll("[^a-zA-Z0-9.]", "_"))
+    assert(lake.count() == orders.count(),
+      "all rows, deleted ones included, remain in the base files")
+  }
+
   test("layout_mv_rewrite: the optimizer redirects the scan to the MV — and only when sound") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
