@@ -46,6 +46,32 @@ class MaintenancePipeline {
   def timeTravel(s: SparkSession, dir: String): DataFrame =
     Sources.timeTravel(s, dir)
 
+  /** Retention VACUUM: physically deletes files no committed snapshot
+    * references, audited from real before/after listings. */
+  def vacuum(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Lakehouse.vacuum(s, dir)
+
+  /** Row-level change feed reconstructed from the file-level diff of a
+    * copy-on-write commit (no CDC files needed). */
+  def changeFeed(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Lakehouse.changeFeed(s, dir)
+
+  /** Merge-on-read deletes: (path, row_index) sidecar, zero rewrites. */
+  def deleteWithVectors(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Lakehouse.deletionVectors(s, dir)
+
+  /** Min/max stats-based file skipping audit (candidates vs scanned). */
+  def statsSkipping(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Lakehouse.statsSkipping(s, dir)
+
+  /** Z-order vs linear layout pruning, measured from real files. */
+  def zorder(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Lakehouse.zorderExec(s, dir)
+
+  /** CHECK-constraint enforcement: valid/quarantine split audit. */
+  def enforceConstraints(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Lakehouse.checkConstraints(s, dir)
+
   /** One verdict row per op: (op, files_before, files_after, preserved,
     * passed) — preserved = the op's own invariant (row counts and
     * checksums survive compaction; snapshot 0 unaffected by later

@@ -142,5 +142,16 @@ class PipelineSpec extends AnyFunSuite {
     // preserves rows+checksums, time travel shrinks live files at v1
     sm.foreach(r => assert(r.getInt(4) == 1,
       s"${r.getString(0)} maintenance invariant failed"))
+    // round-11 stages: same contract — the API IS the gated query
+    val dv = api.deleteWithVectors(spark, TestSpark.sf)
+    val qdv = graft.SparkEntry.queries("layout_deletion_vectors")(
+      spark, TestSpark.sf)
+    assert(dv.exceptAll(qdv).isEmpty && qdv.exceptAll(dv).isEmpty)
+    val cf = api.changeFeed(spark, TestSpark.sf)
+    val qcf = graft.SparkEntry.queries("layout_cdf")(spark, TestSpark.sf)
+    assert(cf.exceptAll(qcf).isEmpty && qcf.exceptAll(cf).isEmpty)
+    val vc = api.vacuum(spark, TestSpark.sf).collect().head
+    assert(vc.getLong(2) == vc.getLong(0) - vc.getLong(1),
+      "vacuum conservation must hold through the API")
   }
 }
