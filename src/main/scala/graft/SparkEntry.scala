@@ -25,6 +25,7 @@ object SparkEntry {
     ops.LlmDedup,
     ops.Corpus,
     ops.Graph,
+    ops.Geo,
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,

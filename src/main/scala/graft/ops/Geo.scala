@@ -1,0 +1,260 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geospatial operators (SURVEY.md §2.13 extension — the Sedona/PostGIS-lite
+  * surface an analytics engine needs once rows carry coordinates): grid-cell
+  * bucketed radius joins, exact k-nearest-neighbour, density rasters, geohash
+  * encoding, and great-circle (haversine) distance. All constructions are
+  * public knowledge (geohash is public domain, the haversine formula and
+  * grid-blocked spatial joins are textbook).
+  *
+  * Design rules:
+  *  - Points are synthesized deterministically from the fixture keys onto an
+  *    integer planar domain [0, 1e6)² ("meters"), so distance predicates are
+  *    EXACT BIGINT arithmetic — the oracle is hash-exact with no float hazard.
+  *    Trig appears only in [[haversineCapitals]] (true spherical distance on
+  *    a 25-row dim table) and is rounded at 6 dp on both engines per the
+  *    repo's transcendental rule (SURVEY.md §5.3).
+  *  - The scale posture mirrors the similarity family: the radius join is
+  *    grid-bucketed (candidate pairs only within a cell and its 8 neighbours
+  *    — never all-pairs; the 9× explode lands on the SMALL side), kNN
+  *    broadcasts the small query side and streams the corpus exactly like
+  *    sim_cosine_topk, and the rasters are plain hash aggregates.
+  */
+object Geo extends QueryModule {
+
+  /** Radius for the grid join, in domain meters. Cell edge = R, so any pair
+    * within R is within one cell hop — the standard blocking guarantee. */
+  private val R = 50000L
+  private val R2 = R * R
+
+  /** Deterministic planar points from integer keys (LCG-style multipliers,
+    * all exact in 64-bit on both engines). */
+  private def custPts(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"),
+      expr("(c_custkey * 48271) % 1000000").as("x"),
+      expr("(c_custkey * 69621) % 1000000").as("y"))
+
+  private def supPts(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(
+      col("s_suppkey"),
+      expr("(s_suppkey * 16807) % 1000000").as("sx"),
+      expr("(s_suppkey * 39916801) % 1000000").as("sy"))
+
+  private def d2(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+
+  /** GRID-BUCKETED RADIUS JOIN — every (customer, supplier) pair within R
+    * meters, found without ever forming the cross product: suppliers (the
+    * dim side) are exploded into their cell plus its 8 neighbours, the join
+    * is a plain EQUI-join on the cell coordinate, and the exact
+    * integer-squared-distance predicate runs only on co-located candidates.
+    * Cell edge = R guarantees zero false negatives (any pair within R spans
+    * at most one cell boundary per axis). At 100 TB both sides bucket-join
+    * on (cx, cy) — a shuffle on the grid key, corpus-linear candidates under
+    * bounded density; here the 9×|supplier| side broadcasts, so the customer
+    * corpus never shuffles at all. Oracle: DuckDB evaluates the raw
+    * quadratic predicate — a hash match proves the blocking lost no pair. */
+  def gridRadiusJoin(s: SparkSession, d: String): DataFrame = {
+    val neigh = array((-1 to 1).map(lit): _*)
+    val sCells = supPts(s, d)
+      .withColumn("ox", explode(neigh))
+      .withColumn("oy", explode(neigh))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        (expr(s"sx div $R") + col("ox")).as("cx"),
+        (expr(s"sy div $R") + col("oy")).as("cy"))
+    custPts(s, d)
+      .withColumn("cx", expr(s"x div $R"))
+      .withColumn("cy", expr(s"y div $R"))
+      .join(broadcast(sCells), Seq("cx", "cy"))
+      .filter(d2(col("x"), col("y"), col("sx"), col("sy")) <= R2)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d2(col("x"), col("y"), col("sx"), col("sy"))).cast("long").as("sum_d2"),
+        min(d2(col("x"), col("y"), col("sx"), col("sy"))).cast("long").as("min_d2"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** EXACT kNN — the 3 nearest customers to every supplier, brute-force:
+    * the supplier side (queries) broadcasts, the customer corpus streams
+    * once, and a window PARTITIONED BY the query ranks candidates by exact
+    * integer distance with a key tiebreak. Identical posture to
+    * sim_cosine_topk (broadcast queries × streamed corpus = the baseline
+    * arm; the bucketed scale arm is [[gridRadiusJoin]]'s blocking applied
+    * with expanding rings). The window is per-supplier, never global. */
+  def knn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("s_suppkey"))
+      .orderBy(col("d2"), col("c_custkey"))
+    custPts(s, d).crossJoin(broadcast(supPts(s, d)))
+      .select(col("s_suppkey"), col("c_custkey"),
+        d2(col("x"), col("y"), col("sx"), col("sy")).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("s_suppkey"), col("rank"), col("c_custkey"), col("d2"))
+      .orderBy(col("s_suppkey"), col("rank"))
+  }
+
+  /** DENSITY RASTER — point counts and exact integer centroids per 100 km
+    * grid cell (10×10 over the domain): the heatmap/choropleth aggregate.
+    * One hash aggregate, corpus-linear, map-side combinable — the shape
+    * survives any scale. Centroids are exact: sums are BIGINT, the centroid
+    * is an integer division materialized on both engines identically. */
+  def densityGrid(s: SparkSession, d: String): DataFrame =
+    custPts(s, d)
+      .groupBy(expr("x div 100000").as("gx"), expr("y div 100000").as("gy"))
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        expr("sum(x) div count(1)").cast("long").as("cx"),
+        expr("sum(y) div count(1)").cast("long").as("cy"))
+      .orderBy(col("gx"), col("gy"))
+
+  /** Geohash alphabet (public domain, Niemeyer 2008). */
+  private val GhAlpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** 30-bit geohash code: 15-bit quantized lon/lat, bit-interleaved with
+    * longitude first (the geohash layout). Pure integer shifts — exact on
+    * both engines. */
+  private val ghCodeSql: String = {
+    val latq = "((y * 32768) div 1000000)" // 15-bit quantized latitude
+    val lonq = "((x * 32768) div 1000000)"
+    (0 to 14).map { i =>
+      s"(shiftleft(shiftright($lonq, $i) & 1, ${2 * i + 1})" +
+        s" + shiftleft(shiftright($latq, $i) & 1, ${2 * i}))"
+    }.mkString(" + ")
+  }
+
+  private def ghChars(codeCol: String): String =
+    (0 to 5).map { j =>
+      s"substr('$GhAlpha', cast((shiftright($codeCol, ${25 - 5 * j}) & 31) as int) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+
+  /** GEOHASH ENCODE + hot-cell ranking — the string-prefix spatial index:
+    * encode every customer point to a 6-char geohash (30-bit interleave,
+    * base-32), then rank the 20 densest cells. Prefix truncation = spatial
+    * containment, which is what makes geohash the bucketing key for spatial
+    * joins and Z-order layouts alike (the Morton curve in layout_zorder_exec
+    * is this same interleave). TakeOrdered cuts the output — no global
+    * window. */
+  def geohashTopCells(s: SparkSession, d: String): DataFrame =
+    custPts(s, d)
+      .withColumn("code", expr(ghCodeSql))
+      .withColumn("geohash", expr(ghChars("code")))
+      .groupBy(col("geohash"))
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy(col("n_points").desc, col("geohash"))
+      .limit(20)
+
+  /** HAVERSINE — true great-circle distance between the 25 nation
+    * "capitals" (deterministic lat/lon from the nation key). The one geo
+    * query with real trig: sin/cos/asin are StrictMath on Spark vs libm on
+    * DuckDB (1-ulp divergence), so the distance is rounded at 6 dp on both
+    * sides per the repo rule; sqrt and IEEE ± × ÷ are exempt. 25×25 pairs —
+    * an intentionally tiny broadcast cross, like join_cross_regions. */
+  def haversineCapitals(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"),
+      (col("n_nationkey") * 7.0d - 84.0d).as("lat"),
+      (col("n_nationkey") * 14.0d - 168.0d).as("lon"))
+    val a = n.select(col("n_name").as("n1"), col("lat").as("lat1"), col("lon").as("lon1"),
+      col("n_nationkey").as("k1"))
+    val b = n.select(col("n_name").as("n2"), col("lat").as("lat2"), col("lon").as("lon2"),
+      col("n_nationkey").as("k2"))
+    val sLat = sin((radians(col("lat2")) - radians(col("lat1"))) / 2)
+    val sLon = sin((radians(col("lon2")) - radians(col("lon1"))) / 2)
+    a.crossJoin(broadcast(b)).filter(col("k1") < col("k2"))
+      // squares written as products, not pow(x,2): pow is StrictMath on
+      // Spark vs libm on DuckDB, while IEEE multiply is exact on both.
+      .withColumn("dist_km", round(
+        lit(2.0d * 6371.0d) * asin(sqrt(
+          sLat * sLat +
+            cos(radians(col("lat1"))) * cos(radians(col("lat2"))) *
+              (sLon * sLon))), 6))
+      .select(col("n1"), col("n2"), col("dist_km"))
+      .orderBy(col("n1"), col("n2"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_grid_join" -> (gridRadiusJoin _),
+    "geo_knn" -> (knn _),
+    "geo_density_grid" -> (densityGrid _),
+    "geo_geohash_cells" -> (geohashTopCells _),
+    "geo_haversine" -> (haversineCapitals _),
+  )
+
+  private val custSql =
+    """SELECT c_custkey, c_nationkey,
+      |    (c_custkey * 48271) % 1000000 AS x,
+      |    (c_custkey * 69621) % 1000000 AS y FROM customer""".stripMargin
+  private val supSql =
+    """SELECT s_suppkey,
+      |    (s_suppkey * 16807) % 1000000 AS sx,
+      |    (s_suppkey * 39916801) % 1000000 AS sy FROM supplier""".stripMargin
+
+  private val ghCodeDuck: String = {
+    val latq = "((y * 32768) // 1000000)"
+    val lonq = "((x * 32768) // 1000000)"
+    (0 to 14).map { i =>
+      s"((((${lonq} >> $i) & 1) << ${2 * i + 1}) + ((((${latq}) >> $i) & 1) << ${2 * i}))"
+    }.mkString(" + ")
+  }
+  private val ghCharsDuck: String =
+    (0 to 5).map { j =>
+      s"substr('$GhAlpha', CAST(((code >> ${25 - 5 * j}) & 31) AS INT) + 1, 1)"
+    }.mkString(" || ")
+
+  override def oracleSql: Map[String, String] = Map(
+    // The raw quadratic predicate — proves grid blocking lost no pair.
+    "geo_grid_join" ->
+      s"""WITH c AS ($custSql), s AS ($supSql),
+         |p AS (SELECT c_nationkey,
+         |    (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2
+         |  FROM c, s)
+         |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+         |  CAST(MIN(d2) AS BIGINT) AS min_d2
+         |FROM p WHERE d2 <= $R2
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "geo_knn" ->
+      s"""WITH c AS ($custSql), s AS ($supSql),
+         |p AS (SELECT s_suppkey, c_custkey,
+         |    (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2,
+         |    ROW_NUMBER() OVER (PARTITION BY s_suppkey
+         |      ORDER BY (x - sx) * (x - sx) + (y - sy) * (y - sy), c_custkey)
+         |      AS rank
+         |  FROM c, s)
+         |SELECT s_suppkey, CAST(rank AS INT) AS rank, c_custkey, d2
+         |FROM p WHERE rank <= 3 ORDER BY s_suppkey, rank""".stripMargin,
+    "geo_density_grid" ->
+      s"""WITH c AS ($custSql)
+         |SELECT x // 100000 AS gx, y // 100000 AS gy,
+         |  CAST(COUNT(*) AS BIGINT) AS n_points,
+         |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+         |  CAST(SUM(x) // COUNT(*) AS BIGINT) AS cx,
+         |  CAST(SUM(y) // COUNT(*) AS BIGINT) AS cy
+         |FROM c GROUP BY gx, gy ORDER BY gx, gy""".stripMargin,
+    "geo_geohash_cells" ->
+      s"""WITH c AS ($custSql),
+         |g AS (SELECT $ghCodeDuck AS code FROM c),
+         |h AS (SELECT $ghCharsDuck AS geohash FROM g)
+         |SELECT geohash, CAST(COUNT(*) AS BIGINT) AS n_points
+         |FROM h GROUP BY geohash
+         |ORDER BY n_points DESC, geohash LIMIT 20""".stripMargin,
+    "geo_haversine" ->
+      """WITH n AS (SELECT n_nationkey, n_name,
+        |    CAST(n_nationkey * 7.0 AS DOUBLE) - 84.0 AS lat,
+        |    CAST(n_nationkey * 14.0 AS DOUBLE) - 168.0 AS lon FROM nation),
+        |p AS (SELECT a.n_name AS n1, b.n_name AS n2,
+        |    sin((radians(b.lat) - radians(a.lat)) / 2) AS slat,
+        |    sin((radians(b.lon) - radians(a.lon)) / 2) AS slon,
+        |    cos(radians(a.lat)) * cos(radians(b.lat)) AS cc
+        |  FROM n a, n b WHERE a.n_nationkey < b.n_nationkey)
+        |SELECT n1, n2,
+        |  round(CAST(2.0 * 6371.0 AS DOUBLE) * asin(sqrt(
+        |    slat * slat + cc * (slon * slon))), 6) AS dist_km
+        |FROM p ORDER BY n1, n2""".stripMargin,
+  )
+}

@@ -485,7 +485,249 @@ object Lakehouse extends QueryModule {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — the missing half of
+    * [[mvRewrite]] (which *serves* from a summary): when the base table
+    * takes a CoW commit, the MV is refreshed from the CHANGE FEED ALONE —
+    * pre-image rows (the files the commit removed) contribute NEGATIVE
+    * partials, post-image rows (the files it added) positive ones, and the
+    * merge touches only |MV| partial states. The base table is never
+    * rescanned: refresh cost = changed-file bytes + |MV|, the
+    * delta-maintenance contract (self-maintainable views, Gupta & Mumick's
+    * classic incremental view maintenance). Copied-through rows appear in
+    * both images and cancel exactly — CoW amplification is invisible to the
+    * MV by algebra, not by filtering. The lake is bounded to a 65536-key
+    * maintenance unit like [[vacuum]] (the per-partition granularity a real
+    * refresh runs at). Oracle: serves the refreshed MV's answers, recomputed
+    * closed-form from the post-change table — a hash match proves
+    * delta-merge ≡ full recompute. */
+  def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.tmp("mvi_lake", d)
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.orders(s, d).filter(col("o_orderkey") < 65536)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("fb").cast("long").as("fb"),
+        col("_metadata.file_path").as("path"))
+    val mv0Path = Sources.tmp("mvi_mv", d)
+    if (!Files.exists(Paths.get(mv0Path, "_SUCCESS")))
+      baseDf.groupBy(col("o_orderstatus"), col("fb"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+        .write.mode("overwrite").parquet(mv0Path)
+    val run = Sources.freshRun("mvi")
+    val e1 = s"$run/epoch=1"
+    val o = Tables.orders(s, d).filter(col("o_orderkey") < 65536)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        cents(col("o_totalprice")).as("c"))
+    val dels = o.filter(col("k") % 1216 === 0)
+      .select(col("k"), expr("k div 256").as("fb"))
+    val upds = o.filter(col("k") % 1216 =!= 0 && col("k") % 704 === 0)
+      .select(col("k"), expr("k div 256").as("fb"))
+    val ins = o.filter(col("k") % 896 === 0)
+      .select((col("k") + 1048576L).as("o_orderkey"), col("st").as("o_orderstatus"),
+        (col("c") + 5).as("cents"), expr("(k + 1048576) div 256").as("fb"))
+    val touched = dels.select(col("fb")).unionByName(upds.select(col("fb")))
+      .unionByName(ins.select(col("fb"))).distinct()
+    val affected = baseDf.join(broadcast(touched), Seq("fb"))
+    affected
+      .filter(col("o_orderkey") % 1216 =!= 0)
+      .withColumn("cents", when(col("o_orderkey") % 704 === 0,
+        col("cents") + 11).otherwise(col("cents")))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"), col("fb"))
+      .unionByName(ins)
+      .repartition(col("fb"))
+      .write.mode("overwrite").partitionBy("fb").parquet(e1)
+    val e1Df = s.read.option("basePath", e1).parquet(e1)
+      .select(col("o_orderstatus"), col("cents"),
+        col("fb").cast("long").as("fb"))
+    // The delta: negative partials from the REMOVED files' rows, positive
+    // from the ADDED files' rows. Nothing outside the changed files is read.
+    val delta = affected
+      .select(col("o_orderstatus"), col("fb"),
+        lit(-1L).as("cnt"), (-col("cents")).as("sum_cents"))
+      .unionByName(e1Df
+        .select(col("o_orderstatus"), col("fb"),
+          lit(1L).as("cnt"), col("cents").as("sum_cents")))
+    val mv1 = s.read.parquet(mv0Path)
+      .select(col("o_orderstatus"), col("fb"), col("cnt"), col("sum_cents"))
+      .unionByName(delta)
+      .groupBy(col("o_orderstatus"), col("fb"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_cents")).as("sum_cents"))
+      .filter(col("cnt") > 0)
+    val groups = mv1.agg(count(lit(1)).as("n_mv_groups"))
+    mv1.groupBy(col("o_orderstatus"))
+      .agg(sum(col("cnt")).cast("long").as("n_rows"),
+        sum(col("sum_cents")).cast("long").as("cents"))
+      .crossJoin(broadcast(groups))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** METADATA TABLES — the Iceberg `history`/`snapshots` surface as a
+    * query: a three-commit lake (v0 base ingest, v1 copy-on-write delete
+    * that packs touched bucket pairs, v2 pure compaction that coalesces the
+    * packs 4:1 without touching a row), reported per version as adds,
+    * removes, live file count, and the snapshot's visible rows/cents
+    * through log replay. Everything is file-level joins over the
+    * listing-scale log — the data files are scanned ONCE (a single union
+    * read joined against the per-version live set), never per version. The
+    * lake is read-only after its sentinel build (the log IS the state), so
+    * re-invocations are log-replay-cheap. Oracle: the whole triangle is
+    * closed-form bucket algebra from the delete modulus. */
+  def history(s: SparkSession, d: String): DataFrame = {
+    val root = Sources.tmp("hist_lake", d)
+    val base = s"$root/base"; val e1 = s"$root/e1"; val e2 = s"$root/e2"
+    val logDir = s"$root/log"
+    if (!Files.exists(Paths.get(s"$logDir/v=2", "_SUCCESS"))) {
+      Tables.orders(s, d).filter(col("o_orderkey") < 32768)
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+      val baseDf = s.read.option("basePath", base).parquet(base)
+        .select(col("o_orderkey"), col("cents"), col("fb").cast("long").as("fb"),
+          col("_metadata.file_path").as("path"))
+      baseDf.select(col("path")).distinct()
+        .select(col("path"), lit("add").as("action"))
+        .write.mode("overwrite").parquet(s"$logDir/v=0")
+      val touched = Tables.orders(s, d)
+        .filter(col("o_orderkey") < 32768 && col("o_orderkey") % 576 === 0)
+        .select(expr("o_orderkey div 256").as("fb")).distinct()
+      val affected = baseDf.join(broadcast(touched), Seq("fb"))
+      affected.filter(col("o_orderkey") % 576 =!= 0)
+        .select(col("o_orderkey"), col("cents"), expr("fb div 2").as("gb"))
+        .repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb").parquet(e1)
+      val e1Df = s.read.option("basePath", e1).parquet(e1)
+        .select(col("o_orderkey"), col("cents"), col("gb").cast("long").as("gb"),
+          col("_metadata.file_path").as("path"))
+      affected.select(col("path")).distinct()
+        .select(col("path"), lit("remove").as("action"))
+        .unionByName(e1Df.select(col("path")).distinct()
+          .select(col("path"), lit("add").as("action")))
+        .write.mode("overwrite").parquet(s"$logDir/v=1")
+      e1Df.select(col("o_orderkey"), col("cents"), expr("gb div 4").as("sb"))
+        .repartition(col("sb"))
+        .write.mode("overwrite").partitionBy("sb").parquet(e2)
+      val e2Df = s.read.option("basePath", e2).parquet(e2)
+        .select(col("_metadata.file_path").as("path"))
+      e1Df.select(col("path")).distinct()
+        .select(col("path"), lit("remove").as("action"))
+        .unionByName(e2Df.distinct()
+          .select(col("path"), lit("add").as("action")))
+        .write.mode("overwrite").parquet(s"$logDir/v=2")
+    }
+    val log = s.read.option("basePath", logDir).parquet(logDir)
+      .select(col("path"), col("action"), col("v").cast("int").as("v"))
+    val versions = log.select(col("v").as("ver")).distinct()
+    // File liveness per version: the log is listing-scale, so the tiny
+    // triangle join (log rows visible at each version) broadcasts.
+    val visible = log.join(broadcast(versions), col("v") <= col("ver"))
+    val liveSet = visible.groupBy(col("ver"), col("path"))
+      .agg(max(when(col("action") === "add", 1).otherwise(0)).as("added"),
+        max(when(col("action") === "remove", 1).otherwise(0)).as("removed"))
+      .filter(col("added") === 1 && col("removed") === 0)
+      .select(col("ver"), col("path"))
+    val commits = log.groupBy(col("v").as("ver"))
+      .agg(sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_adds"),
+        sum(when(col("action") === "remove", 1L).otherwise(0L)).as("n_removes"))
+    val nLive = liveSet.groupBy(col("ver")).agg(count(lit(1)).as("n_live_files"))
+    // ONE scan of all data files ever written, fanned out to the versions
+    // each file is live in (≤ |versions| small multiplier).
+    val allData = Seq(base, e1, e2).map { dir =>
+      s.read.option("basePath", dir).parquet(dir)
+        .select(col("o_orderkey"), col("cents"),
+          col("_metadata.file_path").as("path"))
+    }.reduce(_ unionByName _)
+    val snap = allData.join(broadcast(liveSet), Seq("path"))
+      .groupBy(col("ver"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).cast("long").as("cents"))
+    // Per-version aggregates are |versions|-scale — broadcast them so the
+    // final stitch never shuffles.
+    commits.join(broadcast(nLive), Seq("ver")).join(broadcast(snap), Seq("ver"))
+      .orderBy(col("ver"))
+  }
+
+  /** PARTITION SPEC EVOLUTION — Iceberg's headline metadata feature: the
+    * table's early files were written under spec0 (bucketed by key range),
+    * later ingests under spec1 (partitioned by status); both coexist and a
+    * query prunes EACH spec with the mechanism it supports. The audit runs
+    * one predicate (status = 'F' AND a key band) through both populations:
+    * spec0 prunes by per-file key min/max stats but must scan every status
+    * (the key-clustered layout knows nothing of status); spec1 prunes to
+    * the single matching status directory but its one file spans the whole
+    * key range (residual re-applied). No rewrite happens at spec change —
+    * old files are never migrated, exactly Iceberg's contract. Oracle:
+    * file counts from the same min/max interval algebra as
+    * [[statsSkipping]], result rows from the raw predicate per population. */
+  def partitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val root = Sources.tmp("pevo_lake", d)
+    val spec0 = s"$root/spec0"; val spec1 = s"$root/spec1"
+    // Scale-free spec boundary (half the keyspace) and key band — derived
+    // from the data, moved through broadcasts, never collected.
+    val bounds = broadcast(Tables.orders(s, d)
+      .agg(expr("max(o_orderkey) div 2").as("bb"))
+      .select(col("bb"), expr("bb div 2").as("lo"),
+        (col("bb") + expr("bb div 2")).as("hi")))
+    if (!Files.exists(Paths.get(spec1, "_SUCCESS"))) {
+      Tables.orders(s, d).crossJoin(bounds)
+        .filter(col("o_orderkey") <= col("bb"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(spec0)
+      Tables.orders(s, d).crossJoin(bounds)
+        .filter(col("o_orderkey") > col("bb"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("cents"))
+        .withColumn("st", col("o_orderstatus"))
+        .repartition(col("st"))
+        .write.mode("overwrite").partitionBy("st").parquet(spec1)
+    }
+    val d0 = s.read.option("basePath", spec0).parquet(spec0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("_metadata.file_path").as("path"))
+    val d1 = s.read.option("basePath", spec1).parquet(spec1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+        col("st"), col("_metadata.file_path").as("path"))
+    val stats0 = d0.groupBy(col("path"))
+      .agg(min(col("o_orderkey")).as("kmin"), max(col("o_orderkey")).as("kmax"))
+    val cand0 = stats0.crossJoin(bounds)
+      .filter(col("kmin") <= col("hi") && col("kmax") >= col("lo"))
+      .select(col("path"))
+    val arm0 = stats0.agg(count(lit(1)).as("n_files_total"))
+      .crossJoin(cand0.agg(count(lit(1)).as("n_files_scanned")))
+      .crossJoin(d0.join(broadcast(cand0), Seq("path"), "left_semi")
+        .crossJoin(bounds)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey").between(col("lo"), col("hi")))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).cast("long").as("cents")))
+      .select(lit("spec0_bucketed").as("spec"), col("n_files_total"),
+        col("n_files_scanned"), col("n_rows"), col("cents"))
+    val files1 = d1.select(col("path"), col("st")).distinct()
+    val cand1 = files1.filter(col("st") === "F").select(col("path"))
+    val arm1 = files1.agg(count(lit(1)).as("n_files_total"))
+      .crossJoin(cand1.agg(count(lit(1)).as("n_files_scanned")))
+      .crossJoin(d1.join(broadcast(cand1), Seq("path"), "left_semi")
+        .crossJoin(bounds)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey").between(col("lo"), col("hi")))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("cents")), lit(0L)).cast("long").as("cents")))
+      .select(lit("spec1_status").as("spec"), col("n_files_total"),
+        col("n_files_scanned"), col("n_rows"), col("cents"))
+    arm0.unionByName(arm1).orderBy(col("spec"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_mv_incremental" -> (mvIncremental _),
+    "layout_history" -> (history _),
+    "layout_partition_evolution" -> (partitionEvolution _),
     "layout_deletion_vectors" -> (deletionVectors _),
     "layout_check_constraints" -> (checkConstraints _),
     "layout_mv_rewrite" -> (mvRewrite _),
@@ -496,6 +738,81 @@ object Lakehouse extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Full recompute from the post-change table — a hash match proves the
+    // delta-merge refresh (negative pre-image + positive post-image
+    // partials) lands on exactly the state a rebuild would.
+    "layout_mv_incremental" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey < 65536),
+        |post AS (
+        |  SELECT st, k // 256 AS fb,
+        |    CASE WHEN k % 704 = 0 THEN c + 11 ELSE c END AS c
+        |  FROM o WHERE k % 1216 <> 0
+        |  UNION ALL
+        |  SELECT st, (k + 1048576) // 256, c + 5 FROM o WHERE k % 896 = 0),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mv_groups
+        |  FROM (SELECT DISTINCT st, fb FROM post) dg)
+        |SELECT st AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) AS BIGINT) AS cents, n_mv_groups
+        |FROM post, g GROUP BY st, n_mv_groups
+        |ORDER BY o_orderstatus""".stripMargin,
+    // The three-commit triangle closed-form from the delete modulus:
+    // v0 = bucket ingest, v1 = CoW delete packing touched pairs,
+    // v2 = 4:1 compaction of the packs (rows unchanged).
+    "layout_history" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey < 32768),
+        |b AS (SELECT CAST(COUNT(DISTINCT k // 256) AS BIGINT) AS buckets FROM o),
+        |t AS (SELECT DISTINCT k // 256 AS fb FROM o WHERE k % 576 = 0),
+        |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS touched,
+        |  CAST(COUNT(DISTINCT fb // 2) AS BIGINT) AS packs,
+        |  CAST(COUNT(DISTINCT fb // 8) AS BIGINT) AS superpacks FROM t),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |  CAST(SUM(c) AS BIGINT) AS c0 FROM o),
+        |sur AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+        |  CAST(SUM(c) AS BIGINT) AS c1 FROM o WHERE k % 576 <> 0)
+        |SELECT 0 AS ver, buckets AS n_adds, CAST(0 AS BIGINT) AS n_removes,
+        |  buckets AS n_live_files, n0 AS n_rows, c0 AS cents FROM b, tot
+        |UNION ALL
+        |SELECT 1, packs, touched, buckets - touched + packs, n1, c1
+        |FROM b, tc, sur
+        |UNION ALL
+        |SELECT 2, superpacks, packs, buckets - touched + superpacks, n1, c1
+        |FROM b, tc, sur
+        |ORDER BY ver""".stripMargin,
+    // Per-population file counts from the same min/max interval algebra as
+    // layout_stats_skipping; result rows from the raw predicate per spec.
+    "layout_partition_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |b AS (SELECT MAX(k) // 2 AS bb, (MAX(k) // 2) // 2 AS lo,
+        |  (MAX(k) // 2) + (MAX(k) // 2) // 2 AS hi FROM o),
+        |f0 AS (SELECT k // 256 AS fb, MIN(k) AS kmin, MAX(k) AS kmax
+        |  FROM o, b WHERE k <= bb GROUP BY fb),
+        |s1 AS (SELECT DISTINCT st FROM o, b WHERE k > bb)
+        |SELECT 'spec0_bucketed' AS spec,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f0) AS n_files_total,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM f0, b
+        |     WHERE kmin <= hi AND kmax >= lo) AS n_files_scanned,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o, b WHERE k <= bb
+        |     AND st = 'F' AND k BETWEEN lo AND hi) AS n_rows,
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM o, b WHERE k <= bb
+        |     AND st = 'F' AND k BETWEEN lo AND hi) AS cents
+        |UNION ALL
+        |SELECT 'spec1_status',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1 WHERE st = 'F'),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM o, b WHERE k > bb
+        |     AND st = 'F' AND k BETWEEN lo AND hi),
+        |  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM o, b WHERE k > bb
+        |     AND st = 'F' AND k BETWEEN lo AND hi)
+        |ORDER BY spec""".stripMargin,
     // Surviving rows from the predicate alone (positions are physical
     // coordinates the oracle never needs); rewritten files are zero by
     // construction of merge-on-read.

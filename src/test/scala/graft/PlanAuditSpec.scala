@@ -418,6 +418,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"constraint tagging + zone split + audit needs zero joins:\n$p")
   }
 
+  test("geo_grid_join: cell blocking is an equi-join — never a cross product") {
+    val p = plan("geo_grid_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 9-cell supplier side must broadcast into an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"grid blocking must never degrade to a cross product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the customer corpus must not shuffle for a dim-side radius join:\n$p")
+  }
+
+  test("geo_knn: the ranking window is per-query, never global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("geo_knn")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"kNN ranking must partition on the query key:\n$lp")
+  }
+
+  test("layout_mv_incremental: delta paths broadcast; the base table is never shuffle-joined") {
+    val p = plan("layout_mv_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the touched-bucket set must broadcast into the data join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"MV refresh must stay changed-file + |MV| scale — no data shuffle join:\n$p")
+  }
+
+  test("layout_history: metadata replay joins broadcast — one data scan, no shuffle join") {
+    val p = plan("layout_history")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-version live set must broadcast into the single data scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"history is listing-scale — nothing may shuffle-join:\n$p")
+  }
+
+  test("layout_partition_evolution: both specs prune via broadcast candidates — no shuffle join") {
+    val p = plan("layout_partition_evolution")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate path sets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"spec-evolution audits must not shuffle the data side:\n$p")
+  }
+
   test("agg_ks_test: both CDF cumsums partition on the price bucket") {
     assertBucketLocalized("agg_ks_test", "v", "bucket")
   }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 lakehouse additions: incremental MV maintenance ≡ full
+  * recompute, metadata-table (history) algebra, and partition-spec
+  * evolution pruning invariants. */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val orders = Tables.orders(spark, TestSpark.sf)
+    .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    .cache()
+
+  test("layout_mv_incremental: delta-merge refresh equals a full recompute of the post-change table") {
+    val got = SparkEntry.queries("layout_mv_incremental")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Independent recompute: apply the change rules to the bounded unit.
+    val unit = orders.filter(col("k") < 65536)
+    val post = unit.filter(col("k") % 1216 =!= 0)
+      .select(col("st"),
+        when(col("k") % 704 === 0, col("c") + 11).otherwise(col("c")).as("c"),
+        expr("k div 256").as("fb"))
+      .unionByName(unit.filter(col("k") % 896 === 0)
+        .select(col("st"), (col("c") + 5).as("c"),
+          expr("(k + 1048576) div 256").as("fb")))
+    val groups = post.select(col("st"), col("fb")).distinct().count()
+    val want = post.groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("cc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), groups))
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    // The commit must actually move the MV: deletions and inserts exist.
+    assert(unit.filter(col("k") % 1216 === 0).count() > 0)
+    assert(unit.filter(col("k") % 896 === 0).count() > 0)
+  }
+
+  test("layout_history: per-version file algebra and row conservation") {
+    val rows = SparkEntry.queries("layout_history")(spark, TestSpark.sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    val Array(v0, v1, v2) = rows
+    // v0: pure ingest — no removes, everything live.
+    assert(v0.getLong(2) == 0 && v0.getLong(1) == v0.getLong(3))
+    // v1 is the delete commit: rows shrink; v2 is pure compaction: rows
+    // and cents are IDENTICAL to v1 while the file count changes.
+    assert(v1.getLong(4) < v0.getLong(4))
+    assert(v2.getLong(4) == v1.getLong(4) && v2.getLong(5) == v1.getLong(5))
+    assert(v2.getLong(3) < v1.getLong(3), "4:1 compaction must shrink files")
+    // Commit chaining: v2 removes exactly what v1 added.
+    assert(v2.getLong(2) == v1.getLong(1))
+    // Live-set algebra per version.
+    assert(v1.getLong(3) == v0.getLong(3) - v1.getLong(2) + v1.getLong(1))
+    assert(v2.getLong(3) == v1.getLong(3) - v2.getLong(2) + v2.getLong(1))
+  }
+
+  test("layout_partition_evolution: both specs prune, union answers the raw predicate") {
+    val rows = SparkEntry.queries("layout_partition_evolution")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (t0, s0, n0, c0) = rows("spec0_bucketed")
+    val (t1, s1, n1, c1) = rows("spec1_status")
+    // spec0 prunes by key stats (some bucket outside the band skipped);
+    // spec1 prunes to the single matching status directory.
+    assert(s0 < t0, "key-range stats must skip at least one spec0 file")
+    assert(s1 == 1 && t1 == 3, "status partitioning must isolate one of three dirs")
+    // The union of both pruned scans answers the raw predicate exactly.
+    val maxk = orders.agg(max(col("k"))).collect().head.getLong(0)
+    val (bb, lo, hi) = (maxk / 2, maxk / 2 / 2, maxk / 2 + maxk / 2 / 2)
+    val want = orders.filter(col("st") === "F" && col("k").between(lo, hi))
+      .agg(count(lit(1)), coalesce(sum(col("c")), lit(0L))).collect().head
+    assert(n0 + n1 == want.getLong(0))
+    assert(c0 + c1 == want.getLong(1))
+    // Old-spec files were never rewritten at the spec change: the two
+    // populations partition the keyspace at the boundary.
+    val below = orders.filter(col("k") <= bb && col("st") === "F" &&
+      col("k").between(lo, hi)).count()
+    assert(n0 == below)
+  }
+}
