@@ -177,12 +177,83 @@ object Geo extends QueryModule {
       .orderBy(col("n1"), col("n2"))
   }
 
+  /** Polygon dim table — one deterministic convex quad per nation on the
+    * integer domain (vertices are affine in the key, all arithmetic exact;
+    * the quad is CCW and convex by construction: every consecutive edge
+    * cross product is positive for any w, h > 0). One ROW per polygon,
+    * edges as an array column — so containment can fold over the edges
+    * per point WITHOUT a per-edge explode + re-group shuffle. */
+  private def polygons(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("pid"))
+      .selectExpr("pid",
+        "(pid * 93001 + 137) % 800000 + 100000 as pcx",
+        "(pid * 71993 + 251) % 800000 + 100000 as pcy",
+        "30000 + (pid % 5) * 10000 as w",
+        "25000 + (pid % 7) * 8000 as h")
+      .selectExpr("pid",
+        "pcx - w as x0", "pcy - h div 2 as y0",
+        "pcx + w div 3 as xa", "pcy - h as ya",
+        "pcx + w as xb", "pcy + h div 3 as yb",
+        "pcx - w div 4 as xc", "pcy + h as yc",
+        "pcx - w as xmin", "pcx + w as xmax",
+        "pcy - h as ymin", "pcy + h as ymax")
+      .selectExpr("pid", "xmin", "xmax", "ymin", "ymax",
+        """array(struct(x0 as x1, y0 as y1, xa as x2, ya as y2),
+          |      struct(xa as x1, ya as y1, xb as x2, yb as y2),
+          |      struct(xb as x1, yb as y1, xc as x2, yc as y2),
+          |      struct(xc as x1, yc as y1, x0 as x2, y0 as y2)) as edges""".stripMargin,
+        // Shoelace: 2·area = |Σ x1·y2 − x2·y1| — exact in BIGINT.
+        """abs(aggregate(array(x0*ya - xa*y0, xa*yb - xb*ya,
+          |                    xb*yc - xc*yb, xc*y0 - x0*yc),
+          |    0L, (a, t) -> a + t)) as area2""".stripMargin)
+
+  /** POINT-IN-POLYGON — exact integer ray casting: a point is inside iff an
+    * upward ray crosses an ODD number of edges (straddle test on y, side
+    * test via the edge cross product with the inequality flipped for
+    * downward edges — all BIGINT, no division, identical on both engines).
+    * The crossing count folds over the polygon's edge ARRAY per joined row
+    * (higher-order `aggregate`, whole-stage codegen), so the corpus never
+    * re-groups: one broadcast equi-join on the grid cell (polygons explode
+    * into the cells their bbox covers — the same blocking as
+    * [[gridRadiusJoin]]), a bbox filter, the fold, and a 25-key hash agg.
+    * At 100 TB with millions of polygons the cell join becomes a shuffle
+    * equi-join; the per-point work stays |edges in cell|. Oracle: DuckDB
+    * ray-casts relationally (edge table, per-pair crossing sum) — a hash
+    * match proves the fold ≡ the relational form, and the exact shoelace
+    * area rides along per polygon. */
+  def pointInPolygon(s: SparkSession, d: String): DataFrame = {
+    val cells = polygons(s, d)
+      .withColumn("gcx", explode(expr(s"sequence(xmin div $R, xmax div $R)")))
+      .withColumn("gcy", explode(expr(s"sequence(ymin div $R, ymax div $R)")))
+    custPts(s, d)
+      .withColumn("gcx", expr(s"x div $R"))
+      .withColumn("gcy", expr(s"y div $R"))
+      .join(broadcast(cells), Seq("gcx", "gcy"))
+      .filter(col("x").between(col("xmin"), col("xmax")) &&
+        col("y").between(col("ymin"), col("ymax")))
+      .withColumn("ncross", expr(
+        """aggregate(edges, 0L, (acc, e) -> acc + (CASE WHEN
+          |  ((e.y1 > y) != (e.y2 > y)) AND
+          |  (CASE WHEN e.y2 > e.y1
+          |    THEN (e.x2 - e.x1) * (y - e.y1) - (x - e.x1) * (e.y2 - e.y1) > 0
+          |    ELSE (e.x2 - e.x1) * (y - e.y1) - (x - e.x1) * (e.y2 - e.y1) < 0
+          |  END) THEN 1 ELSE 0 END))""".stripMargin))
+      .filter(col("ncross") % 2 === 1)
+      .groupBy(col("pid"), col("area2"))
+      .agg(count(lit(1)).as("n_inside"),
+        sum(col("c_custkey")).cast("long").as("sum_key"))
+      .select(col("pid"), col("n_inside"), col("sum_key"), col("area2"))
+      .orderBy(col("pid"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_grid_join" -> (gridRadiusJoin _),
     "geo_knn" -> (knn _),
     "geo_density_grid" -> (densityGrid _),
     "geo_geohash_cells" -> (geohashTopCells _),
     "geo_haversine" -> (haversineCapitals _),
+    "geo_point_in_polygon" -> (pointInPolygon _),
   )
 
   private val custSql =
@@ -243,6 +314,50 @@ object Geo extends QueryModule {
          |SELECT geohash, CAST(COUNT(*) AS BIGINT) AS n_points
          |FROM h GROUP BY geohash
          |ORDER BY n_points DESC, geohash LIMIT 20""".stripMargin,
+    // Relational ray cast: per-(point, edge) crossing rows summed per pair —
+    // a hash match proves the Spark-side higher-order fold computes the
+    // same parity, and the shoelace area the same 2A.
+    "geo_point_in_polygon" ->
+      s"""WITH c AS ($custSql),
+         |p AS (SELECT CAST(n_nationkey AS BIGINT) AS pid,
+         |    (CAST(n_nationkey AS BIGINT) * 93001 + 137) % 800000 + 100000 AS pcx,
+         |    (CAST(n_nationkey AS BIGINT) * 71993 + 251) % 800000 + 100000 AS pcy,
+         |    30000 + (CAST(n_nationkey AS BIGINT) % 5) * 10000 AS w,
+         |    25000 + (CAST(n_nationkey AS BIGINT) % 7) * 8000 AS h
+         |  FROM nation),
+         |v AS (SELECT pid,
+         |    pcx - w AS x0, pcy - h // 2 AS y0,
+         |    pcx + w // 3 AS xa, pcy - h AS ya,
+         |    pcx + w AS xb, pcy + h // 3 AS yb,
+         |    pcx - w // 4 AS xc, pcy + h AS yc,
+         |    pcx - w AS xmin, pcx + w AS xmax,
+         |    pcy - h AS ymin, pcy + h AS ymax
+         |  FROM p),
+         |e AS (
+         |  SELECT pid, x0 AS ex1, y0 AS ey1, xa AS ex2, ya AS ey2,
+         |    xmin, xmax, ymin, ymax FROM v
+         |  UNION ALL SELECT pid, xa, ya, xb, yb, xmin, xmax, ymin, ymax FROM v
+         |  UNION ALL SELECT pid, xb, yb, xc, yc, xmin, xmax, ymin, ymax FROM v
+         |  UNION ALL SELECT pid, xc, yc, x0, y0, xmin, xmax, ymin, ymax FROM v),
+         |a AS (SELECT pid,
+         |    ABS(SUM(ex1 * ey2 - ex2 * ey1)) AS area2 FROM e GROUP BY pid),
+         |x AS (SELECT e.pid, c.c_custkey,
+         |    CASE WHEN ((e.ey1 > c.y) <> (e.ey2 > c.y)) AND
+         |      (CASE WHEN e.ey2 > e.ey1
+         |        THEN (e.ex2 - e.ex1) * (c.y - e.ey1)
+         |           - (c.x - e.ex1) * (e.ey2 - e.ey1) > 0
+         |        ELSE (e.ex2 - e.ex1) * (c.y - e.ey1)
+         |           - (c.x - e.ex1) * (e.ey2 - e.ey1) < 0 END)
+         |    THEN 1 ELSE 0 END AS crossing
+         |  FROM c JOIN e ON c.x BETWEEN e.xmin AND e.xmax
+         |    AND c.y BETWEEN e.ymin AND e.ymax),
+         |i AS (SELECT pid, c_custkey FROM x
+         |  GROUP BY pid, c_custkey HAVING SUM(crossing) % 2 = 1)
+         |SELECT i.pid, CAST(COUNT(*) AS BIGINT) AS n_inside,
+         |  CAST(SUM(i.c_custkey) AS BIGINT) AS sum_key,
+         |  CAST(a.area2 AS BIGINT) AS area2
+         |FROM i JOIN a ON i.pid = a.pid
+         |GROUP BY i.pid, a.area2 ORDER BY i.pid""".stripMargin,
     "geo_haversine" ->
       """WITH n AS (SELECT n_nationkey, n_name,
         |    CAST(n_nationkey * 7.0 AS DOUBLE) - 84.0 AS lat,

@@ -428,6 +428,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the customer corpus must not shuffle for a dim-side radius join:\n$p")
   }
 
+  test("geo_point_in_polygon: cell-blocked equi-join, the corpus never re-groups per edge") {
+    val p = plan("geo_point_in_polygon")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-exploded polygons must broadcast into an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"bbox matching must ride the grid-cell equi-join, not a cross product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the point corpus must not shuffle for a dim-side containment join:\n$p")
+    // The edge fold is per-row (higher-order aggregate): exactly ONE
+    // aggregation pair (partial+final over the 25 polygon keys) — a
+    // per-(point, edge) explode + re-group would add a corpus-scale one.
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs <= 2, s"edge fold must not re-group the corpus:\n$p")
+  }
+
   test("geo_knn: the ranking window is per-query, never global") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val lp = SparkEntry.queries("geo_knn")(spark, TestSpark.sf)

@@ -91,6 +91,46 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("geo_point_in_polygon: ray-cast parity matches the convex half-plane test") {
+    // Independent containment: the quads are convex and CCW by
+    // construction, so a point is strictly inside iff it is strictly left
+    // of EVERY edge — a different algorithm from the query's ray cast
+    // (no parity, no straddle). Boundary lattice hits would make the two
+    // definitions diverge, so first assert none exist at this sf.
+    def polys: Seq[(Long, Seq[(Long, Long)])] = (0L to 24L).map { k =>
+      val cx = (k * 93001 + 137) % 800000 + 100000
+      val cy = (k * 71993 + 251) % 800000 + 100000
+      val w = 30000 + (k % 5) * 10000
+      val h = 25000 + (k % 7) * 8000
+      k -> Seq((cx - w, cy - h / 2), (cx + w / 3, cy - h),
+        (cx + w, cy + h / 3), (cx - w / 4, cy + h))
+    }
+    val pts = graft.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"),
+        expr("(c_custkey * 48271) % 1000000").as("x"),
+        expr("(c_custkey * 69621) % 1000000").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def cross(e1: (Long, Long), e2: (Long, Long), px: Long, py: Long): Long =
+      (e2._1 - e1._1) * (py - e1._2) - (px - e1._1) * (e2._2 - e1._2)
+    val expected = polys.map { case (pid, vs) =>
+      val edges = vs.zip(vs.tail :+ vs.head)
+      val sides = pts.map { case (k, px, py) =>
+        k -> edges.map { case (a, b) => cross(a, b, px, py) }
+      }
+      assert(!sides.exists { case (_, cs) =>
+        cs.contains(0L) && cs.forall(_ >= 0L) },
+        s"polygon $pid: boundary lattice hit — the parity pin is ambiguous")
+      val inside = sides.filter(_._2.forall(_ > 0L)).map(_._1)
+      val area2 = math.abs(edges.map { case (a, b) =>
+        a._1 * b._2 - b._1 * a._2 }.sum)
+      (pid, inside.length.toLong, inside.sum, area2)
+    }.filter(_._2 > 0)
+    val got = SparkEntry.queries("geo_point_in_polygon")(spark, TestSpark.sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected.sortBy(_._1))
+  }
+
   test("geo_haversine: matches the closed formula and the triangle inequality on a sample") {
     val rows = SparkEntry.queries("geo_haversine")(spark, TestSpark.sf)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
