@@ -724,7 +724,79 @@ object Lakehouse extends QueryModule {
     arm0.unionByName(arm1).orderBy(col("spec"))
   }
 
+  /** The three Bloom hash positions (m = 1024 bits, k = 3) — multiplicative
+    * hashes in exact BIGINT, identical on both engines. */
+  private def bloomBits(ck: Column): Column = array(
+    (ck * 2654435761L) % 1024, (ck * 40503L + 2057L) % 1024,
+    (ck * 69621L + 101L) % 1024)
+
+  /** BLOOM-FILTER FILE SKIPPING — the pruning class min/max stats CANNOT
+    * serve: a point lookup on a column UNCLUSTERED in the file layout
+    * (o_custkey in key-bucketed files spans the whole domain in every
+    * file, so [[statsSkipping]]'s interval algebra prunes nothing). A
+    * per-file Bloom index (m=1024, k=3; in Delta/Parquet these bits live
+    * in the footer/sidecar) admits only files whose bitset contains ALL k
+    * probe positions. Two probes run: a key known present (no false
+    * negatives — every matching row is found) and a key known absent
+    * (only Bloom false positives are scanned, and finding nothing). The
+    * index build is one linear distinct over (file, bit); probes move as
+    * broadcasts; the verifying scan touches candidate files only. Oracle:
+    * file ≡ the fb write bucket, so DuckDB rebuilds the same bitsets
+    * relationally — the hash proves both the pruning set and the scan. */
+  def bloomSkipping(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.tmp("bloom_lake", d)
+    if (!Files.exists(Paths.get(base, "_SUCCESS")))
+      Tables.orders(s, d).filter(col("o_orderkey") < 65536)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("cents"),
+          expr("o_orderkey div 256").as("fb"))
+        .repartition(col("fb"))
+        .write.mode("overwrite").partitionBy("fb").parquet(base)
+    val baseDf = s.read.option("basePath", base).parquet(base)
+      .select(col("o_custkey").as("ck"), col("cents"),
+        col("_metadata.file_path").as("path"))
+    // Per-file Bloom bitsets: distinct (file, bit) — the sidecar index.
+    val bits = baseDf
+      .select(col("path"), explode(bloomBits(col("ck"))).as("b")).distinct()
+    val probes = baseDf.agg(max(col("ck")).as("mk"))
+      .select(explode(array(
+        struct(lit("hit").as("probe"), col("mk").as("key")),
+        struct(lit("miss").as("probe"), (col("mk") + 7777L).as("key")))).as("p"))
+      .select(col("p.probe"), col("p.key"))
+    val probeBits = probes
+      .select(col("probe"), col("key"), explode(bloomBits(col("key"))).as("b"))
+      .distinct()
+    val probeNb = probeBits.groupBy(col("probe"))
+      .agg(count(lit(1)).as("nb"))
+    // Candidate files per probe: every probe bit present in the file set.
+    val cand = bits.join(broadcast(probeBits), Seq("b"))
+      .groupBy(col("probe"), col("key"), col("path"))
+      .agg(countDistinct(col("b")).as("hits"))
+      .join(broadcast(probeNb), Seq("probe"))
+      .filter(col("hits") === col("nb"))
+      .select(col("probe"), col("key"), col("path"))
+    val nFiles = bits.select(col("path")).distinct()
+      .agg(count(lit(1)).as("n_files_total"))
+    val scanned = baseDf.join(broadcast(cand), Seq("path"))
+      .groupBy(col("probe"))
+      .agg(count(lit(1)).as("n_rows_scanned"),
+        sum(when(col("ck") === col("key"), 1L).otherwise(0L)).as("n_rows_found"),
+        sum(when(col("ck") === col("key"), col("cents")).otherwise(0L))
+          .cast("long").as("cents"))
+    val nCand = cand.groupBy(col("probe")).agg(count(lit(1)).as("n_candidates"))
+    probes.select(col("probe"))
+      .join(broadcast(nCand), Seq("probe"), "left")
+      .join(broadcast(scanned.drop("n_rows_scanned")), Seq("probe"), "left")
+      .crossJoin(broadcast(nFiles))
+      .select(col("probe"), col("n_files_total"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_rows_found"), lit(0L)).as("n_rows_found"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .orderBy(col("probe"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_bloom_skipping" -> (bloomSkipping _),
     "layout_mv_incremental" -> (mvIncremental _),
     "layout_history" -> (history _),
     "layout_partition_evolution" -> (partitionEvolution _),
@@ -738,6 +810,48 @@ object Lakehouse extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // file ≡ the fb write bucket, so the per-file Bloom bitsets, the
+    // candidate sets, and the verifying scans all rebuild relationally.
+    "layout_bloom_skipping" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey AS ck,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey < 65536),
+        |f AS (SELECT k // 256 AS fb, ck, c FROM o),
+        |bits AS (
+        |  SELECT DISTINCT fb, (ck * 2654435761) % 1024 AS b FROM f
+        |  UNION SELECT fb, (ck * 40503 + 2057) % 1024 FROM f
+        |  UNION SELECT fb, (ck * 69621 + 101) % 1024 FROM f),
+        |pr AS (SELECT 'hit' AS probe, MAX(ck) AS pkey FROM f
+        |  UNION ALL SELECT 'miss', MAX(ck) + 7777 FROM f),
+        |pb AS (
+        |  SELECT DISTINCT probe, pkey, (pkey * 2654435761) % 1024 AS b FROM pr
+        |  UNION SELECT probe, pkey, (pkey * 40503 + 2057) % 1024 FROM pr
+        |  UNION SELECT probe, pkey, (pkey * 69621 + 101) % 1024 FROM pr),
+        |pn AS (SELECT probe, COUNT(DISTINCT b) AS nb FROM pb GROUP BY probe),
+        |cand AS (
+        |  SELECT pb.probe, pb.pkey, bits.fb
+        |  FROM pb JOIN bits ON pb.b = bits.b
+        |    JOIN pn ON pn.probe = pb.probe
+        |  GROUP BY pb.probe, pb.pkey, bits.fb, pn.nb
+        |  HAVING COUNT(DISTINCT pb.b) = pn.nb),
+        |tot AS (SELECT CAST(COUNT(DISTINCT fb) AS BIGINT) AS n_files_total
+        |  FROM f),
+        |nc AS (SELECT probe, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY probe),
+        |sc AS (SELECT cand.probe,
+        |    CAST(SUM(CASE WHEN f.ck = cand.pkey THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rows_found,
+        |    CAST(SUM(CASE WHEN f.ck = cand.pkey THEN f.c ELSE 0 END) AS BIGINT)
+        |      AS cents
+        |  FROM cand JOIN f ON f.fb = cand.fb GROUP BY cand.probe)
+        |SELECT pr.probe, tot.n_files_total,
+        |  CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  CAST(COALESCE(sc.n_rows_found, 0) AS BIGINT) AS n_rows_found,
+        |  CAST(COALESCE(sc.cents, 0) AS BIGINT) AS cents
+        |FROM pr CROSS JOIN tot
+        |LEFT JOIN nc ON nc.probe = pr.probe
+        |LEFT JOIN sc ON sc.probe = pr.probe
+        |ORDER BY pr.probe""".stripMargin,
     // Full recompute from the post-change table — a hash match proves the
     // delta-merge refresh (negative pre-image + positive post-image
     // partials) lands on exactly the state a rebuild would.

@@ -443,13 +443,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggs <= 2, s"edge fold must not re-group the corpus:\n$p")
   }
 
-  test("geo_knn: the ranking window is per-query, never global") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val lp = SparkEntry.queries("geo_knn")(spark, TestSpark.sf)
-      .queryExecution.optimizedPlan
-    val wins = lp.collect { case w: LWindow => w }
-    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
-      s"kNN ranking must partition on the query key:\n$lp")
+  test("geo_knn: bounded-heap aggregate — no rank window re-sorts the candidate stream") {
+    val p = plan("geo_knn")
+    assert(!p.contains("Window"),
+      s"kNN must keep top-k in a heap aggregate, not a rank window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the TopK3 heap must run as partial+final ObjectHashAggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("CartesianProduct"),
+      s"the exact brute-force arm broadcasts queries against the corpus:\n$p")
   }
 
   test("layout_mv_incremental: delta paths broadcast; the base table is never shuffle-joined") {
@@ -458,6 +459,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the touched-bucket set must broadcast into the data join:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"MV refresh must stay changed-file + |MV| scale — no data shuffle join:\n$p")
+  }
+
+  test("layout_bloom_skipping: probe bits and candidate sets broadcast — no shuffle join") {
+    val p = plan("layout_bloom_skipping")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe bits and candidate file sets must broadcast into the scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a point lookup must never shuffle-join the data side:\n$p")
   }
 
   test("layout_history: metadata replay joins broadcast — one data scan, no shuffle join") {

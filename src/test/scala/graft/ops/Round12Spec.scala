@@ -37,6 +37,31 @@ class Round12Spec extends AnyFunSuite {
     assert(unit.filter(col("k") % 896 === 0).count() > 0)
   }
 
+  test("layout_bloom_skipping: no false negatives, miss finds nothing, bloom prunes") {
+    val rows = SparkEntry.queries("layout_bloom_skipping")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (tHit, cHit, fHit, centsHit) = rows("hit")
+    val (tMiss, cMiss, fMiss, centsMiss) = rows("miss")
+    assert(tHit == tMiss && tHit > 0)
+    // No false negatives: the hit probe finds EVERY row carrying the key —
+    // recomputed from the raw table, independent of any file pruning.
+    val unit = Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_orderkey") < 65536)
+      .select(col("o_custkey").as("ck"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val mk = unit.agg(max(col("ck"))).collect().head.getLong(0)
+    val want = unit.filter(col("ck") === mk)
+      .agg(count(lit(1)), sum(col("c"))).collect().head
+    assert(fHit == want.getLong(0) && fHit > 0)
+    assert(centsHit == want.getLong(1))
+    assert(cHit >= 1, "files containing the key must be candidates")
+    // The absent key is never 'found'; only Bloom false positives scan.
+    assert(fMiss == 0 && centsMiss == 0)
+    assert(cMiss < tMiss,
+      s"bloom must prune at least one file for the absent key ($cMiss/$tMiss)")
+  }
+
   test("layout_history: per-version file algebra and row conservation") {
     val rows = SparkEntry.queries("layout_history")(spark, TestSpark.sf)
       .collect().sortBy(_.getInt(0))
