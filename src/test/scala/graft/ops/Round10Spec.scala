@@ -155,6 +155,7 @@ class Round10Spec extends AnyFunSuite {
     // rules touch base buckets holding a %448/%1280 key plus fresh insert
     // buckets; pruning must leave every other base bucket alone.
     val o = graft.Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_orderkey") < 65536) // the bounded maintenance unit
       .select(col("o_orderkey").as("k"))
     val baseBuckets = o.select(expr("k div 256").as("fb")).distinct().count()
     val touchedBase = o.filter(col("k") % 1280 === 0 || col("k") % 448 === 0)

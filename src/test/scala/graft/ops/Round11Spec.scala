@@ -49,10 +49,11 @@ class Round11Spec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rows.keySet == Set("copy", "delete", "insert", "update"),
       "all four change types must appear on the fixture")
-    val nDel = orders.filter(col("k") % 1344 === 0).count()
-    val nUpd = orders.filter(col("k") % 1344 =!= 0 && col("k") % 576 === 0)
+    val unit = orders.filter(col("k") < 65536) // the bounded maintenance unit
+    val nDel = unit.filter(col("k") % 1344 === 0).count()
+    val nUpd = unit.filter(col("k") % 1344 =!= 0 && col("k") % 576 === 0)
       .count()
-    val nIns = orders.filter(col("k") % 960 === 0).count()
+    val nIns = unit.filter(col("k") % 960 === 0).count()
     assert(rows("delete")._1 == nDel)
     assert(rows("update")._1 == nUpd)
     assert(rows("insert")._1 == nIns)
