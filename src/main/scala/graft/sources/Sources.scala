@@ -440,10 +440,10 @@ object Sources extends QueryModule {
     * oracle rebuilds the post-merge dimension and both file counts
     * closed-form from customer. */
   def scd2Exec(s: SparkSession, d: String): DataFrame = {
-    val root = tmp("scd2_lake", d)
+    val root = tmp("scd2_lake_u8k", d)
     val base = s"$root/base"
     if (!Files.exists(Paths.get(base, "_SUCCESS")))
-      Tables.customer(s, d)
+      Tables.customer(s, d).filter(col("c_custkey") < 8192)
         .select(col("c_custkey"), col("c_mktsegment"),
           floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("bal_cents"),
           lit("2024-01-01").as("valid_from"),
@@ -459,7 +459,8 @@ object Sources extends QueryModule {
         col("valid_from"), col("valid_to"), col("is_current"),
         col("fb").cast("long").as("fb"),
         col("_metadata.file_path").as("path"))
-    val upd = Tables.customer(s, d).filter(col("c_custkey") % 96 === 0)
+    val upd = Tables.customer(s, d)
+      .filter(col("c_custkey") < 8192 && col("c_custkey") % 96 === 0)
       .select(col("c_custkey"), lit("UPGRADED").as("c_mktsegment"),
         floor((col("c_acctbal") + 100.0) * 100.0 + 0.5).cast("long")
           .as("bal_cents"),
@@ -520,13 +521,13 @@ object Sources extends QueryModule {
     * count = untouched buckets + paired packs), so the hash proves log
     * replay selects exactly the right files at each version. */
   def timeTravel(s: SparkSession, d: String): DataFrame = {
-    val root = tmp("tlog_lake", d)
+    val root = tmp("tlog_lake_u64", d)
     val base = s"$root/base"
     val run = freshRun("tlog")
     val e1 = s"$run/epoch=1"
     val logDir = s"$run/log"
     if (!Files.exists(Paths.get(base, "_SUCCESS")))
-      Tables.orders(s, d)
+      Tables.orders(s, d).filter(col("o_orderkey") < 65536)
         .select(col("o_orderkey"), col("o_orderstatus"),
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
           expr("o_orderkey div 512").as("fb"))
@@ -543,7 +544,7 @@ object Sources extends QueryModule {
     // Commit 1: delete key%640 rows; survivors of each touched bucket
     // PAIR pack into one file (delete + compact in one rewrite).
     val touched = Tables.orders(s, d)
-      .filter(col("o_orderkey") % 640 === 0)
+      .filter(col("o_orderkey") < 65536 && col("o_orderkey") % 640 === 0)
       .select(expr("o_orderkey div 512").as("fb")).distinct()
     val affected = baseDf.join(broadcast(touched), Seq("fb"))
     affected.filter(col("o_orderkey") % 640 =!= 0)
@@ -717,7 +718,7 @@ object Sources extends QueryModule {
       """WITH o AS (
         |  SELECT o_orderkey AS k,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey < 65536),
         |t AS (SELECT DISTINCT k // 512 AS fb FROM o WHERE k % 640 = 0),
         |v0 AS (
         |  SELECT 0 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -746,7 +747,7 @@ object Sources extends QueryModule {
         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
         |    CAST(floor((c_acctbal + 100.0) * 100.0 + 0.5) AS BIGINT)
         |      AS new_cents
-        |  FROM customer),
+        |  FROM customer WHERE c_custkey < 8192),
         |final AS (
         |  SELECT k, seg, cents,
         |    CASE WHEN k % 96 = 0 THEN 0 ELSE 1 END AS is_current

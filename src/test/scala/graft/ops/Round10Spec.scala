@@ -176,6 +176,7 @@ class Round10Spec extends AnyFunSuite {
     val total = rows.head.getLong(4)
     val rewritten = rows.head.getLong(5)
     val o = graft.Tables.customer(spark, TestSpark.sf)
+      .filter(col("c_custkey") < 8192) // the bounded maintenance unit
       .select(col("c_custkey").as("k"))
     val baseBuckets = o.select(expr("k div 64").as("fb")).distinct().count()
     val touchedBuckets = o.filter(col("k") % 96 === 0)
@@ -203,7 +204,8 @@ class Round10Spec extends AnyFunSuite {
     // v0 must still show the pre-delete table even though commit 1's data
     // files exist on disk when the snapshot is read — log replay, not
     // directory listing, decides visibility.
-    val nOrders = graft.Tables.orders(spark, TestSpark.sf).count()
+    val nOrders = graft.Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_orderkey") < 65536).count() // the bounded unit
     assert(v0.getLong(1) == nOrders, "snapshot 0 must be the full base table")
     assert(v1.getLong(1) < v0.getLong(1), "commit 1 deleted rows")
     assert(v1.getLong(3) < v0.getLong(3),
