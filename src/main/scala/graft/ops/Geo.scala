@@ -284,7 +284,53 @@ object Geo extends QueryModule {
       .orderBy(col("pid"))
   }
 
+  /** GRID DENSITY CLUSTERING (DBSCAN at cell granularity) — the spatial
+    * clustering pattern that actually scales: point stats collapse to ONE
+    * hash aggregate over the 8×8 cell grid (corpus-linear, map-side
+    * combinable), "core" cells are those denser than the grid mean
+    * (n·64 > total — exact integer algebra, no float threshold), adjacent
+    * core cells (8-neighbourhood, self-loop included so singleton cores
+    * survive) connect, and components are labeled with the shared
+    * [[graft.ops.LlmDedup.connectedComponents]] min-label/pointer-jumping
+    * loop — which runs on the CELL graph (≤ 64 nodes, bounded by grid
+    * resolution), never on points. At 100 TB the only data-scale work is
+    * the first aggregate; assignment back to points would be one
+    * broadcast join. Oracle: DuckDB recomputes the same components by
+    * recursive-CTE transitive closure over the (tiny, symmetric,
+    * self-looped) core adjacency — min reachable id is the identical
+    * fixpoint. */
+  def densityClusters(s: SparkSession, d: String): DataFrame = {
+    val C = 125000L
+    val cells = custPts(s, d)
+      .groupBy(expr(s"x div $C").as("gx"), expr(s"y div $C").as("gy"))
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    val core = cells.crossJoin(broadcast(total))
+      .filter(col("n") * 64 > col("total"))
+      .select(col("gx"), col("gy"), col("n"),
+        (col("gx") * 256 + col("gy")).as("id"))
+    val off = array((-1 to 1).map(lit): _*)
+    val nbrs = core
+      .withColumn("ox", explode(off)).withColumn("oy", explode(off))
+      .select(col("id").as("a_id"),
+        (col("gx") + col("ox")).as("ngx"), (col("gy") + col("oy")).as("ngy"))
+    val edges = nbrs.join(broadcast(core.select(
+        col("gx").as("ngx"), col("gy").as("ngy"), col("id").as("b_id"))),
+        Seq("ngx", "ngy"))
+      .select(col("a_id"), col("b_id"))
+    val labels = LlmDedup.connectedComponents(edges)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+    core.join(broadcast(labels), Seq("id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).cast("long").as("n_points"),
+        min(col("gx")).as("gx_min"), max(col("gx")).as("gx_max"),
+        min(col("gy")).as("gy_min"), max(col("gy")).as("gy_max"))
+      .orderBy(col("cluster_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_density_clusters" -> (densityClusters _),
     "geo_grid_join" -> (gridRadiusJoin _),
     "geo_knn" -> (knn _),
     "geo_density_grid" -> (densityGrid _),
@@ -315,6 +361,32 @@ object Geo extends QueryModule {
     }.mkString(" || ")
 
   override def oracleSql: Map[String, String] = Map(
+    // Components by recursive-CTE transitive closure over the symmetric
+    // self-looped core adjacency — min reachable id equals the Spark
+    // side's min-label fixpoint.
+    "geo_density_clusters" ->
+      s"""WITH c AS ($custSql),
+         |g AS (SELECT x // 125000 AS gx, y // 125000 AS gy,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM c GROUP BY 1, 2),
+         |t AS (SELECT SUM(n) AS total FROM g),
+         |core AS (SELECT gx, gy, n, gx * 256 + gy AS id
+         |  FROM g, t WHERE n * 64 > total),
+         |e AS (SELECT a.id AS a, b.id AS b FROM core a JOIN core b
+         |  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
+         |reach AS (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         |  SELECT a, b FROM r),
+         |lab AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT lab.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(core.n) AS BIGINT) AS n_points,
+         |  MIN(core.gx) AS gx_min, MAX(core.gx) AS gx_max,
+         |  MIN(core.gy) AS gy_min, MAX(core.gy) AS gy_max
+         |FROM core JOIN lab ON core.id = lab.id
+         |GROUP BY lab.cluster_id ORDER BY cluster_id""".stripMargin,
     // The raw quadratic predicate — proves grid blocking lost no pair.
     "geo_grid_join" ->
       s"""WITH c AS ($custSql), s AS ($supSql),

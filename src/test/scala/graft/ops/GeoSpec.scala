@@ -91,6 +91,39 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("geo_density_clusters: labeling matches a local union-find over core cells") {
+    val pts = graft.Tables.customer(spark, TestSpark.sf)
+      .select(expr("(c_custkey * 48271) % 1000000").as("x"),
+        expr("(c_custkey * 69621) % 1000000").as("y"))
+      .collect().map(r => (r.getLong(0) / 125000, r.getLong(1) / 125000))
+    val cells = pts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = cells.values.sum
+    val core = cells.filter { case (_, n) => n * 64 > total }
+    // Union-find — a different algorithm from both the query's min-label
+    // loop and the oracle's transitive closure.
+    val ids = core.keys.toSeq.sortBy(c => c._1 * 256 + c._2)
+    val parent = scala.collection.mutable.Map(ids.map(c => c -> c): _*)
+    def find(c: (Long, Long)): (Long, Long) = {
+      var r = c; while (parent(r) != r) r = parent(r); r
+    }
+    for (a <- ids; b <- ids
+         if (a._1 - b._1).abs <= 1 && (a._2 - b._2).abs <= 1) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val expected = ids.groupBy(find).map { case (_, members) =>
+      val mids = members.map(c => c._1 * 256 + c._2)
+      (mids.min, members.length.toLong, members.map(core).sum,
+        members.map(_._1).min, members.map(_._1).max,
+        members.map(_._2).min, members.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("geo_density_clusters")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(core.nonEmpty, "fixture sanity: some cells must be core")
+    assert(got == expected)
+  }
+
   test("geo_point_in_polygon: ray-cast parity matches the convex half-plane test") {
     // Independent containment: the quads are convex and CCW by
     // construction, so a point is strictly inside iff it is strictly left
