@@ -179,7 +179,45 @@ object Graph extends QueryModule {
       .limit(20)
   }
 
+  /** WEIGHTED SHORTEST PATHS — Bellman-Ford with a FIXED hop bound, the
+    * dataflow form of SSSP: 8 rounds of (distance table ⋈ edges → min per
+    * node), each round one keyed join + keyed aggregate over a |V|-row
+    * table with the lazily-checkpointed edge list scanned per round (the
+    * [[bfsLevels]] idiom). The semantics are PINNED as "cheapest cost
+    * using ≤ 8 hops" on both engines — the oracle unrolls the identical
+    * 8 relaxation steps in SQL, so the gate does not depend on the
+    * graph's diameter. Edge weight is data-derived and exact:
+    * 1 + (distinct trading (customer, supplier) pairs) mod 20. At scale
+    * each round shuffles |V| + |E| rows on the join key — the Pregel
+    * step — and the hop bound caps total work; for huge diameters swap
+    * in pointer-jumping shortcuts like connectedComponents. */
+  def shortestPaths(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"),
+        expr("c_custkey * 16777216 + s_suppkey").as("pair"))
+      .groupBy(col("src"), col("dst"))
+      .agg((lit(1L) + countDistinct(col("pair")) % 20L).as("w"))
+      .localCheckpoint(false)
+    var dist = Tables.nation(s, d).filter(col("n_nationkey") === 0)
+      .select(col("n_nationkey").cast("long").as("id"), lit(0L).as("cost"))
+    for (_ <- 1 to 8) {
+      val relax = dist.join(edges, dist("id") === edges("src"))
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(false)
+    }
+    dist.select(col("id").as("n_nationkey"), col("cost"))
+      .orderBy(col("n_nationkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_shortest_path" -> (shortestPaths _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_triangles" -> (triangles _),
     "graph_pagerank" -> (pagerank _),
@@ -195,7 +233,34 @@ object Graph extends QueryModule {
        |   FROM e JOIN $prev ON e.src = $prev.id
        |   JOIN outd ON e.src = outd.src GROUP BY e.dst) s USING (id)""".stripMargin
 
+  /** The oracle unrolls the same 8 Bellman-Ford relaxations (d0..d8);
+    * no recursion, so path enumeration can never explode. */
+  private val shortestPathSql: String = {
+    val steps = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT id, MIN(cost) AS cost FROM (
+         |  SELECT id, cost FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT CAST(e.dst AS BIGINT), d${i - 1}.cost + e.w
+         |  FROM d${i - 1} JOIN e ON d${i - 1}.id = e.src) u GROUP BY id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |    1 + COUNT(DISTINCT c_custkey * 16777216 + s_suppkey) % 20 AS w
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2),
+       |d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS cost),
+       |$steps
+       |SELECT id AS n_nationkey, CAST(cost AS BIGINT) AS cost
+       |FROM d8 ORDER BY n_nationkey""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "graph_shortest_path" -> shortestPathSql,
     "graph_link_prediction" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
         |  FROM lineitem),

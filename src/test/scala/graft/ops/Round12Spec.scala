@@ -62,6 +62,47 @@ class Round12Spec extends AnyFunSuite {
       s"bloom must prune at least one file for the absent key ($cMiss/$tMiss)")
   }
 
+  test("graph_shortest_path: Bellman-Ford optimality conditions hold at the fixpoint") {
+    val dist = SparkEntry.queries("graph_shortest_path")(spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(0L) == 0L, "the source costs zero")
+    assert(dist.size > 1, "fixture sanity: the trade graph reaches someone")
+    // Rebuild the weighted edges independently and assert no edge can
+    // still relax — the defining property of a shortest-path fixpoint
+    // (valid because the trade graph's hop diameter is < the 8 bound).
+    val e = Tables.lineitem(spark, TestSpark.sf)
+      .join(Tables.orders(spark, TestSpark.sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, TestSpark.sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, TestSpark.sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"),
+        expr("c_custkey * 16777216 + s_suppkey").as("pair"))
+      .groupBy(col("src"), col("dst"))
+      .agg((lit(1L) + countDistinct(col("pair")) % 20L).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    e.foreach { case (u, v, w) =>
+      (dist.get(u), dist.get(v)) match {
+        case (Some(du), Some(dv)) =>
+          assert(dv <= du + w, s"edge ($u->$v, w=$w) can still relax")
+        case (Some(_), None) =>
+          fail(s"$v unreachable though $u is — relaxation incomplete")
+        case _ => // u unreachable: nothing to assert
+      }
+    }
+    // Costs are genuine multi-hop: someone's cheapest route beats every
+    // direct edge into it, or equals one (never exceeds all).
+    e.groupBy(_._2).foreach { case (v, in) =>
+      dist.get(v).foreach { dv =>
+        val best = in.flatMap { case (u, _, w) => dist.get(u).map(_ + w) }
+        if (best.nonEmpty) assert(dv == best.min || dv == 0L)
+      }
+    }
+  }
+
   test("layout_history: per-version file algebra and row conservation") {
     val rows = SparkEntry.queries("layout_history")(spark, TestSpark.sf)
       .collect().sortBy(_.getInt(0))
