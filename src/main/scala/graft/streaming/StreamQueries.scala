@@ -48,7 +48,7 @@ object StreamQueries extends QueryModule {
     * form (the fixture has shipped both `timestamp[ns]`-as-long and
     * `timestamp[us]` NTZ — see [[Tables.events]]) and normalize to the
     * session-zoned TimestampType either way. */
-  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsPhysical = s.read
       .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -288,7 +288,52 @@ object StreamQueries extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** STREAM-STATIC JOIN — the enrichment primitive: the event stream joins
+    * a STATIC dimension (the batch-read nation table, keyed by
+    * user_id mod 25) and aggregates per nation name. Spark executes the
+    * static side as a broadcast re-resolved per micro-batch — no stream
+    * state at all, the scale-free dimension-enrichment path (contrast the
+    * watermark-stated stream-stream interval join). Complete-mode window
+    * so the drained sink is the final table; oracle joins relationally. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("seg"), col("n_name"))
+    val agg = streamEvents(s, d)
+      .withColumn("seg", col("user_id") % 25)
+      .join(broadcast(dim), Seq("seg"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).cast("long")
+          .as("cents"))
+    drain(s, agg, OutputMode.Complete(), "static_join")
+      .orderBy(col("n_name"))
+  }
+
+  /** STREAMING EXACTLY-ONCE DEDUP — the stream is deliberately DOUBLED
+    * (two file sources over the same parquet unioned) and
+    * `dropDuplicatesWithinWatermark` on the event id must collapse it back
+    * to exactly one row per event: state holds ids only within the
+    * watermark horizon (bounded — the production contract for
+    * at-least-once upstreams). The append-mode sink is then aggregated;
+    * the oracle recomputes from the raw table with each event ONCE, so
+    * the hash proves every duplicate died and no original did. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val doubled = streamEvents(s, d).unionByName(streamEvents(s, d))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    drain(s, doubled, OutputMode.Append(), "dedup")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(col("cents")).cast("long").as("cents"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stream_static_join" -> (streamStaticJoin _),
+    "ev_stream_dedup" -> (streamDedup _),
     "ev_stream_log_commits" -> (streamLogCommits _),
     "ev_stream_tumbling" -> (streamTumbling _),
     "ev_stream_sessions" -> (streamSessions _),
@@ -301,6 +346,24 @@ object StreamQueries extends QueryModule {
     s"CAST(CAST(SUM($inner) AS VARCHAR) AS DOUBLE)"
 
   override def oracleSql: Map[String, String] = Map(
+    // The static-dim enrichment relationally: every event keyed into its
+    // user's nation segment.
+    "ev_stream_static_join" ->
+      """SELECT n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // The doubled stream must collapse back to the raw table: each event
+    // exactly once.
+    "ev_stream_dedup" ->
+      """SELECT event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The log-visible union of all committed epochs must be EXACTLY the
     // input stream — recomputed from the raw events table.
     "ev_stream_log_commits" ->

@@ -62,6 +62,26 @@ class Round12Spec extends AnyFunSuite {
       s"bloom must prune at least one file for the absent key ($cMiss/$tMiss)")
   }
 
+  test("ev_stream_dedup: the premise holds — the doubled stream is 2x before dedup") {
+    // The oracle proves the DEDUPED result equals each-event-once; this
+    // pins the other half: the union really doubles, so the dedup had
+    // real work to do (not a vacuous pass over an already-unique stream).
+    import graft.streaming.StreamQueries
+    val raw = Tables.events(spark, TestSpark.sf).count()
+    val src = StreamQueries.streamEvents(spark, TestSpark.sf)
+      .unionByName(StreamQueries.streamEvents(spark, TestSpark.sf))
+      .groupBy().count()
+    val q = src.writeStream.outputMode("complete")
+      .format("memory").queryName("r12_dedup_premise").start()
+    q.processAllAvailable(); q.stop()
+    val doubled = spark.table("r12_dedup_premise").collect().head.getLong(0)
+    assert(doubled == 2 * raw, s"union of two sources must double: $doubled")
+    val out = SparkEntry.queries("ev_stream_dedup")(spark, TestSpark.sf)
+      .agg(sum(col("n_events"))).collect().head.getLong(0)
+    assert(out == raw, "deduped total must equal the raw table")
+    assert(raw > 0)
+  }
+
   test("graph_shortest_path: Bellman-Ford optimality conditions hold at the fixpoint") {
     val dist = SparkEntry.queries("graph_shortest_path")(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
