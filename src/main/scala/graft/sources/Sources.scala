@@ -628,7 +628,27 @@ object Sources extends QueryModule {
       .orderBy(col("n_rows"))
   }
 
+  /** Read through the custom DataSource V2 connector
+    * ([[graft.sources.v2.SyntheticProvider]]): the `id` range predicate
+    * pushes INTO the source (the scan generates only [4096, 8191] — the
+    * Scan description in the plan proves it, PlanAuditSpec asserts it),
+    * the `v % 3` predicate is untranslatable and stays a residual Spark
+    * filter, and projection prunes `tag` before it is ever computed. The
+    * table is a pure function of the row index, so the DuckDB `range()`
+    * oracle hash-proves the whole connector stack — a pushdown bug that
+    * dropped or duplicated a boundary row would change the hash. */
+  def customV2(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SyntheticProvider")
+      .option("rows", "65536").option("parts", "8").load()
+      .filter(col("id") >= 4096 && col("id") <= 8191 && col("v") % 3 === 0)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("long").as("sum_v"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("grp"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_custom_v2" -> (customV2 _),
     "src_json_corrupt" -> (jsonCorrupt _),
     "layout_compaction" -> (compactionPlan _),
     "layout_compaction_exec" -> (compactionExec _),
@@ -652,6 +672,18 @@ object Sources extends QueryModule {
   }.mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    // The synthetic table is a pure function of the row index: DuckDB
+    // regenerates [4096, 8191] and applies the residual arithmetic
+    // predicate — the hash proves the connector's pushdown kept exactly
+    // the boundary-inclusive range.
+    "src_custom_v2" ->
+      """WITH g AS (SELECT range AS id FROM range(4096, 8192)),
+        |s AS (SELECT id, id % 97 AS grp,
+        |    (id * 2654435761) % 1000003 AS v FROM g)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v, MAX(id) AS max_id
+        |FROM s WHERE v % 3 = 0
+        |GROUP BY grp ORDER BY grp""".stripMargin,
     // Closed-form from the corruption rule (key % 3 truncated): proves
     // corrupt rows are quarantined-not-dropped and valid rows survive.
     "src_json_corrupt" ->

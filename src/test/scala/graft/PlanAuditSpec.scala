@@ -418,6 +418,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"constraint tagging + zone split + audit needs zero joins:\n$p")
   }
 
+  test("src_custom_v2: range predicate pushes into the connector, projection prunes") {
+    val p = plan("src_custom_v2")
+    assert(p.contains("pushedRange=[4096,8191]"),
+      s"the id bounds must narrow the GENERATED range at the source:\n$p")
+    assert(!p.contains("tag"),
+      s"the unused tag column must be pruned before it is computed:\n$p")
+    // The untranslatable v % 3 predicate stays a residual Spark filter.
+    assert(p.contains("Filter"),
+      s"the arithmetic residual must remain a post-scan filter:\n$p")
+  }
+
   test("geo_grid_join: cell blocking is an equi-join — never a cross product") {
     val p = plan("geo_grid_join")
     assert(p.contains("BroadcastHashJoin"),

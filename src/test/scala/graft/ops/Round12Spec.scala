@@ -82,6 +82,31 @@ class Round12Spec extends AnyFunSuite {
     assert(raw > 0)
   }
 
+  test("src_custom_v2: connector pushdown is lossless vs an unfiltered read") {
+    // Read the SAME range through the connector WITHOUT any pushable
+    // predicate (filter applied after a barrier the translator cannot
+    // cross) and compare: pushdown must change the plan, never the rows.
+    val pushed = SparkEntry.queries("src_custom_v2")(spark, TestSpark.sf)
+      .collect().toSeq
+    val unpushed = spark.read
+      .format("graft.sources.v2.SyntheticProvider")
+      .option("rows", "65536").option("parts", "8").load()
+      .select(col("id"), col("grp"), col("v")) // same pruning
+      .withColumn("id2", col("id") + 0L) // breaks id-filter translation
+      .filter(col("id2") >= 4096 && col("id2") <= 8191 && col("v") % 3 === 0)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_v"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("grp")).collect().toSeq
+    assert(pushed == unpushed, "pushdown must not change results")
+    assert(pushed.nonEmpty)
+    // Partitioning sanity: the connector splits the range across tasks.
+    val parts = spark.read.format("graft.sources.v2.SyntheticProvider")
+      .option("rows", "1000").option("parts", "4").load()
+      .rdd.getNumPartitions
+    assert(parts == 4, s"expected 4 input partitions, got $parts")
+  }
+
   test("graph_shortest_path: Bellman-Ford optimality conditions hold at the fixpoint") {
     val dist = SparkEntry.queries("graph_shortest_path")(spark, TestSpark.sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
