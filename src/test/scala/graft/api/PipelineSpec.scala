@@ -126,6 +126,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(byName("pii_scan").getLong(1) > 0)
   }
 
+  test("GeoPipeline stages reproduce their gated queries") {
+    val api = new GeoPipeline
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "geo_grid_join" -> (api.radiusJoin _),
+      "geo_knn" -> (api.knn _),
+      "geo_density_grid" -> (api.densityGrid _),
+      "geo_density_clusters" -> (api.densityClusters _),
+      "geo_geohash_cells" -> (api.geohashCells _),
+      "geo_point_in_polygon" -> (api.pointInPolygon _),
+      "geo_haversine" -> (api.haversine _),
+    ).foreach { case (name, stage) =>
+      val a = stage(spark, TestSpark.sf)
+      val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)
+      assert(a.exceptAll(q).isEmpty && q.exceptAll(a).isEmpty,
+        s"$name: API stage must BE the gated query")
+    }
+  }
+
   test("MaintenancePipeline stages reproduce their gated queries; summary passes") {
     val api = new MaintenancePipeline
     val plan = api.compactionPlan(spark, TestSpark.sf)
