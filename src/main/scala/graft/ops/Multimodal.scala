@@ -843,7 +843,287 @@ object Multimodal extends QueryModule {
       .orderBy(col("hamming"))
   }
 
+  /** Real GIF LZW ENCODER (variable-width codes, LSB-first bit packing,
+    * 255-byte sub-block framing): genuine dictionary compression with
+    * table growth and width bumps, not a literals-plus-clears shortcut —
+    * a decoder without a working code table cannot read it. Width grows
+    * when the NEXT code would not fit (`nextCode > 2^size` after the
+    * add — the deferred, spec-standard timing that pairs with the
+    * decoder's `next == 2^size` rule, one table entry apart by
+    * construction); at 4096 the table resets through a CLEAR code. */
+  private def lzwEncode(pixels: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val codes = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    var codeSize = minCode + 1
+    def emit(c: Int): Unit = {
+      bitBuf |= c.toLong << bitCnt; bitCnt += codeSize
+      while (bitCnt >= 8) {
+        codes.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.LongMap.empty[Int]
+    var nextCode = eoi + 1
+    def key(prefix: Int, k: Int): Long = prefix.toLong << 16 | k
+    emit(clear)
+    var cur = pixels(0)
+    var i = 1
+    while (i < pixels.length) {
+      val k = pixels(i)
+      val hit = dict.getOrElse(key(cur, k), -1)
+      if (hit >= 0) cur = hit
+      else {
+        emit(cur)
+        if (nextCode < 4096) {
+          dict.put(key(cur, k), nextCode); nextCode += 1
+          if (nextCode > (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else { // table full: reset, spec-style
+          emit(clear); dict.clear(); nextCode = eoi + 1; codeSize = minCode + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur); emit(eoi)
+    if (bitCnt > 0) codes.write((bitBuf & 0xff).toInt)
+    // 255-byte sub-block framing + terminator.
+    val raw = codes.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(255, raw.length - off)
+      out.write(n); out.write(raw, off, n); off += n
+    }
+    out.write(0)
+    out.toByteArray
+  }
+
+  /** GIF asset table with REAL GIF89a files — the fourth rung of the
+    * codec ladder (WAV: raw PCM; BMP: layout tricks; PNG: filters +
+    * DEFLATE; GIF: LZW dictionary compression): header, logical screen
+    * descriptor, a 256-entry GRAYSCALE global color table (palette index
+    * = gray value, so the pixel stream is the byte stream), image
+    * descriptor, and the [[lzwEncode]]d indices in framed sub-blocks.
+    * Pixels are the single-channel logical text mapping (pixel i = text
+    * char i, space-padded to w·h); dims w = 6 + id%4, h = 4 + id%3. */
+  def gifAssets(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (pmod(col("doc_id"), lit(4)) + 6).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(3)) + 4).cast("int").as("h"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, w, h) =>
+          val txt = text.getBytes("UTF-8")
+          val px = Array.tabulate(w * h)(i =>
+            if (i < txt.length) txt(i) & 0xff else ' '.toInt)
+          val out = new java.io.ByteArrayOutputStream()
+          def le16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8 & 0xff) }
+          out.write("GIF89a".getBytes("US-ASCII"))
+          le16(w); le16(h)
+          out.write(0xF7) // GCT present, 8-bit color res, 256 entries
+          out.write(0); out.write(0) // background index, aspect
+          var g = 0
+          while (g < 256) { out.write(g); out.write(g); out.write(g); g += 1 }
+          out.write(0x2C) // image descriptor
+          le16(0); le16(0); le16(w); le16(h)
+          out.write(0) // no local table, not interlaced
+          out.write(8) // LZW minimum code size
+          out.write(lzwEncode(px, 8))
+          out.write(0x3B) // trailer
+          (id, out.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Real GIF LZW DECODER: concatenate the framed sub-blocks, read
+    * variable-width codes LSB-first, rebuild the string table as
+    * prefix/suffix links (including the KwKwK case — a code referencing
+    * the entry being defined), honor CLEAR resets, and bump the width
+    * when the table reaches 2^size. Returns the palette-index stream. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      maxPixels: Int): Array[Int] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    var next = eoi + 1
+    var codeSize = minCode + 1
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    val out = new Array[Int](maxPixels)
+    var n = 0
+    def readCode(): Int = {
+      while (bitCnt < codeSize) {
+        if (pos >= data.length) return -1
+        bitBuf |= (data(pos) & 0xffL) << bitCnt; bitCnt += 8; pos += 1
+      }
+      val c = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      c
+    }
+    val seq = new Array[Int](4096)
+    def expand(code: Int): Int = { // fills seq reversed, returns length
+      var c = code; var l = 0
+      while (c >= clear + 2) { seq(l) = suffix(c); l += 1; c = prefix(c) }
+      seq(l) = c; l + 1
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0 || code == eoi) done = true
+      else if (code == clear) { next = eoi + 1; codeSize = minCode + 1; prev = -1 }
+      else if (prev == -1) {
+        if (code >= clear || n >= maxPixels) return Array.empty
+        out(n) = code; n += 1; prev = code
+      } else {
+        val known = code < next && (code < clear || code >= clear + 2)
+        if (!known && code != next) return Array.empty
+        val l = if (known) expand(code)
+          else { val pl = expand(prev); // KwKwK: prev's string + its first
+            val first = seq(pl - 1)
+            var i = pl; while (i > 0) { seq(i) = seq(i - 1); i -= 1 }
+            seq(0) = first; pl + 1 }
+        if (n + l > maxPixels) return Array.empty
+        var i = l - 1
+        while (i >= 0) { out(n) = seq(i); n += 1; i -= 1 }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = seq(l - 1); next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    if (n == maxPixels) out else Array.empty
+  }
+
+  /** REAL GIF decode: verify the GIF87a/89a magic, parse the logical
+    * screen descriptor, read the global color table, skip any extension
+    * blocks (0x21-introduced, sub-block framed), parse the image
+    * descriptor (INCLUDING the four-pass interlace row order, which
+    * ImageIO emits by default — position weights map stream rows back to
+    * logical rows), de-frame and [[lzwDecode]] the code stream, and map
+    * indices through the palette's red channel. Returns Nil for anything
+    * malformed: bad magic, missing GCT, local color tables, truncated
+    * blocks, or a corrupt LZW stream (the same strict contract as
+    * [[decodeBmp]]/[[decodePng]]). */
+  private def decodeGif(bytes: Array[Byte]): Seq[(Long, Long, Long, Long, Long)] = {
+    if (bytes.length < 14) return Seq.empty
+    val magic = new String(bytes, 0, 6, "US-ASCII")
+    if (magic != "GIF89a" && magic != "GIF87a") return Seq.empty
+    def u16(o: Int): Int = (bytes(o) & 0xff) | (bytes(o + 1) & 0xff) << 8
+    val packed = bytes(10) & 0xff
+    if ((packed & 0x80) == 0) return Seq.empty // need a global color table
+    val gctSize = 2 << (packed & 7)
+    var off = 13
+    if (off + gctSize * 3 > bytes.length) return Seq.empty
+    val palR = new Array[Int](gctSize)
+    var i = 0
+    while (i < gctSize) { palR(i) = bytes(off + i * 3) & 0xff; i += 1 }
+    off += gctSize * 3
+    // Skip extension blocks; require an image descriptor next.
+    while (off < bytes.length && (bytes(off) & 0xff) == 0x21) {
+      off += 2 // introducer + label
+      while (off < bytes.length && bytes(off) != 0) off += (bytes(off) & 0xff) + 1
+      off += 1
+    }
+    if (off + 10 > bytes.length || (bytes(off) & 0xff) != 0x2C) return Seq.empty
+    val w = u16(off + 5); val h = u16(off + 7)
+    val ipacked = bytes(off + 9) & 0xff
+    if (w <= 0 || h <= 0 || (ipacked & 0x80) != 0) return Seq.empty
+    // Interlaced images store rows in the spec's four passes
+    // (0,8,16… then 4,12… then 2,6… then 1,3,5…): rowOf maps the
+    // stream row to its logical row so position weights stay honest.
+    val interlaced = (ipacked & 0x40) != 0
+    val rowOf: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else {
+        val order = Array.newBuilder[Int]
+        Seq((0, 8), (4, 8), (2, 4), (1, 2)).foreach { case (start, step) =>
+          var y = start; while (y < h) { order += y; y += step }
+        }
+        order.result()
+      }
+    off += 10
+    if (off >= bytes.length) return Seq.empty
+    val minCode = bytes(off) & 0xff
+    off += 1
+    // De-frame the LZW sub-blocks.
+    val data = new java.io.ByteArrayOutputStream()
+    var bl = if (off < bytes.length) bytes(off) & 0xff else -1
+    while (bl > 0) {
+      if (off + 1 + bl > bytes.length) return Seq.empty
+      data.write(bytes, off + 1, bl)
+      off += 1 + bl
+      bl = if (off < bytes.length) bytes(off) & 0xff else -1
+    }
+    if (bl != 0 || minCode < 2 || minCode > 8) return Seq.empty
+    val idx = lzwDecode(data.toByteArray, minCode, w * h)
+    if (idx.isEmpty) return Seq.empty
+    var sum = 0L; var wsum = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    i = 0
+    while (i < idx.length) {
+      if (idx(i) >= gctSize) return Seq.empty
+      val v = palR(idx(i)).toLong
+      val logical = rowOf(i / w).toLong * w + i % w
+      sum += v; wsum += logical * v
+      if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    Seq((w.toLong * h, sum, wsum, mn, mx))
+  }
+
+  /** Test hook: GIF interop + malformation cases. */
+  private[ops] def decodeGifForTest(bytes: Array[Byte]): Seq[(Long, Long, Long, Long, Long)] =
+    decodeGif(bytes)
+  private[ops] def lzwRoundTripForTest(px: Array[Int]): Array[Int] = {
+    val enc = lzwEncode(px, 8)
+    // de-frame
+    val data = new java.io.ByteArrayOutputStream()
+    var off = 0
+    var bl = enc(off) & 0xff
+    while (bl > 0) { data.write(enc, off + 1, bl); off += 1 + bl; bl = enc(off) & 0xff }
+    lzwDecode(data.toByteArray, 8, px.length)
+  }
+
+  /** Pixel statistics over genuinely decoded GIFs — the LZW rung of the
+    * decode ladder: every [[gifAssets]] payload runs through [[decodeGif]]
+    * (full dictionary decode, palette mapping) inside the mapPartitions
+    * codec contract, and the oracle re-derives the pixels character-
+    * arithmetically from the source text without parsing the container —
+    * a hash match proves the LZW round trip at the byte level, position-
+    * weighted so a scrambled decode order cannot pass. GifSpec
+    * additionally proves interop BOTH directions against ImageIO's stock
+    * GIF codec (our files read by it, its files read by us — including a
+    * large image that forces code-width growth and table resets). */
+  def gifPixelStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    gifAssets(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          decodeGif(bytes).map { case (n, sum, wsum, mn, mx) =>
+            (id, n, sum, wsum, mn, mx)
+          }
+        })
+      }
+      .toDF("doc_id", "n_px", "sum_v", "wsum_v", "min_v", "max_v")
+      .select(col("doc_id"), col("n_px"), col("sum_v"), col("wsum_v"),
+        col("min_v"), col("max_v"),
+        (col("sum_v").cast("double") / col("n_px").cast("double"))
+          .as("mean_v"))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_gif_pixels"  -> (gifPixelStats _),
     "mm_phash_recall" -> (phashRecall _),
     "mm_sniff_route" -> (sniffRoute _),
     "mm_phash_neardup" -> (phashNearDup _),
@@ -1030,6 +1310,32 @@ object Multimodal extends QueryModule {
     // (bottom-up rows, stride pad, LE headers) is never parsed here, so
     // equality proves the byte-level decode including the vertical flip
     // (the position-weighted sum is flip-sensitive).
+    // Same first-principles text derivation as mm_pixel_stats, single
+    // channel: the hash proves the LZW dictionary round trip, the
+    // palette mapping, and the position order.
+    "mm_gif_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 4 + 6 AS INT) AS w,
+        |    CAST(doc_id % 3 + 4 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, rpad(text, w * h, ' ') AS s
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_id, i.i AS i,
+        |    ord(substr(s, CAST(i.i + 1 AS INT), 1)) AS val
+        |  FROM px
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(w AS BIGINT) * h - 1)) AS i) i)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(val) AS BIGINT) AS sum_v,
+        |  CAST(SUM(i * val) AS BIGINT) AS wsum_v,
+        |  CAST(MIN(val) AS BIGINT) AS min_v,
+        |  CAST(MAX(val) AS BIGINT) AS max_v,
+        |  CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_pixel_stats" ->
       """WITH p AS (
         |  SELECT doc_id, text,
