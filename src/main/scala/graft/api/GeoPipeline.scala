@@ -49,4 +49,9 @@ class GeoPipeline {
   /** Great-circle distances (haversine, 6-dp portable rounding). */
   def haversine(s: SparkSession, dir: String): DataFrame =
     Geo.haversineCapitals(s, dir)
+
+  /** Per-entity movement statistics: exact L1 path length, largest hop,
+    * net displacement, and an integer straightness ratio. */
+  def trajectories(s: SparkSession, dir: String): DataFrame =
+    Geo.trajectories(s, dir)
 }

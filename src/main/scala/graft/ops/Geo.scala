@@ -329,7 +329,54 @@ object Geo extends QueryModule {
       .orderBy(col("cluster_id"))
   }
 
+  /** TRAJECTORY ANALYTICS — movement statistics per entity over the
+    * event stream: each event pins a deterministic position (the same
+    * LCG lattice as the point tables, keyed by event id), and per user
+    * the ordered hops yield total L1 path length, the largest single
+    * hop, net L1 displacement (first→last), and an integer straightness
+    * ratio (displacement·100 div path — 100 means a straight commute,
+    * small means wandering). L1 keeps every statistic exact BIGINT (an
+    * L2 path would need sqrt per hop — fine numerically, but the oracle
+    * gate would inherit float hazards for zero analytic gain). All
+    * windows partition on the entity — the catalog-wide no-global-window
+    * invariant applies — and the aggregate is one hash agg: per-entity
+    * trajectory state never leaves its shuffle partition, the shape that
+    * holds at any corpus size. */
+  def trajectories(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("(event_id * 48271) % 1000000").as("px"),
+        expr("(event_id * 69621) % 1000000").as("py"))
+      .withColumn("hop",
+        abs(col("px") - lag(col("px"), 1).over(w)) +
+          abs(col("py") - lag(col("py"), 1).over(w)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnd", row_number().over(wd))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_points"),
+        coalesce(sum(col("hop")), lit(0L)).cast("long").as("path_l1"),
+        coalesce(max(col("hop")), lit(0L)).cast("long").as("max_hop"),
+        sum(when(col("rn") === 1, col("px"))).as("fx"),
+        sum(when(col("rn") === 1, col("py"))).as("fy"),
+        sum(when(col("rnd") === 1, col("px"))).as("lx"),
+        sum(when(col("rnd") === 1, col("py"))).as("ly"))
+      .filter(col("n_points") >= 2)
+      .select(col("user_id"), col("n_points"), col("path_l1"), col("max_hop"),
+        (abs(col("lx") - col("fx")) + abs(col("ly") - col("fy")))
+          .cast("long").as("disp_l1"),
+        when(col("path_l1") === 0, 100L)
+          .otherwise(expr("(abs(lx - fx) + abs(ly - fy)) * 100 div path_l1"))
+          .cast("long").as("straightness_pct"))
+      .orderBy(col("user_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_trajectories" -> (trajectories _),
     "geo_density_clusters" -> (densityClusters _),
     "geo_grid_join" -> (gridRadiusJoin _),
     "geo_knn" -> (knn _),
@@ -361,6 +408,40 @@ object Geo extends QueryModule {
     }.mkString(" || ")
 
   override def oracleSql: Map[String, String] = Map(
+    // The same lag/row_number algebra relationally — every statistic is
+    // exact BIGINT, so the hash gate is float-free.
+    "geo_trajectories" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    (event_id * 48271) % 1000000 AS px,
+        |    (event_id * 69621) % 1000000 AS py
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, px, py,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rnd,
+        |    abs(px - lag(px) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) +
+        |    abs(py - lag(py) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS hop
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CAST(COALESCE(SUM(hop), 0) AS BIGINT) AS path_l1,
+        |    CAST(COALESCE(MAX(hop), 0) AS BIGINT) AS max_hop,
+        |    SUM(CASE WHEN rn = 1 THEN px END) AS fx,
+        |    SUM(CASE WHEN rn = 1 THEN py END) AS fy,
+        |    SUM(CASE WHEN rnd = 1 THEN px END) AS lx,
+        |    SUM(CASE WHEN rnd = 1 THEN py END) AS ly
+        |  FROM h GROUP BY user_id)
+        |SELECT user_id, n_points, path_l1, max_hop,
+        |  CAST(abs(lx - fx) + abs(ly - fy) AS BIGINT) AS disp_l1,
+        |  CAST(CASE WHEN path_l1 = 0 THEN 100
+        |    ELSE (abs(lx - fx) + abs(ly - fy)) * 100 // path_l1 END
+        |    AS BIGINT) AS straightness_pct
+        |FROM a WHERE n_points >= 2 ORDER BY user_id""".stripMargin,
     // Components by recursive-CTE transitive closure over the symmetric
     // self-looped core adjacency — min reachable id equals the Spark
     // side's min-label fixpoint.

@@ -137,6 +137,7 @@ class PipelineSpec extends AnyFunSuite {
       "geo_geohash_cells" -> (api.geohashCells _),
       "geo_point_in_polygon" -> (api.pointInPolygon _),
       "geo_haversine" -> (api.haversine _),
+      "geo_trajectories" -> (api.trajectories _),
     ).foreach { case (name, stage) =>
       val a = stage(spark, TestSpark.sf)
       val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)

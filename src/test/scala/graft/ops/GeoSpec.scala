@@ -124,6 +124,24 @@ class GeoSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("geo_trajectories: L1 metric invariants hold for every entity") {
+    val rows = SparkEntry.queries("geo_trajectories")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, path, maxHop, disp, straight) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n >= 2)
+      // Triangle inequality: net displacement never exceeds path length.
+      assert(disp <= path, s"user ${r.getLong(0)}: disp $disp > path $path")
+      assert(maxHop <= path)
+      assert(straight >= 0 && straight <= 100)
+      assert(path == 0 || straight == disp * 100 / path)
+    }
+    // Fixture sanity: someone actually wanders (straightness < 100).
+    assert(rows.exists(_.getLong(5) < 100))
+  }
+
   test("geo_point_in_polygon: ray-cast parity matches the convex half-plane test") {
     // Independent containment: the quads are convex and CCW by
     // construction, so a point is strictly inside iff it is strictly left
