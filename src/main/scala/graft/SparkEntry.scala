@@ -26,6 +26,7 @@ object SparkEntry {
     ops.Corpus,
     ops.Graph,
     ops.Geo,
+    ops.Ml,
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,

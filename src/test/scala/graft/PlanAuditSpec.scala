@@ -602,4 +602,44 @@ class PlanAuditSpec extends AnyFunSuite {
         s"multi-query rank must partition by q_id, got $keys")
     }
   }
+
+  test("ml_logreg_score: the weight table broadcasts and the cut is a TakeOrdered") {
+    val p = plan("ml_logreg_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the model join must broadcast the weights:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring must never shuffle the data for the model:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a distributed top-k merge, not a global sort:\n$p")
+  }
+
+  test("ml_tree_score / ml_gbdt_margin: every model join broadcasts") {
+    Seq("ml_tree_score", "ml_gbdt_margin").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: node-table joins must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: tree traversal must never shuffle the scored rows:\n$p")
+    }
+  }
+
+  test("ml_auc_exact: the score-grid cumsum partitions on the price bucket") {
+    assertBucketLocalized("ml_auc_exact", "score", "bucket")
+  }
+
+  test("ml_ndcg / ml_precision_at_k: rank windows partition per user") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("ml_ndcg", "ml_precision_at_k").foreach { q =>
+      val wins = SparkEntry.queries(q)(spark, TestSpark.sf)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q: expected per-user rank windows")
+      wins.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+        })
+        assert(keys.contains("user_id"),
+          s"$q: ranking metrics must window per user, got $keys")
+      }
+    }
+  }
 }
