@@ -27,6 +27,7 @@ object SparkEntry {
     ops.Graph,
     ops.Geo,
     ops.Ml,
+    ops.Survival,
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,

@@ -985,7 +985,42 @@ object Events extends QueryModule {
       .orderBy(col("channel"))
   }
 
+  /** Exponentially-weighted moving average of hourly event counts, per
+    * event type — the smoothing primitive under alerting baselines and
+    * trend dashboards. α = ½ with a 30-step truncation makes every weight
+    * a DYADIC rational (2⁻¹ … 2⁻³⁰), so the whole smoothed value is one
+    * exact BIGINT: each hourly count explodes into its 30 future target
+    * hours carrying count·2^(29−k) (k = lag), the per-target integer sum
+    * is order-free, and the single readout division by 2³⁰ is exact in
+    * IEEE (counts ≤ 2²³ keep the scaled sum under 53 bits). No recursion,
+    * no float accumulation, no rounding — the recurrence s_t = (x_t +
+    * s_{t−1})/2 is unrolled into a bounded fan-out join, which is the
+    * scale-right form: 30× the GRID size (a knob), partial+final summed,
+    * never a sequential scan. Truncation error vs the infinite recurrence
+    * is < 2⁻³⁰·max(x) — below the emitted precision. */
+  def ewmaGrid(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val hmax = counts.agg(max(col("h")).as("hmax"))
+    counts
+      .select(col("event_type"), col("h"), col("cnt"),
+        explode(sequence(lit(0), lit(29))).as("k"))
+      .select(col("event_type"), (col("h") + col("k")).as("t"),
+        (col("cnt") * expr("shiftleft(cast(1 as bigint), 29 - k)")).as("term"),
+        when(col("k") === 0, col("cnt")).otherwise(0L).as("x0"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("term")).as("scaled"), sum(col("x0")).as("x"))
+      .join(broadcast(hmax), col("t") <= col("hmax"))
+      .select(col("event_type"), col("t"), col("x"),
+        (col("scaled").cast("double") / 1073741824.0).as("ewma"))
+      .orderBy(col("event_type"), col("t"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ewma_grid" -> (ewmaGrid _),
     "ev_seasonality" -> (seasonality _),
     "ev_cohort_ltv" -> (cohortLtv _),
     "ev_sequence_negation" -> (sequenceNegation _),
@@ -1024,6 +1059,25 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_ewma_grid" ->
+      """WITH counts AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |hmax AS (SELECT MAX(h) AS hmax FROM counts),
+        |fan AS (
+        |  SELECT event_type, h + k AS t,
+        |    cnt * (CAST(1 AS BIGINT) << (29 - k)) AS term,
+        |    CASE WHEN k = 0 THEN cnt ELSE CAST(0 AS BIGINT) END AS x0
+        |  FROM counts CROSS JOIN (
+        |    SELECT UNNEST(range(0, 30)) AS k) ks)
+        |SELECT event_type, t, CAST(SUM(x0) AS BIGINT) AS x,
+        |  CAST(SUM(term) AS DOUBLE) / 1073741824.0 AS ewma
+        |FROM fan CROSS JOIN hmax
+        |WHERE t <= hmax
+        |GROUP BY event_type, t, hmax
+        |ORDER BY event_type, t""".stripMargin,
     "ev_interarrival" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -721,7 +721,51 @@ object Relational extends QueryModule {
       .orderBy(col("grp"))
   }
 
+  /** 2-D skyline (Pareto-optimal set) of orders on (order value, customer
+    * balance), maximizing both — the multi-objective "best tradeoffs"
+    * operator under product search and candidate pruning. A point is on
+    * the skyline iff no other point is ≥ in both coordinates and > in one.
+    *
+    * Scale shape: the quadratic dominance test collapses to a SUFFIX MAX
+    * over the x grid (a point survives iff its y exceeds every higher-x
+    * point's y), and that suffix max is bucket-localized exactly like the
+    * house prefix-sums: the unpartitioned window runs only on the
+    * knob-bounded bucket table (price range / 10⁴ rows); per-x suffix
+    * maxes partition on the bucket. Dominance never materializes a pair.
+    * Coordinates are floor-frozen to exact integers so cross-engine
+    * comparison is exact. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select(floor(col("o_totalprice")).cast("long").as("x"),
+        floor(col("c_acctbal") * 100.0).cast("long").as("y"))
+    val grp = pts.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+    val xm = grp.groupBy(col("x")).agg(max(col("y")).as("ymx"))
+      .withColumn("bucket", expr("x div 10000"))
+    val bk = xm.groupBy(col("bucket")).agg(max(col("ymx")).as("bmax"))
+    val wAbove = Window.orderBy(col("bucket"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val base = bk
+      .withColumn("above", max(col("bmax")).over(wAbove))
+      .select(col("bucket"), col("above"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("x"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val minL = lit(Long.MinValue)
+    val sky = xm.join(broadcast(base), Seq("bucket"))
+      .withColumn("m", greatest(
+        coalesce(max(col("ymx")).over(wIn), minL),
+        coalesce(col("above"), minL)))
+      .filter(col("ymx") > col("m"))
+      .select(col("x").as("sx"), col("ymx").as("sy"))
+    grp.join(sky, col("x") === col("sx") && col("y") === col("sy"))
+      .select(col("x"), col("y"), col("n"))
+      .orderBy(col("x"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_skyline" -> (skyline _),
     "rel_incr_agg_retract" -> (incrAggRetract _),
     "rel_ri_audit"       -> (riAudit _),
     "rel_benford"        -> (benford _),
@@ -763,6 +807,25 @@ object Relational extends QueryModule {
        |FROM $table""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // Direct suffix-max formulation over the x grid (the bucket split is a
+    // Spark-side plan optimization the algebra is invariant to).
+    "rel_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS x,
+        |    CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |grp AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pts GROUP BY x, y),
+        |xm AS (SELECT x, MAX(y) AS ymx FROM grp GROUP BY x),
+        |mk AS (SELECT x, ymx,
+        |    COALESCE(MAX(ymx) OVER (ORDER BY x
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+        |      CAST(-9223372036854775807 AS BIGINT) - 1) AS m
+        |  FROM xm),
+        |sky AS (SELECT x, ymx FROM mk WHERE ymx > m)
+        |SELECT g.x, g.y, g.n
+        |FROM grp g JOIN sky ON g.x = sky.x AND g.y = sky.ymx
+        |ORDER BY g.x""".stripMargin,
     // From-scratch recompute over the final membership predicate —
     // equality proves base (+) signed-delta merge == full recompute.
     "rel_incr_agg_retract" ->

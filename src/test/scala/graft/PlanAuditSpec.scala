@@ -541,7 +541,11 @@ class PlanAuditSpec extends AnyFunSuite {
       "month", "n_orders", "cents",
       "decile", "n_users", "n_events", "t_events", "share",
       // aggregated hourly grid (ev_interpolate/ev_gapfill fills)
-      "h", "v", "ph", "pv", "_w0")
+      "h", "v", "ph", "pv", "_w0",
+      // survival duration grid — bounded by the 48 h censoring window
+      "t", "d", "c", "n_risk", "term_mu", "dead", "d1", "x1", "n1",
+      // skyline price-bucket table (range/10⁴ rows)
+      "bmax")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val lp = fn(spark, TestSpark.sf).queryExecution.optimizedPlan
@@ -625,6 +629,39 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("ml_auc_exact: the score-grid cumsum partitions on the price bucket") {
     assertBucketLocalized("ml_auc_exact", "score", "bucket")
+  }
+
+  test("rel_skyline: the per-x suffix max partitions on the price bucket") {
+    assertBucketLocalized("rel_skyline", "x", "bucket")
+  }
+
+  test("ev_ewma_grid: no windows at all — the recurrence is a bounded fan-out join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("ev_ewma_grid")(spark, TestSpark.sf)
+      .queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "EWMA must unroll into explode + aggregate, not a sequential window")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"the hmax cap must broadcast:\n$p")
+  }
+
+  test("surv_km: grid windows read the aggregated duration grid, never raw events") {
+    assertWindowReadsAggregated("surv_km")
+  }
+
+  test("surv_km_arms: every curve window partitions on the cohort arm") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = SparkEntry.queries("surv_km_arms")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the per-arm curve windows")
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+      assert(keys.contains("arm"),
+        s"cohort curves must partition by arm, got $keys")
+    }
   }
 
   test("ml_ndcg / ml_precision_at_k: rank windows partition per user") {
