@@ -961,7 +961,54 @@ object Aggs extends QueryModule {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Poisson-bootstrap confidence interval for the mean order value — THE
+    * distributed bootstrap: instead of resampling n rows with replacement
+    * (which needs global coordination), each row independently draws a
+    * Poisson(1) multiplicity per replica, which converges to the same
+    * resampling distribution and is embarrassingly parallel — one map pass
+    * computes all B=32 replicas (the Chamandy et al. / "bag of little
+    * bootstraps"-era trick every 100-TB metrics pipeline uses).
+    *
+    * Determinism: the per-(row, replica) uniform comes from the md5
+    * convention; the Poisson draw inverts a LITERAL cdf table (constants
+    * identical in both engines — no transcendental is evaluated at query
+    * time); prices are exact integer cents, so each replica mean is one
+    * division of two exact BIGINTs. The CI is the 2nd/31st order statistic
+    * of the 32 replica means — a bounded sorted fold. */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val reps = o.select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u",
+        (Corpus.md5bucket(concat(lit("bs:"), col("o_orderkey"), lit(":"),
+          col("b")), 1000000).cast("double") + 0.5) / 1000000.0)
+      .withColumn("w",
+        cdf.zipWithIndex.reverse.foldLeft(lit(8L)) { case (e, (t, k)) =>
+          when(col("u") < t, lit(k.toLong)).otherwise(e)
+        })
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("cents")).as("wsum"))
+      .withColumn("mean_b",
+        col("wsum").cast("double") / (col("n_eff").cast("double") * 100.0))
+    val point = o.agg(
+      (sum(col("cents")).cast("double") /
+        (count(lit(1)).cast("double") * 100.0)).as("mean"))
+    reps.agg(sort_array(collect_list(col("mean_b"))).as("ms"),
+        count(lit(1)).as("n_replicas"))
+      .crossJoin(point)
+      .select(col("mean"), element_at(col("ms"), 2).as("ci_lo"),
+        element_at(col("ms"), 31).as("ci_hi"), col("n_replicas"))
+      .orderBy(col("n_replicas"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bootstrap_ci"  -> (bootstrapCi _),
     "agg_mutual_info"   -> (mutualInfo _),
     "agg_gini_wealth"   -> (giniWealth _),
     "agg_hist2d"        -> (hist2d _),
@@ -1003,6 +1050,41 @@ object Aggs extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "agg_bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |draws AS (
+        |  SELECT cents, ks.b,
+        |    (CAST(CAST(('0x' || substring(md5('bs:' ||
+        |        CAST(o_orderkey AS VARCHAR) || ':' || CAST(ks.b AS VARCHAR)),
+        |        1, 8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+        |  FROM o CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) ks),
+        |wt AS (
+        |  SELECT b, cents,
+        |    CASE WHEN u < 0.36787944117144233 THEN CAST(0 AS BIGINT)
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         WHEN u < 0.999916758850712 THEN 6
+        |         WHEN u < 0.9999897508033253 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM draws),
+        |reps AS (
+        |  SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+        |    CAST(SUM(w * cents) AS BIGINT) AS wsum
+        |  FROM wt GROUP BY b),
+        |ms AS (
+        |  SELECT list_sort(list(CAST(wsum AS DOUBLE) /
+        |      (CAST(n_eff AS DOUBLE) * 100.0))) AS l,
+        |    CAST(COUNT(*) AS BIGINT) AS n_replicas
+        |  FROM reps),
+        |pt AS (SELECT CAST(SUM(cents) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * 100.0) AS mean FROM o)
+        |SELECT mean, l[2] AS ci_lo, l[31] AS ci_hi, n_replicas
+        |FROM ms CROSS JOIN pt ORDER BY n_replicas""".stripMargin,
     "agg_mutual_info" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,

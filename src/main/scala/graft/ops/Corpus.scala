@@ -31,6 +31,27 @@ object Corpus extends QueryModule {
     * Map-only projection + one tiny groupBy; at 100 TB the split column is
     * computed in the scan's project and the aggregate is |splits|×|langs|
     * rows. */
+  /** Weighted sampling without replacement (k = 50, weight = n_chars) via
+    * A-Res (Efraimidis–Spirakis): each doc draws key = u^(1/w) and the
+    * top-k keys win — one map pass + a distributed TakeOrdered merge, the
+    * only scalable way to weight-sample 100 TB (no global RNG state, no
+    * rejection loop, restart-stable because u is the md5 convention, not
+    * an RNG). We rank by the monotone-equivalent ln(u)/w, floor-frozen to
+    * nano-units so the comparison is exact-integer cross-engine (a 1-ulp
+    * ln wobble flips a floor with probability ~10⁻⁹ per row). */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("n_chars") > 0)
+      .withColumn("u",
+        (md5bucket(concat(lit("ws:"), col("doc_id").cast("string")), 1000000)
+          .cast("double") + 0.5) / 1000000.0)
+      .withColumn("key_nano",
+        floor(lit(1.0e9) * log(col("u")) / col("n_chars").cast("double"))
+          .cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(50)
+
   def hashSplit(s: SparkSession, d: String): DataFrame = {
     val bucket = md5bucket(concat(lit("split:"), col("doc_id").cast("string")), 100)
     Tables.documents(s, d)
@@ -616,6 +637,7 @@ object Corpus extends QueryModule {
     "corpus_dsir"         -> (dsirScore _),
     "pipeline_corpus"     -> (corpusBuild _),
     "corpus_split"        -> (hashSplit _),
+    "corpus_weighted_sample" -> (weightedSample _),
     "corpus_pack"         -> (packSequences _),
     "corpus_length_batches" -> (lengthBatches _),
     "corpus_epoch_repeat" -> (epochRepeat _),
@@ -760,6 +782,16 @@ object Corpus extends QueryModule {
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  MIN(doc_id) AS first_doc
          |FROM split GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "corpus_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(FLOOR(1.0e9 * LN((CAST(CAST(('0x' ||
+        |        substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0) /
+        |      CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_nano
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, n_chars, key_nano
+        |FROM k ORDER BY key_nano DESC, doc_id LIMIT 50""".stripMargin,
     "corpus_split" ->
       """WITH b AS (
         |  SELECT doc_id, lang, n_chars,

@@ -631,6 +631,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assertBucketLocalized("ml_auc_exact", "score", "bucket")
   }
 
+  test("agg_bootstrap_ci / corpus_weighted_sample: map-only resampling — no shuffle joins, no windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("agg_bootstrap_ci", "corpus_weighted_sample").foreach { q =>
+      val qe = SparkEntry.queries(q)(spark, TestSpark.sf).queryExecution
+      assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        s"$q: resampling must not sort anything globally")
+      assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+        s"$q: nothing here may shuffle-join")
+    }
+    assert(plan("corpus_weighted_sample").contains("TakeOrderedAndProject"),
+      "the weighted top-k must be a distributed TakeOrdered merge")
+  }
+
   test("rel_skyline: the per-x suffix max partitions on the price bucket") {
     assertBucketLocalized("rel_skyline", "x", "bucket")
   }

@@ -32,6 +32,36 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("agg_bootstrap_ci: CI brackets the exact mean and replicas behave like Poisson(1)") {
+    val r = SparkEntry.queries("agg_bootstrap_ci")(spark, TestSpark.sf)
+      .collect().head
+    val cents = Tables.orders(spark, TestSpark.sf)
+      .select(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(_.getLong(0))
+    val exactMean = cents.sum.toDouble / (cents.length.toDouble * 100.0)
+    assert(r.getAs[Double]("mean") == exactMean)
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < hi)
+    assert(lo <= exactMean && exactMean <= hi,
+      s"the 2/31 order-stat CI [$lo,$hi] should bracket $exactMean")
+    assert(r.getAs[Long]("n_replicas") == 32L)
+  }
+
+  test("corpus_weighted_sample: deterministic and biased toward heavy docs") {
+    val got = SparkEntry.queries("corpus_weighted_sample")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 50)
+    val again = SparkEntry.queries("corpus_weighted_sample")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == again.toSeq) // md5 draws, not RNG: restart-stable
+    val pop = Tables.documents(spark, TestSpark.sf)
+      .filter(col("n_chars") > 0)
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > pop,
+      s"A-Res with weight=n_chars must oversample long docs: $sampleMean vs $pop")
+  }
+
   test("ev_ewma_grid: equals the truncated recurrence computed locally") {
     val counts = Tables.events(spark, TestSpark.sf)
       .select(col("event_type"),
