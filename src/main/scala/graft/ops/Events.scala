@@ -1019,7 +1019,49 @@ object Events extends QueryModule {
       .orderBy(col("event_type"), col("t"))
   }
 
+  /** CUSUM change-point detection per event type: the classic upper CUSUM
+    * recurrence c_t = max(0, c_{t−1} + x_t − k) over the hourly count
+    * grid, with k the type's own mean rate — the drift monitor that flags
+    * WHEN a stream's rate broke upward, not just that it did. The
+    * recurrence is inherently sequential, so it runs as ONE bounded fold
+    * over the sorted (≤ observation-window) hourly grid per type —
+    * per-type state is a 3-field struct, the corpus only ever passes
+    * through the hourly aggregate. Everything is exact integers: counts
+    * are scaled ×1000 and k is milli-frozen, so both engines fold
+    * identical BIGINTs. Reports the max drift and the first hour attaining
+    * it. */
+  def cusumDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val ref = counts.groupBy(col("event_type"))
+      .agg(floor(lit(1000.0) * sum(col("x")).cast("double") /
+          count(lit(1)).cast("double")).cast("long").as("k_milli"),
+        count(lit(1)).as("n_hours"))
+    counts.join(broadcast(ref), Seq("event_type"))
+      .groupBy(col("event_type"), col("k_milli"), col("n_hours"))
+      .agg(expr(
+        """aggregate(
+          |  array_sort(collect_list(struct(h, x))),
+          |  named_struct('c', CAST(0 AS BIGINT), 'cmax', CAST(0 AS BIGINT),
+          |    'hmax', CAST(-1 AS BIGINT)),
+          |  (st, e) -> named_struct(
+          |    'c', greatest(CAST(0 AS BIGINT), st.c + 1000 * e.x - k_milli),
+          |    'cmax', greatest(st.cmax,
+          |      greatest(CAST(0 AS BIGINT), st.c + 1000 * e.x - k_milli)),
+          |    'hmax', CASE WHEN
+          |        greatest(CAST(0 AS BIGINT), st.c + 1000 * e.x - k_milli)
+          |          > st.cmax
+          |      THEN e.h ELSE st.hmax END))""".stripMargin).as("st"))
+      .select(col("event_type"), col("k_milli"), col("n_hours"),
+        col("st.cmax").as("cusum_max"), col("st.hmax").as("h_at_max"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_cusum_drift" -> (cusumDrift _),
     "ev_ewma_grid" -> (ewmaGrid _),
     "ev_seasonality" -> (seasonality _),
     "ev_cohort_ltv" -> (cohortLtv _),
@@ -1059,6 +1101,44 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // The sequential recurrence unrolls as a recursive CTE stepping the
+    // per-type hour rank; MATERIALIZED per the multi-reference CTE rule.
+    "ev_cusum_drift" ->
+      """WITH RECURSIVE counts AS MATERIALIZED (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ref AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CAST(FLOOR(1000.0 * CAST(SUM(x) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS k_milli,
+        |    CAST(COUNT(*) AS BIGINT) AS n_hours
+        |  FROM counts GROUP BY 1),
+        |rn AS MATERIALIZED (
+        |  SELECT c.event_type, c.h, c.x, r.k_milli, r.n_hours,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.h)
+        |      AS BIGINT) AS r
+        |  FROM counts c JOIN ref r USING (event_type)),
+        |rec AS (
+        |  SELECT event_type, CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS c,
+        |    CAST(0 AS BIGINT) AS cmax, CAST(-1 AS BIGINT) AS hmax
+        |  FROM ref
+        |  UNION ALL
+        |  SELECT rn.event_type, rn.r,
+        |    GREATEST(CAST(0 AS BIGINT), rec.c + 1000 * rn.x - rn.k_milli),
+        |    GREATEST(rec.cmax,
+        |      GREATEST(CAST(0 AS BIGINT), rec.c + 1000 * rn.x - rn.k_milli)),
+        |    CASE WHEN GREATEST(CAST(0 AS BIGINT),
+        |        rec.c + 1000 * rn.x - rn.k_milli) > rec.cmax
+        |      THEN rn.h ELSE rec.hmax END
+        |  FROM rec JOIN rn ON rn.event_type = rec.event_type
+        |    AND rn.r = rec.r + 1)
+        |SELECT ref.event_type, ref.k_milli, ref.n_hours,
+        |  rec.cmax AS cusum_max, rec.hmax AS h_at_max
+        |FROM rec JOIN ref ON rec.event_type = ref.event_type
+        |  AND rec.r = ref.n_hours
+        |ORDER BY ref.event_type""".stripMargin,
     "ev_ewma_grid" ->
       """WITH counts AS (
         |  SELECT event_type,

@@ -648,6 +648,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assertBucketLocalized("rel_skyline", "x", "bucket")
   }
 
+  test("rel_skyline / survival: no O(n²) unbounded-FOLLOWING frame over an unbounded partition") {
+    // Spark recomputes unbounded-following frames per row; they are only
+    // allowed where the partition is knob-bounded (the ≤49-point survival
+    // grid). The skyline's 130k-point grid must use running-prefix frames.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.{SpecifiedWindowFrame, UnboundedFollowing}
+    val wins = SparkEntry.queries("rel_skyline")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val suffixFrames = w.expressions.flatMap(_.collect {
+        case f: SpecifiedWindowFrame if f.upper == UnboundedFollowing => f })
+      assert(suffixFrames.isEmpty,
+        s"skyline must phrase suffix maxes as descending running prefixes:\n$w")
+    }
+  }
+
+  test("ev_cusum_drift: window-free — the recurrence is one bounded fold per type") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("ev_cusum_drift")(spark, TestSpark.sf)
+      .queryExecution
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "CUSUM must fold per type, not window")
+    assert(!qe.executedPlan.toString.contains("SortMergeJoin"),
+      "the per-type reference rates must broadcast")
+  }
+
+  test("rel_basket_rules: the top-20 cut is a TakeOrdered merge") {
+    val p = plan("rel_basket_rules")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rule ranking must be a distributed top-k merge:\n$p")
+  }
+
   test("ev_ewma_grid: no windows at all — the recurrence is a bounded fan-out join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val qe = SparkEntry.queries("ev_ewma_grid")(spark, TestSpark.sf)

@@ -62,6 +62,61 @@ class Round13Spec extends AnyFunSuite {
       s"A-Res with weight=n_chars must oversample long docs: $sampleMean vs $pop")
   }
 
+  test("rel_basket_rules: rules match a brute-force miner and the measures are consistent") {
+    val op = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val itemCnt = op.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val pairCnt = op.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+      .filter(_._2 >= 3L)
+    val got = SparkEntry.queries("rel_basket_rules")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    got.foreach { case (ante, cons, cuv, cA, cC, conf, lift) =>
+      val key = if (ante < cons) (ante, cons) else (cons, ante)
+      assert(pairCnt(key) == cuv)
+      assert(itemCnt(ante) == cA && itemCnt(cons) == cC)
+      assert(conf == cuv.toDouble / cA)
+      assert(lift == (nOrders * cuv).toDouble / (cA * cC))
+      assert(conf > 0.0 && conf <= 1.0 && lift > 0.0)
+    }
+    // Top-20 really is the lift maximum over ALL rules.
+    if (got.nonEmpty) {
+      val allLifts = pairCnt.toSeq.flatMap { case ((u, v), cuv) =>
+        Seq((nOrders * cuv).toDouble / (itemCnt(u) * itemCnt(v)),
+          (nOrders * cuv).toDouble / (itemCnt(v) * itemCnt(u))) }
+      assert(got.head._7 == allLifts.max)
+    }
+  }
+
+  test("ev_cusum_drift: equals the sequential CUSUM recurrence computed locally") {
+    val counts = Tables.events(spark, TestSpark.sf)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = SparkEntry.queries("ev_cusum_drift")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    counts.groupBy(_._1).foreach { case (ty, rows) =>
+      val xs = rows.sortBy(_._2)
+      val k = math.floor(1000.0 * xs.map(_._3).sum.toDouble / xs.length).toLong
+      var c = 0L; var cmax = 0L; var hmax = -1L
+      xs.foreach { case (_, h, x) =>
+        c = math.max(0L, c + 1000L * x - k)
+        if (c > cmax) { cmax = c; hmax = h }
+      }
+      val (gk, gn, gcmax, ghmax) = got(ty)
+      assert(gk == k && gn == xs.length.toLong)
+      assert(gcmax == cmax, s"$ty cusum_max")
+      assert(ghmax == hmax, s"$ty h_at_max")
+    }
+  }
+
   test("ev_ewma_grid: equals the truncated recurrence computed locally") {
     val counts = Tables.events(spark, TestSpark.sf)
       .select(col("event_type"),
