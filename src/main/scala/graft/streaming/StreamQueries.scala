@@ -331,7 +331,36 @@ object StreamQueries extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** ONLINE MODEL SCORING — the streaming twin of [[graft.ops.Ml]]'s
+    * broadcast-model inference: every event is scored in the micro-batch
+    * map phase (type weight + value term, exact BIGINT milli-units), with
+    * ZERO streaming state — the model rides the closure/broadcast exactly
+    * as a production online scorer deploys. The append-mode sink is then
+    * aggregated per type (count, exact margin sum, flagged count), and the
+    * DuckDB oracle recomputes the same scores relationally — the hash
+    * proves the stream scored every event exactly once with the same
+    * arithmetic. */
+  def streamScore(s: SparkSession, d: String): DataFrame = {
+    val typeW = Seq("click" -> -200L, "error" -> -500L, "purchase" -> 800L,
+      "signup" -> 300L, "view" -> -100L)
+    val wExpr = typeW.foldLeft(lit(0L)) { case (e, (t, w)) =>
+      when(col("event_type") === t, lit(w)).otherwise(e)
+    }
+    val scored = streamEvents(s, d)
+      .select(col("event_id"), col("event_type"),
+        (wExpr + lit(3L) * floor(col("value")).cast("long"))
+          .as("margin_milli"))
+    drain(s, scored, OutputMode.Append(), "score")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("margin_milli")).as("sum_margin"),
+        sum(when(col("margin_milli") >= 1000L, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy(col("event_type"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stream_score" -> (streamScore _),
     "ev_stream_static_join" -> (streamStaticJoin _),
     "ev_stream_dedup" -> (streamDedup _),
     "ev_stream_log_commits" -> (streamLogCommits _),
@@ -346,6 +375,21 @@ object StreamQueries extends QueryModule {
     s"CAST(CAST(SUM($inner) AS VARCHAR) AS DOUBLE)"
 
   override def oracleSql: Map[String, String] = Map(
+    // The same scoring arithmetic relationally — every event once.
+    "ev_stream_score" ->
+      """WITH scored AS (
+        |  SELECT event_type,
+        |    (CASE event_type WHEN 'click' THEN CAST(-200 AS BIGINT)
+        |      WHEN 'error' THEN -500 WHEN 'purchase' THEN 800
+        |      WHEN 'signup' THEN 300 WHEN 'view' THEN -100
+        |      ELSE 0 END)
+        |      + 3 * CAST(FLOOR(value) AS BIGINT) AS margin_milli
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(margin_milli) AS BIGINT) AS sum_margin,
+        |  CAST(SUM(CASE WHEN margin_milli >= 1000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged
+        |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
     // The static-dim enrichment relationally: every event keyed into its
     // user's nation segment.
     "ev_stream_static_join" ->

@@ -146,6 +146,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ScoringPipeline stages reproduce their gated queries") {
+    val api = new ScoringPipeline
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "ml_logreg_score" -> (api.score _),
+      "ml_tree_score" -> (api.treeScore _),
+      "ml_gbdt_margin" -> (api.ensembleMargin _),
+      "ml_auc_exact" -> (api.auc _),
+      "ml_confusion" -> (api.confusion _),
+      "ml_calibration" -> (api.calibration _),
+      "ml_kfold" -> (api.kfold _),
+      "ml_target_encode" -> (api.targetEncode _),
+      "ml_woe_iv" -> (api.woeIv _),
+      "ml_feature_hash" -> (api.featureHash _),
+      "ml_ndcg" -> (api.ndcg _),
+      "ml_precision_at_k" -> (api.precisionAtK _),
+    ).foreach { case (name, stage) =>
+      val a = stage(spark, TestSpark.sf)
+      val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)
+      assert(a.exceptAll(q).isEmpty && q.exceptAll(a).isEmpty,
+        s"$name: API stage must BE the gated query")
+    }
+  }
+
   test("MaintenancePipeline stages reproduce their gated queries; summary passes") {
     val api = new MaintenancePipeline
     val plan = api.compactionPlan(spark, TestSpark.sf)
