@@ -216,7 +216,46 @@ object Graph extends QueryModule {
       .orderBy(col("n_nationkey"))
   }
 
+  /** k-core peeling trajectory (k = 3, 3 rounds) on the part co-purchase
+    * graph — the standard dense-subgraph / influence-zone primitive.
+    * Each round drops every vertex whose CURRENT degree < k and the edges
+    * touching it, then reports (round, vertices, edges) — the peeling
+    * curve an analyst reads to pick k. Fixed rounds keep the semantics
+    * closed-form for the oracle ("the trajectory", not "the fixpoint");
+    * each round is one degree aggregate + two semi-joins on vertex keys,
+    * the Pregel-free dataflow form that shards by vertex id at any scale.
+    */
+  def kcorePeel(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+    var edges = e0
+    val stats = (1 to 3).map { round =>
+      val deg = edges.select(col("u").as("id"))
+        .unionByName(edges.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= 3).select(col("id"))
+      edges = edges
+        .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+      val verts = edges.select(col("u").as("id"))
+        .unionByName(edges.select(col("v").as("id"))).distinct()
+      verts.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(round.toLong).as("round"), col("n_vertices"),
+          col("n_edges"))
+    }
+    stats.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (kcorePeel _),
     "graph_shortest_path" -> (shortestPaths _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_triangles" -> (triangles _),
@@ -259,7 +298,33 @@ object Graph extends QueryModule {
        |FROM d8 ORDER BY n_nationkey""".stripMargin
   }
 
+  /** One peeling round in the k-core oracle (all steps MATERIALIZED per
+    * the multi-reference CTE rule). */
+  private def kcoreRound(prev: String, n: Int): String =
+    s"""d$n AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS dg
+       |  FROM (SELECT u AS id FROM $prev UNION ALL SELECT v FROM $prev)
+       |  GROUP BY id),
+       |k$n AS MATERIALIZED (SELECT id FROM d$n WHERE dg >= 3),
+       |e$n AS MATERIALIZED (SELECT u, v FROM $prev
+       |  WHERE u IN (SELECT id FROM k$n) AND v IN (SELECT id FROM k$n)),
+       |s$n AS (SELECT CAST($n AS BIGINT) AS round,
+       |  (SELECT CAST(COUNT(DISTINCT id) AS BIGINT)
+       |   FROM (SELECT u AS id FROM e$n UNION ALL SELECT v FROM e$n))
+       |    AS n_vertices,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$n) AS n_edges)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "graph_kcore" ->
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+         |${kcoreRound("e0", 1)},
+         |${kcoreRound("e1", 2)},
+         |${kcoreRound("e2", 3)}
+         |SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL
+         |SELECT * FROM s3 ORDER BY round""".stripMargin,
     "graph_shortest_path" -> shortestPathSql,
     "graph_link_prediction" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -93,6 +93,30 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_kcore: matches a local peeling reference, monotone trajectory") {
+    val op = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = op.groupBy(_._1).toSeq.flatMap { case (_, items) =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.length >= 2).keys.toSeq
+    val want = (1 to 3).map { round =>
+      val deg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).map { case (k, g) => k -> g.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.length
+      (round.toLong, verts.toLong, edges.length.toLong)
+    }
+    val got = SparkEntry.queries("graph_kcore")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want)
+    // Peeling only shrinks the graph.
+    val es = got.map(_._3)
+    assert(es.zip(es.tail).forall { case (a, b) => a >= b })
+  }
+
   test("ev_cusum_drift: equals the sequential CUSUM recurrence computed locally") {
     val counts = Tables.events(spark, TestSpark.sf)
       .select(col("event_type"),
