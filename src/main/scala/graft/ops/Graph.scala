@@ -88,6 +88,9 @@ object Graph extends QueryModule {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("u"), col("v"))
+      // three consumers (deg, orientation join, the edge count) chain off
+      // the expensive self-join -> materialize once (lazy checkpoint)
+      .localCheckpoint(false)
     val deg = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("dg"))
@@ -97,6 +100,7 @@ object Graph extends QueryModule {
     val e = e0.join(du, Seq("u")).join(dv, Seq("v"))
       .select(when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(false) // three self-join aliases read it
     val wedges = e.as("e1").join(e.as("e2"), col("e1.t") === col("e2.s"))
       .select(col("e1.s").as("a"), col("e2.t").as("c"))
     val tri = wedges.join(e.as("e3"),
@@ -161,7 +165,9 @@ object Graph extends QueryModule {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("u"), col("v"))
+      .localCheckpoint(false) // read by adj twice + the anti-join
     val adj = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(false) // read by deg and both sides of the wedge join
     val deg = adj.groupBy(col("u").as("id")).agg(count(lit(1)).as("dg"))
     val common = adj.as("x").join(adj.as("y"), col("x.v") === col("y.v"))
       .filter(col("x.u") < col("y.u"))
@@ -235,7 +241,13 @@ object Graph extends QueryModule {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("u"), col("v"))
-    var edges = e0
+    // Each round's edge set is lazily checkpointed: it has THREE consumers
+    // (next round's degree table, the vertex count, the edge count) and
+    // chains off the expensive co-purchase self-join — without the cut,
+    // round 3's stats replay rounds 1–3 from the scan (measured 22+ s vs
+    // ~3 s at sf0.1). Same BPE lazy-localCheckpoint precedent as
+    // rel_skyline's grid.
+    var edges = e0.localCheckpoint(false)
     val stats = (1 to 3).map { round =>
       val deg = edges.select(col("u").as("id"))
         .unionByName(edges.select(col("v").as("id")))
@@ -244,6 +256,7 @@ object Graph extends QueryModule {
       edges = edges
         .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(false)
       val verts = edges.select(col("u").as("id"))
         .unionByName(edges.select(col("v").as("id"))).distinct()
       verts.agg(count(lit(1)).as("n_vertices"))
