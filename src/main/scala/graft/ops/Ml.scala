@@ -299,7 +299,9 @@ object Ml extends QueryModule {
       .withColumn("auc_num", col("r1_2") - col("n_pos") * (col("n_pos") + 1L))
       .withColumn("auc_den", lit(2L) * col("n_pos") * col("n_neg"))
       .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc_den"),
-        (col("auc_num").cast("double") / col("auc_den").cast("double"))
+        // single-class degenerate input → NULL (ANSI division would throw)
+        when(col("auc_den") =!= 0L,
+          col("auc_num").cast("double") / col("auc_den").cast("double"))
           .as("auc"))
       .orderBy(col("n_pos"))
   }
