@@ -1060,7 +1060,52 @@ object Events extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Wald's SPRT (sequential probability ratio test) on the daily
+    * conversion stream — the sequential A/B readout that DECIDES EARLY:
+    * test H1 "purchase rate = 0.15" against H0 "= 0.10" (α = β = 0.05) by
+    * accumulating the per-day log-likelihood ratio and stopping at the
+    * Wald bounds. Every event is a Bernoulli trial (success = purchase);
+    * the per-trial LLR increments and the bounds are LITERAL micro-nat
+    * integers (ln frozen at design time — zero query-time
+    * transcendentals), so the running statistic is an exact BIGINT
+    * prefix sum over the bounded daily grid. Emits the trajectory, the
+    * per-day verdict, and flags the FIRST crossing day. */
+  def sprt(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // floor(1e6·ln(.15/.10)), floor(1e6·ln(.85/.90)), Wald bounds
+    // floor(1e6·ln(.95/.05)) / floor(1e6·ln(.05/.95)).
+    val (aMu, bMu, up, lo) = (405465L, -57159L, 2944438L, -2944439L)
+    val daily = Tables.events(s, d)
+      .filter(pmod(col("user_id"), lit(2L)) === 1L) // the treatment arm
+      .select(to_date(col("ts")).as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("conv")).as("n_conv"))
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("llr_micro", sum(
+        col("n_conv") * aMu + (col("n_events") - col("n_conv")) * bMu)
+        .over(wRun))
+      .withColumn("verdict",
+        when(col("llr_micro") >= up, "accept_h1")
+          .when(col("llr_micro") <= lo, "accept_h0")
+          .otherwise("continue"))
+      .withColumn("first_decision",
+        when(col("verdict") =!= "continue" &&
+          coalesce(sum(when(col("llr_micro") >= up ||
+              col("llr_micro") <= lo, 1L).otherwise(0L)).over(wPrev),
+            lit(0L)) === 0L, 1L).otherwise(0L))
+      .select(col("day").cast("string").as("day"), col("n_events"),
+        col("n_conv"), col("llr_micro"), col("verdict"),
+        col("first_decision"))
+      .orderBy(col("day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sprt" -> (sprt _),
     "ev_cusum_drift" -> (cusumDrift _),
     "ev_ewma_grid" -> (ewmaGrid _),
     "ev_seasonality" -> (seasonality _),
@@ -1101,6 +1146,36 @@ object Events extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_sprt" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_conv
+        |  FROM events WHERE user_id % 2 = 1
+        |  GROUP BY CAST(ts AS DATE)),
+        |run AS (
+        |  SELECT day, n_events, n_conv,
+        |    CAST(SUM(n_conv * 405465 + (n_events - n_conv) * (-57159))
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS llr_micro
+        |  FROM daily),
+        |v AS (
+        |  SELECT *,
+        |    CASE WHEN llr_micro >= 2944438 THEN 'accept_h1'
+        |         WHEN llr_micro <= -2944439 THEN 'accept_h0'
+        |         ELSE 'continue' END AS verdict
+        |  FROM run)
+        |SELECT day, n_events, n_conv, llr_micro, verdict,
+        |  CASE WHEN verdict <> 'continue' AND COALESCE(
+        |      SUM(CASE WHEN llr_micro >= 2944438 OR llr_micro <= -2944439
+        |        THEN 1 ELSE 0 END) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      CAST(0 AS BIGINT)) = 0
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        |    AS first_decision
+        |FROM v ORDER BY day""".stripMargin,
     // The sequential recurrence unrolls as a recursive CTE stepping the
     // per-type hour rank; MATERIALIZED per the multi-reference CTE rule.
     "ev_cusum_drift" ->

@@ -545,7 +545,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // survival duration grid — bounded by the 48 h censoring window
       "t", "d", "c", "n_risk", "term_mu", "dead", "d1", "x1", "n1",
       // skyline price-bucket table (range/10⁴ rows)
-      "bmax")
+      "bmax",
+      // SPRT daily grid — bounded by the observation window
+      "day", "n_conv", "llr_micro", "verdict")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val lp = fn(spark, TestSpark.sf).queryExecution.optimizedPlan

@@ -93,6 +93,36 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("ev_sprt: equals the local Wald recurrence; at most one first-decision day") {
+    val daily = Tables.events(spark, TestSpark.sf)
+      .filter(pmod(col("user_id"), lit(2L)) === 1L)
+      .select(to_date(col("ts")).cast("string").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var llr = 0L
+    val want = daily.map { case (day, n, x) =>
+      llr += x * 405465L + (n - x) * -57159L
+      (day, llr)
+    }
+    val got = SparkEntry.queries("ev_sprt")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("llr_micro"),
+        r.getAs[String]("verdict"), r.getAs[Long]("first_decision")))
+    assert(got.map(t => (t._1, t._2)).toSeq == want.toSeq)
+    got.foreach { case (_, l, v, _) =>
+      val expect = if (l >= 2944438L) "accept_h1"
+        else if (l <= -2944439L) "accept_h0" else "continue"
+      assert(v == expect)
+    }
+    assert(got.count(_._4 == 1L) <= 1)
+    // The flag, when present, marks the FIRST crossing.
+    got.find(_._4 == 1L).foreach { first =>
+      assert(got.takeWhile(_._1 < first._1).forall(_._3 == "continue"))
+    }
+  }
+
   test("graph_kcore: matches a local peeling reference, monotone trajectory") {
     val op = Tables.lineitem(spark, TestSpark.sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
