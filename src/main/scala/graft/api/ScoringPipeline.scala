@@ -67,4 +67,8 @@ class ScoringPipeline {
   /** Precision@5 per user. */
   def precisionAtK(s: SparkSession, dir: String): DataFrame =
     Ml.precisionAtK(s, dir)
+
+  /** Split-conformal interval: residual quantile + empirical coverage. */
+  def conformal(s: SparkSession, dir: String): DataFrame =
+    Ml.conformal(s, dir)
 }

@@ -427,6 +427,61 @@ object Ml extends QueryModule {
       .agg(count(lit(1)).as("n"), sum(col("sign")).as("net"))
       .orderBy(col("bucket"))
 
+  /** Split-conformal prediction interval: a calibration half (md5 split)
+    * fits a per-segment mean model and yields the residual quantile q̂ =
+    * the ⌈(n+1)(1−α)⌉-th smallest |price − μ_seg| (α = 0.1); the other
+    * half measures empirical coverage of μ ± q̂ — the
+    * distribution-free uncertainty wrapper a model-driven curation loop
+    * puts around ANY scorer. The residual order statistic runs on the
+    * integer residual GRID with the bucket-localized cumulative-count
+    * pattern ([[aucExact]]); residuals are floor-frozen cents, μ is one
+    * exact-sum division, and the only other float op is the (n+1)·0.9
+    * rank cutoff (identical double both engines). */
+  def conformal(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = base(s, d)
+      .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("split", Corpus.md5bucket(
+        concat(lit("cal:"), col("o_orderkey").cast("string")), 2))
+    val mu = pts.filter(col("split") === 0L)
+      .groupBy(col("seg"))
+      .agg((sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+        .as("mu"))
+    val res = pts.join(broadcast(mu), Seq("seg"))
+      .withColumn("r", floor(abs(col("cents").cast("double") - col("mu")))
+        .cast("long"))
+    val cal = res.filter(col("split") === 0L)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val grid = cal.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", expr("r div 100000"))
+    val bk = grid.groupBy(col("bucket")).agg(sum(col("cnt")).as("bc"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bse = bk.withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("bucket"), col("base"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = grid.join(broadcast(bse), Seq("bucket"))
+      .withColumn("cum", col("base") + sum(col("cnt")).over(wIn))
+      .crossJoin(broadcast(nCal))
+      .withColumn("k",
+        ceil((col("n_cal") + 1L).cast("double") * 0.9).cast("long"))
+      .filter(col("cum") >= col("k"))
+      .agg(min(col("r")).as("q_hat"), max(col("k")).as("k"),
+        max(col("n_cal")).as("n_cal"))
+    res.filter(col("split") === 1L)
+      .crossJoin(broadcast(qhat))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
+      .orderBy(col("n_cal"))
+  }
+
   // -------------------------------------------------------- ranking metrics
 
   /** Integer NDCG gain table: wᵣ = floor(10⁶ / log2(r+1)) freezes the
@@ -502,6 +557,7 @@ object Ml extends QueryModule {
     "ml_feature_hash" -> (featureHash _),
     "ml_ndcg" -> (ndcgAtK _),
     "ml_precision_at_k" -> (precisionAtK _),
+    "ml_conformal" -> (conformal _),
   )
 
   private val eventsRelSql =
@@ -510,6 +566,41 @@ object Ml extends QueryModule {
       |       ELSE CAST(0 AS BIGINT) END AS rel FROM events)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "ml_conformal" ->
+      s"""WITH base AS ($baseSql),
+         |pts AS (SELECT o_orderkey, c_mktsegment AS seg,
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         |    CAST(('0x' || substring(md5('cal:' ||
+         |      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS split
+         |  FROM base),
+         |mu AS (SELECT seg,
+         |    CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+         |  FROM pts WHERE split = 0 GROUP BY seg),
+         |res AS (SELECT p.split,
+         |    CAST(FLOOR(ABS(CAST(p.cents AS DOUBLE) - mu.mu)) AS BIGINT) AS r
+         |  FROM pts p JOIN mu ON p.seg = mu.seg),
+         |ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal
+         |  FROM res WHERE split = 0),
+         |grid AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM res WHERE split = 0 GROUP BY r),
+         |cum AS (SELECT r, CAST(SUM(cnt) OVER (ORDER BY r
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum FROM grid),
+         |q AS (SELECT MIN(r) AS q_hat,
+         |    CAST(MAX(CEIL(CAST(n_cal + 1 AS DOUBLE) * 0.9)) AS BIGINT) AS k,
+         |    CAST(MAX(n_cal) AS BIGINT) AS n_cal
+         |  FROM cum CROSS JOIN ncal
+         |  WHERE cum >= CAST(CEIL(CAST(n_cal + 1 AS DOUBLE) * 0.9) AS BIGINT))
+         |SELECT q.n_cal, q.k, q.q_hat,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CAST(SUM(CASE WHEN r <= q_hat THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS coverage
+         |FROM res CROSS JOIN q
+         |WHERE split = 1
+         |GROUP BY q.n_cal, q.k, q.q_hat
+         |ORDER BY q.n_cal""".stripMargin,
     "ml_logreg_score" ->
       s"""WITH $marginsSql
          |SELECT o_orderkey, y, margin_milli,

@@ -162,6 +162,7 @@ class PipelineSpec extends AnyFunSuite {
       "ml_feature_hash" -> (api.featureHash _),
       "ml_ndcg" -> (api.ndcg _),
       "ml_precision_at_k" -> (api.precisionAtK _),
+      "ml_conformal" -> (api.conformal _),
     ).foreach { case (name, stage) =>
       val a = stage(spark, TestSpark.sf)
       val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)

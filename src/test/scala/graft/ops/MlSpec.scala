@@ -157,6 +157,19 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_conformal: splits partition the data and coverage lands near 1-alpha") {
+    val r = rows("ml_conformal").head
+    val total = Tables.orders(spark, TestSpark.sf).count()
+    assert(r.getAs[Long]("n_cal") + r.getAs[Long]("n_test") == total)
+    val k = r.getAs[Long]("k")
+    assert(k == math.ceil((r.getAs[Long]("n_cal") + 1L).toDouble * 0.9).toLong)
+    assert(r.getAs[Long]("q_hat") > 0L)
+    val cov = r.getAs[Double]("coverage")
+    // Split-conformal guarantee: coverage ≥ 1-α in expectation; with
+    // ~750 test rows the empirical value stays well inside this band.
+    assert(cov > 0.82 && cov <= 1.0, s"coverage $cov out of band")
+  }
+
   test("ml_gbdt_margin: margins stay inside the ensemble's reachable sum range") {
     // Reachable per-tree leaf ranges: t0 ∈ [-2,3], t1 ∈ [-1,2], t2 ∈ [-1,2].
     rows("ml_gbdt_margin").foreach { r =>
