@@ -71,4 +71,12 @@ class ScoringPipeline {
   /** Split-conformal interval: residual quantile + empirical coverage. */
   def conformal(s: SparkSession, dir: String): DataFrame =
     Ml.conformal(s, dir)
+
+  /** Average precision (PR-AUC) from frozen-integer contributions. */
+  def prAuc(s: SparkSession, dir: String): DataFrame =
+    Ml.prAuc(s, dir)
+
+  /** Cumulative gains / lift table by score decile. */
+  def liftGains(s: SparkSession, dir: String): DataFrame =
+    Ml.liftGains(s, dir)
 }

@@ -306,6 +306,98 @@ object Ml extends QueryModule {
       .orderBy(col("n_pos"))
   }
 
+  /** Average precision (PR-AUC) over the price-score ranking: AP =
+    * Σ_over-positives precision@rank / n_pos, computed on the DISTINCT
+    * score grid with descending cumulative tp/fp counts (midpoint
+    * convention for ties: every positive in a tied block sees the block's
+    * full cumulative precision — the standard grouped-AP form).
+    * Per-grid-row contributions are rationals of exact BIGINTs whose SUM
+    * would be float-order-dependent, so each contribution is floor-frozen
+    * to nano-units first — the [[Survival]] micro-nat trick — making the
+    * total an exact BIGINT. The descending cumsum is bucket-localized
+    * exactly like [[aucExact]]. */
+  def prAuc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = base(s, d)
+      .select(floor(col("o_totalprice")).cast("long").as("score"), col("y"))
+    val vc = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+      .withColumn("bucket", floor(col("score") / 10000.0).cast("long"))
+    val bk = vc.groupBy(col("bucket")).agg(
+      sum(col("c")).as("bc"), sum(col("c1")).as("bc1"))
+    // descending cum: running prefix over bucket DESC / score DESC
+    val wB = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bse = bk
+      .withColumn("baseC", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .withColumn("baseC1", coalesce(sum(col("bc1")).over(wB), lit(0L)))
+      .select(col("bucket"), col("baseC"), col("baseC1"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    vc.join(broadcast(bse), Seq("bucket"))
+      .withColumn("cumN", col("baseC") + sum(col("c")).over(wIn))
+      .withColumn("cumTp", col("baseC1") + sum(col("c1")).over(wIn))
+      .withColumn("contrib_nano",
+        when(col("c1") > 0L,
+          floor(lit(1.0e9) * col("c1").cast("double") *
+            (col("cumTp").cast("double") / col("cumN").cast("double")))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .agg(sum(col("c1")).cast("long").as("n_pos"),
+        sum(col("c") - col("c1")).cast("long").as("n_neg"),
+        sum(col("contrib_nano")).cast("long").as("ap_sum_nano"))
+      .withColumn("avg_precision",
+        col("ap_sum_nano").cast("double") /
+          (lit(1.0e9) * col("n_pos").cast("double")))
+      .orderBy(col("n_pos"))
+  }
+
+  /** Cumulative gains / lift table by score decile — the campaign-targeting
+    * readout ("mailing the top 30% captures X% of converters"). Deciles
+    * come from the exact margin rank (bucket-localized, as everywhere);
+    * all counts integer, gains and lift single float expressions of exact
+    * BIGINTs. */
+  def liftGains(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = margins(s, d)
+      .withColumn("bucket", floor(col("margin_milli") / 250.0).cast("long"))
+    val vc = m.groupBy(col("bucket"), col("margin_milli"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    val bk = vc.groupBy(col("bucket")).agg(sum(col("c")).as("bc"))
+    val wB = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bse = bk.withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .select(col("bucket"), col("base"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("margin_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = m.agg(count(lit(1)).as("n_tot"), sum(col("y")).as("pos_tot"))
+    // rank range of each margin group → its decile(s); a group spans
+    // deciles only at boundaries, so assign by the group's FIRST rank
+    // (deterministic, documented — the standard grouped-decile form).
+    vc.join(broadcast(bse), Seq("bucket"))
+      .withColumn("before",
+        col("base") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile",
+        floor(col("before").cast("double") * 10.0 /
+          col("n_tot").cast("double")).cast("long") + 1L)
+      .groupBy(col("decile"))
+      .agg(sum(col("c")).as("n"), sum(col("c1")).as("n_pos"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gain",
+        col("cum_pos").cast("double") / col("pos_tot").cast("double"))
+      .withColumn("lift",
+        (col("n_pos") * col("n_tot")).cast("double") /
+          (col("n") * col("pos_tot")).cast("double"))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
+        col("gain"), col("lift"))
+      .orderBy(col("decile"))
+  }
+
   /** Threshold sweep → confusion counts + precision/recall/F1. Five literal
     * thresholds explode against the exact margins (constant 5× fanout, then
     * partial+final integer counts). F1 computed as the single division
@@ -558,6 +650,8 @@ object Ml extends QueryModule {
     "ml_ndcg" -> (ndcgAtK _),
     "ml_precision_at_k" -> (precisionAtK _),
     "ml_conformal" -> (conformal _),
+    "ml_pr_auc" -> (prAuc _),
+    "ml_lift_gains" -> (liftGains _),
   )
 
   private val eventsRelSql =
@@ -566,6 +660,62 @@ object Ml extends QueryModule {
       |       ELSE CAST(0 AS BIGINT) END AS rel FROM events)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "ml_pr_auc" ->
+      s"""WITH base AS ($baseSql),
+         |scored AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS score, y
+         |  FROM base),
+         |vc AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(SUM(y) AS BIGINT) AS c1
+         |  FROM scored GROUP BY score),
+         |cum AS (SELECT c, c1,
+         |    CAST(SUM(c) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cumN,
+         |    CAST(SUM(c1) OVER (ORDER BY score DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cumTp
+         |  FROM vc)
+         |SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+         |  CAST(SUM(c - c1) AS BIGINT) AS n_neg,
+         |  CAST(SUM(CASE WHEN c1 > 0 THEN
+         |    CAST(FLOOR(1.0e9 * CAST(c1 AS DOUBLE) *
+         |      (CAST(cumTp AS DOUBLE) / CAST(cumN AS DOUBLE))) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS ap_sum_nano,
+         |  CAST(SUM(CASE WHEN c1 > 0 THEN
+         |    CAST(FLOOR(1.0e9 * CAST(c1 AS DOUBLE) *
+         |      (CAST(cumTp AS DOUBLE) / CAST(cumN AS DOUBLE))) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END) AS DOUBLE) /
+         |    (1.0e9 * CAST(SUM(c1) AS DOUBLE)) AS avg_precision
+         |FROM cum ORDER BY n_pos""".stripMargin,
+    "ml_lift_gains" ->
+      s"""WITH $marginsSql,
+         |vc AS (SELECT margin_milli, CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(SUM(y) AS BIGINT) AS c1
+         |  FROM margins GROUP BY margin_milli),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+         |    CAST(SUM(y) AS BIGINT) AS pos_tot FROM margins),
+         |rk AS (SELECT *,
+         |    COALESCE(SUM(c) OVER (ORDER BY margin_milli DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      CAST(0 AS BIGINT)) AS before
+         |  FROM vc),
+         |dec AS (SELECT
+         |    CAST(FLOOR(CAST(before AS DOUBLE) * 10.0 /
+         |      CAST(n_tot AS DOUBLE)) AS BIGINT) + 1 AS decile, c, c1
+         |  FROM rk CROSS JOIN tot),
+         |g AS (SELECT decile, CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(c1) AS BIGINT) AS n_pos
+         |  FROM dec GROUP BY decile)
+         |SELECT decile, n, n_pos,
+         |  CAST(SUM(n_pos) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_pos,
+         |  CAST(SUM(n_pos) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+         |    CAST(pos_tot AS DOUBLE) AS gain,
+         |  CAST(n_pos * n_tot AS DOUBLE) / CAST(n * pos_tot AS DOUBLE)
+         |    AS lift
+         |FROM g CROSS JOIN tot ORDER BY decile""".stripMargin,
     "ml_conformal" ->
       s"""WITH base AS ($baseSql),
          |pts AS (SELECT o_orderkey, c_mktsegment AS seg,

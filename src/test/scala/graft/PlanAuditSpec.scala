@@ -547,7 +547,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // skyline price-bucket table (range/10⁴ rows)
       "bmax",
       // SPRT daily grid — bounded by the observation window
-      "day", "n_conv", "llr_micro", "verdict")
+      "day", "n_conv", "llr_micro", "verdict",
+      // PR-AUC / lift bucket & decile grids (knob-bounded)
+      "bc1", "n_pos", "n_tot", "pos_tot", "cum_pos")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val lp = fn(spark, TestSpark.sf).queryExecution.optimizedPlan

@@ -163,6 +163,8 @@ class PipelineSpec extends AnyFunSuite {
       "ml_ndcg" -> (api.ndcg _),
       "ml_precision_at_k" -> (api.precisionAtK _),
       "ml_conformal" -> (api.conformal _),
+      "ml_pr_auc" -> (api.prAuc _),
+      "ml_lift_gains" -> (api.liftGains _),
     ).foreach { case (name, stage) =>
       val a = stage(spark, TestSpark.sf)
       val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)

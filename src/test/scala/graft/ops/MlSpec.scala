@@ -170,6 +170,48 @@ class MlSpec extends AnyFunSuite {
     assert(cov > 0.82 && cov <= 1.0, s"coverage $cov out of band")
   }
 
+  test("ml_pr_auc: matches the local grouped average precision") {
+    val base = Tables.orders(spark, TestSpark.sf)
+      .select(floor(col("o_totalprice")).cast("long").as("s"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val grid = base.groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (s, g) => (s, g.length.toLong, g.map(_._2).sum) }
+    var cumN = 0L; var cumTp = 0L; var apNano = 0L
+    grid.foreach { case (_, c, c1) =>
+      cumN += c; cumTp += c1
+      if (c1 > 0)
+        apNano += math.floor(1.0e9 * c1.toDouble *
+          (cumTp.toDouble / cumN.toDouble)).toLong
+    }
+    val r = rows("ml_pr_auc").head
+    assert(r.getAs[Long]("ap_sum_nano") == apNano)
+    val nPos = r.getAs[Long]("n_pos")
+    assert(nPos == base.count(_._2 == 1L).toLong)
+    assert(nPos + r.getAs[Long]("n_neg") == base.length.toLong)
+    val ap = r.getAs[Double]("avg_precision")
+    assert(ap > 0.0 && ap <= 1.0)
+    // A random ranking's AP ≈ base rate; the sanity floor.
+    assert(ap >= nPos.toDouble / base.length * 0.5)
+  }
+
+  test("ml_lift_gains: deciles partition the cohort, gains monotone to 1.0") {
+    val rs = rows("ml_lift_gains").map(r => (r.getAs[Long]("decile"),
+      r.getAs[Long]("n"), r.getAs[Long]("n_pos"), r.getAs[Long]("cum_pos"),
+      r.getAs[Double]("gain"), r.getAs[Double]("lift")))
+    val total = Tables.orders(spark, TestSpark.sf).count()
+    assert(rs.map(_._2).sum == total)
+    assert(rs.forall(t => t._1 >= 1L && t._1 <= 10L))
+    val cums = rs.sortBy(_._1).map(_._4)
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(rs.sortBy(_._1).last._5 - 1.0) < 1e-12) // all positives captured
+    val posTot = rs.map(_._3).sum
+    rs.foreach { case (_, n, nPos, _, _, lift) =>
+      val want = (nPos.toDouble * total) / (n.toDouble * posTot)
+      assert(math.abs(lift - want) < 1e-12)
+    }
+  }
+
   test("ml_gbdt_margin: margins stay inside the ensemble's reachable sum range") {
     // Reachable per-tree leaf ranges: t0 ∈ [-2,3], t1 ∈ [-1,2], t2 ∈ [-1,2].
     rows("ml_gbdt_margin").foreach { r =>
