@@ -28,6 +28,8 @@ object SparkEntry {
     ops.Geo,
     ops.Ml,
     ops.Survival,
+    ops.Recommender,
+    ops.TimeSeries,
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,

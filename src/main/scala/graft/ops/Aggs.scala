@@ -612,6 +612,48 @@ object Aggs extends QueryModule {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** One-way ANOVA F-test: does mean revenue differ across return-flag
+    * groups? Everything that crosses partitions is exact — group sizes
+    * are BIGINT and Σy / Σy² pass through DECIMAL → string → double (the
+    * OracleSafe route, order-free) — and the between/within sums of
+    * squares are then ONE shared float expression tree over those frozen
+    * scalars, with the per-group Σy²/n terms folded in ascending value
+    * order (the chi-square fold pin), so F and η² are bit-identical
+    * across engines. Scale: one corpus scan feeding two partial+final
+    * aggregates; the statistic itself runs on a ≤|groups|-row table. */
+  def anovaF(s: SparkSession, d: String): DataFrame = {
+    // Money → exact integer cents (2-dp source); F and η² are invariant
+    // under unit scaling, so the whole statistic runs on cents. Squares go
+    // through DECIMAL(18,0)² = (37,0) — inside both engines' 128-bit
+    // decimal space with zero rounding (a (12,4)² product trips DuckDB's
+    // narrower multiply width).
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("y"))
+    val g = li.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("y").cast("decimal(20,0)")).cast("decimal(38,0)")
+          .cast("string").cast("double").as("sy"))
+    val tot = li.agg(count(lit(1)).as("n"),
+      sum(col("y").cast("decimal(20,0)")).cast("decimal(38,0)")
+        .cast("string").cast("double").as("sy"),
+      sum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").cast("string").cast("double").as("syy"))
+    val sumT = g
+      .select((col("sy") * col("sy") / col("n_g").cast("double")).as("t_g"))
+      .agg(count(lit(1)).as("k"),
+        aggregate(array_sort(collect_list(col("t_g"))), lit(0.0),
+          (a, x) => a + x).as("sum_t"))
+    sumT.crossJoin(broadcast(tot))
+      .withColumn("ssb",
+        col("sum_t") - col("sy") * col("sy") / col("n").cast("double"))
+      .withColumn("ssw", col("syy") - col("sum_t"))
+      .select(col("k"), col("n"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - 1).cast("double")) /
+          (col("ssw") / (col("n") - col("k")).cast("double"))).as("f_stat"),
+        (col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
+  }
+
   /** Exact distinct customers per priority via the mergeable BITMAP
     * aggregate ([[graft.functions.BitmapDistinctAggregator]]) — gated
     * against the same query's built-in `countDistinct`, so the oracle
@@ -1019,6 +1061,7 @@ object Aggs extends QueryModule {
     "agg_median_2pass"  -> (median2Pass _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_chi_square"    -> (chiSquare _),
+    "agg_anova_f"       -> (anovaF _),
     "agg_mode"          -> (mode _),
     "agg_skew_kurtosis" -> (skewKurtosis _),
     "agg_equidepth"     -> (equidepthHistogram _),
@@ -1273,6 +1316,41 @@ object Aggs extends QueryModule {
         |  CAST((n_types - 1) * (n_dows - 1) AS BIGINT) AS dof
         |FROM t2 CROSS JOIN chi
         |ORDER BY event_type, dow""".stripMargin,
+    "agg_anova_f" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS MATERIALIZED (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(CAST(CAST(SUM(CAST(y AS DECIMAL(20,0)))
+        |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sy
+        |  FROM li GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(CAST(SUM(CAST(y AS DECIMAL(20,0)))
+        |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(CAST(SUM(CAST(y AS DECIMAL(18,0)) *
+        |      CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR)
+        |      AS DOUBLE) AS syy
+        |  FROM li),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    list_reduce(list_prepend(0.0,
+        |      list(sy * sy / CAST(n_g AS DOUBLE)
+        |        ORDER BY sy * sy / CAST(n_g AS DOUBLE))),
+        |      (a, x) -> a + x) AS sum_t
+        |  FROM g),
+        |f AS (
+        |  SELECT t.k, tot.n,
+        |    t.sum_t - tot.sy * tot.sy / CAST(tot.n AS DOUBLE) AS ssb,
+        |    tot.syy - t.sum_t AS ssw
+        |  FROM t CROSS JOIN tot)
+        |SELECT k, n, ssb, ssw,
+        |  (ssb / CAST(k - 1 AS DOUBLE)) /
+        |    (ssw / CAST(n - k AS DOUBLE)) AS f_stat,
+        |  ssb / (ssb + ssw) AS eta_sq
+        |FROM f""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |  FROM orders GROUP BY 1, 2),

@@ -267,8 +267,51 @@ object Graph extends QueryModule {
     stats.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** Synchronous min-label propagation (4 rounds) on the part co-purchase
+    * graph — the community-detection primitive (LPA seeded with vertex
+    * ids; with min-reduction it is also the first rounds of distributed
+    * connected components, but the REGISTERED semantics here is the
+    * fixed-round trajectory, which stays closed-form for the oracle).
+    * Each round is label(v) ← min(label(v), min over neighbors) — one
+    * union + one keyed min-agg per round, vertex-sharded at any scale;
+    * each round's table is lazily checkpointed (three consumers, the
+    * kcore precedent). Reports per-community sizes after round 4. */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint(false)
+    val verts = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 4) {
+      // Neighbor labels flow along BOTH directions of each edge.
+      val fromU = edges.join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("lbl"))
+      val fromV = edges.join(labels, edges("v") === labels("id"))
+        .select(col("u").as("id"), col("lbl"))
+      labels = labels.select(col("id"), col("lbl"))
+        .unionByName(fromU).unionByName(fromV)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("n_members").desc, col("lbl").asc)
+      .limit(100)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> (kcorePeel _),
+    "graph_label_prop" -> (labelProp _),
     "graph_shortest_path" -> (shortestPaths _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_triangles" -> (triangles _),
@@ -327,6 +370,31 @@ object Graph extends QueryModule {
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$n) AS n_edges)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "graph_label_prop" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""l$r AS MATERIALIZED (
+           |  SELECT id, MIN(lbl) AS lbl FROM (
+           |    SELECT id, lbl FROM l${r - 1}
+           |    UNION ALL
+           |    SELECT e.v AS id, l.lbl FROM e JOIN l${r - 1} l ON l.id = e.u
+           |    UNION ALL
+           |    SELECT e.u AS id, l.lbl FROM e JOIN l${r - 1} l ON l.id = e.v)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+         |verts AS MATERIALIZED (
+         |  SELECT u AS id FROM e UNION SELECT v AS id FROM e),
+         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+         |$rounds
+         |SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  MIN(id) AS min_id, MAX(id) AS max_id
+         |FROM l4 GROUP BY 1
+         |ORDER BY n_members DESC, lbl ASC LIMIT 100""".stripMargin
+    },
     "graph_kcore" ->
       s"""WITH op AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -1,0 +1,281 @@
+package graft.ops
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 additions — recommender family, time-series analytics, and
+  * one-way ANOVA — each pinned against a brute-force plain-Scala
+  * reference at sf0.001. */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Brute-force (basket, item) interactions. */
+  private def baskets(): Map[Long, Set[Long]] =
+    Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), expr("l_partkey div 10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ok, xs) => ok -> xs.map(_._2).toSet }
+
+  private def bruteSims(bs: Map[Long, Set[Long]]): Map[(Long, Long), Long] = {
+    val n = bs.values.flatten.groupBy(identity).map { case (i, xs) => i -> xs.size }
+    bs.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case ((i, j), xs) =>
+        (i, j) -> math.floor(
+          1e6 * xs.size / math.sqrt(n(i).toDouble * n(j).toDouble)).toLong
+      }
+  }
+
+  test("rec_item_cooccur: counts and frozen cosines match brute force") {
+    val bs = baskets()
+    val sims = bruteSims(bs)
+    val got = SparkEntry.queries("rec_item_cooccur")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == math.min(100, sims.size))
+    got.foreach { r =>
+      val (i, j) = (r.getLong(0), r.getLong(1))
+      assert(sims((i, j)) == r.getAs[Long]("sim_micro"))
+      assert(bs.values.count(s => s(i) && s(j)).toLong == r.getAs[Long]("c"))
+    }
+    // Descending frozen-cosine order with the deterministic tie-break.
+    val keys = got.map(r => (r.getAs[Long]("sim_micro"), r.getLong(0), r.getLong(1)))
+    assert(keys.sliding(2).forall {
+      case Array(a, b) =>
+        a._1 > b._1 ||
+          (a._1 == b._1 && (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3)))
+      case _ => true
+    })
+  }
+
+  test("rec_user_topn: never recommends owned items, scores are model sums") {
+    val owned = Tables.orders(spark, TestSpark.sf)
+      .join(Tables.lineitem(spark, TestSpark.sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), expr("l_partkey div 10"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).toSet }
+    val sims = bruteSims(baskets())
+    // Brute-force top-10 neighbor model.
+    val model = sims.toSeq
+      .flatMap { case ((i, j), s) => Seq((i, j, s), (j, i, s)) }
+      .groupBy(_._1).map { case (item, xs) =>
+        item -> xs.sortBy(x => (-x._3, x._2)).take(10).map(x => (x._2, x._3))
+      }
+    val got = SparkEntry.queries("rec_user_topn")(spark, TestSpark.sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, cand) = (r.getLong(0), r.getLong(2))
+      assert(!owned(u)(cand), s"user $u recommended an owned item $cand")
+      val want = owned(u).toSeq
+        .flatMap(i => model.getOrElse(i, Seq.empty).filter(_._1 == cand))
+        .map(_._2).sum
+      assert(want == r.getAs[Long]("score_micro"))
+    }
+    // Per-user ranks are 1..≤3 and strictly ordered by (score desc, cand).
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length.toLong))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getAs[Long]("score_micro"), b.getAs[Long]("score_micro"))
+          sa > sb || (sa == sb && a.getLong(2) < b.getLong(2))
+        case _ => true
+      })
+    }
+  }
+
+  test("rec_eval_mrr: rates are consistent and bounded") {
+    val r = SparkEntry.queries("rec_eval_mrr")(spark, TestSpark.sf)
+      .collect().head
+    val (n, hits, sumRr) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_hits"),
+      r.getAs[Long]("sum_rr_micro"))
+    assert(n > 0 && hits >= 0 && hits <= n)
+    assert(r.getAs[Double]("hit_rate") == hits.toDouble / n.toDouble)
+    assert(r.getAs[Double]("mrr") == sumRr.toDouble / (n * 1000000L).toDouble)
+    // MRR ≤ hit-rate (each reciprocal rank ≤ 1) and both in [0,1].
+    assert(r.getAs[Double]("mrr") <= r.getAs[Double]("hit_rate"))
+    assert(r.getAs[Double]("hit_rate") <= 1.0)
+  }
+
+  /** Zero-filled hourly count series at sf0.001. */
+  private def hourly(): Array[Long] = {
+    val cs = Tables.events(spark, TestSpark.sf)
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+    (cs.keys.min to cs.keys.max).map(h => cs.getOrElse(h, 0L)).toArray
+  }
+
+  test("ts_acf: lag 0 is exactly 1, all lags match brute force") {
+    val xs = hourly()
+    val n = xs.length.toLong
+    val s = xs.sum
+    val ys = xs.map(x => n * x - s)
+    val den = ys.map(y => y * y).sum
+    val got = SparkEntry.queries("ts_acf")(spark, TestSpark.sf).collect()
+    assert(got.length == 25)
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val num = (0 until ys.length - k).map(t => ys(t) * ys(t + k)).sum
+      assert(r.getAs[Long]("n_pairs") == (ys.length - k).toLong)
+      assert(r.getAs[Double]("acf") == num.toDouble / den.toDouble,
+        s"acf($k) mismatch")
+    }
+    assert(got.head.getAs[Double]("acf") == 1.0)
+  }
+
+  test("ts_stl_daily: decomposition identity and brute-force trend") {
+    val cs = Tables.events(spark, TestSpark.sf)
+      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (dd, v) => dd -> v.length.toLong }
+    val dmin = cs.keys.min
+    val xs = (dmin to cs.keys.max).map(dd => cs.getOrElse(dd, 0L)).toArray
+    val got = SparkEntry.queries("ts_stl_daily")(spark, TestSpark.sf).collect()
+    assert(got.length == math.max(0, xs.length - 6))
+    got.foreach { r =>
+      val d = r.getLong(0)
+      val i = (d - dmin).toInt
+      val w7 = (i - 3 to i + 3).map(xs(_)).sum
+      assert(r.getAs[Long]("trend_micro") == 1000000L * w7 / 7)
+      assert(r.getAs[Long]("phase") == d % 7)
+      // Exact additive identity: 10⁶·x = trend + seasonal + remainder.
+      assert(1000000L * r.getAs[Long]("x") == r.getAs[Long]("trend_micro") +
+        r.getAs[Long]("seas_micro") + r.getAs[Long]("rem_micro"))
+    }
+  }
+
+  test("ts_bandit_replay: trajectory equals a plain-Scala policy replay") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000"),
+        pmod(col("user_id"), lit(3L)),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val days = ev.map(_._1).distinct.sorted
+    val byDay = ev.groupBy(_._1).map { case (dd, xs) =>
+      dd -> (0 to 2).map(a =>
+        (xs.count(_._2 == a).toLong, xs.filter(_._2 == a).map(_._3).sum)).toArray
+    }
+    val s = Array(0L, 0L, 0L); val nn = Array(0L, 0L, 0L)
+    val want = days.zipWithIndex.map { case (dd, i0) =>
+      val t = i0 + 1L
+      val arm: Int =
+        if (t <= 3) (t - 1).toInt
+        else if (t % 5 == 0) ((t / 5) % 3).toInt
+        else {
+          val b01 = if (s(1) * nn(0) > s(0) * nn(1)) 1 else 0
+          if (s(2) * nn(b01) > s(b01) * nn(2)) 2 else b01
+        }
+      val (on, os) = byDay(dd)(arm)
+      s(arm) += os; nn(arm) += on
+      (t, dd, arm.toLong, os, on, s(arm), nn(arm))
+    }
+    val got = SparkEntry.queries("ts_bandit_replay")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == want.toSeq)
+    // The exploit policy must actually exploit: after init, non-explore
+    // days pick an arm whose empirical rate is maximal (cross-mult check
+    // is what we replayed; this asserts the replay saw ≥ 2 distinct arms).
+    assert(got.map(_._3).distinct.length >= 2)
+  }
+
+  test("ts_periodogram: exact projections match brute force, f=1 dominates") {
+    val xs = Tables.events(spark, TestSpark.sf)
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (h, v) => h -> v.length.toLong }
+    val got = SparkEntry.queries("ts_periodogram")(spark, TestSpark.sf)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    got.foreach { r =>
+      val f = r.getLong(0)
+      val sc = xs.map { case (h, x) =>
+        x * math.floor(1e6 * math.cos(2.0 * math.Pi * f * (h % 24) / 24.0)).toLong
+      }.sum
+      val ss = xs.map { case (h, x) =>
+        x * math.floor(1e6 * math.sin(2.0 * math.Pi * f * (h % 24) / 24.0)).toLong
+      }.sum
+      assert(r.getAs[Long]("sc") == sc && r.getAs[Long]("ss") == ss)
+      assert(r.getAs[Double]("magnitude") ==
+        math.sqrt(sc.toDouble * sc.toDouble + ss.toDouble * ss.toDouble))
+    }
+  }
+
+  test("graph_label_prop: equals brute-force synchronous min-label rounds") {
+    val op = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = op.groupBy(_._1).values
+      .flatMap(xs => xs.map(_._2).toSeq.sorted.combinations(2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var lbl = verts.map(v => v -> v).toMap
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    for (_ <- 1 to 4)
+      lbl = verts.map(v =>
+        v -> (adj.getOrElse(v, Seq.empty).map(lbl) :+ lbl(v)).min).toMap
+    val want = lbl.values.groupBy(identity)
+      .map { case (l, vs) => l -> vs.size.toLong }
+    val got = SparkEntry.queries("graph_label_prop")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == math.min(100, want.size))
+    got.foreach { r =>
+      assert(want(r.getLong(0)) == r.getAs[Long]("n_members"))
+      val members = lbl.filter(_._2 == r.getLong(0)).keys
+      assert(r.getAs[Long]("min_id") == members.min)
+      assert(r.getAs[Long]("max_id") == members.max)
+    }
+  }
+
+  test("rec_coverage: consistent with the served top-3 lists") {
+    val recs = SparkEntry.queries("rec_user_topn")(spark, TestSpark.sf)
+      .collect()
+    val bs = baskets()
+    val pop = bs.values.flatten.groupBy(identity)
+      .map { case (i, xs) => i -> xs.size.toLong }
+    val r = SparkEntry.queries("rec_coverage")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("n_catalog") == pop.size.toLong)
+    assert(r.getAs[Long]("total_recs") == recs.length.toLong)
+    assert(r.getAs[Long]("n_recommended") ==
+      recs.map(_.getLong(2)).distinct.length.toLong)
+    val popRec = recs.map(row => pop(row.getLong(2))).sum
+    assert(r.getAs[Double]("avg_pop_rec") ==
+      popRec.toDouble / recs.length.toDouble)
+    assert(r.getAs[Double]("coverage") > 0.0 && r.getAs[Double]("coverage") <= 1.0)
+  }
+
+  test("agg_anova_f: matches brute-force sums of squares") {
+    val rows = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+    val byG = rows.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2) }
+    val n = rows.length.toDouble
+    val grand = rows.map(_._2).sum / n
+    val ssb = byG.values.map { ys =>
+      val m = ys.sum / ys.length
+      ys.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = byG.values.map { ys =>
+      val m = ys.sum / ys.length
+      ys.map(y => (y - m) * (y - m)).sum
+    }.sum
+    val r = SparkEntry.queries("agg_anova_f")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("k") == byG.size.toLong)
+    assert(r.getAs[Long]("n") == rows.length.toLong)
+    assert(math.abs(r.getAs[Double]("ssb") - ssb) / ssb < 1e-6)
+    assert(math.abs(r.getAs[Double]("ssw") - ssw) / ssw < 1e-6)
+    val k = byG.size.toDouble
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(r.getAs[Double]("f_stat") - f) / f < 1e-6)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta > 0.0 && eta < 1.0)
+  }
+}
