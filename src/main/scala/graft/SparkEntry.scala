@@ -30,6 +30,7 @@ object SparkEntry {
     ops.Survival,
     ops.Recommender,
     ops.TimeSeries,
+    ops.Experiment,
     ops.Multimodal,
     pii.PiiQueries,
     sources.Sources,

@@ -79,9 +79,13 @@ object Recommender extends QueryModule {
   /** Top-M neighbor lists per item (both directions of the i<j pairs),
     * rank = (sim desc, neighbor asc) — the broadcastable serving model. */
   private def neighborModel(pairs: DataFrame, m: Int): DataFrame = {
-    val sym = pairs.select(col("i").as("item"), col("j").as("nbr"),
+    // The i<j pair table feeds BOTH union branches — lazily checkpoint it
+    // so the expensive basket self-join runs once, not once per branch
+    // (the kcore/BPE localCheckpoint precedent).
+    val p = pairs.localCheckpoint(false)
+    val sym = p.select(col("i").as("item"), col("j").as("nbr"),
         col("sim_micro"))
-      .unionAll(pairs.select(col("j").as("item"), col("i").as("nbr"),
+      .unionAll(p.select(col("j").as("item"), col("i").as("nbr"),
         col("sim_micro")))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("sim_micro").desc, col("nbr").asc)
@@ -106,9 +110,13 @@ object Recommender extends QueryModule {
     * BIGINT sums → window ranking partitioned BY USER (per-user state
     * only — scales to any user count). */
   private def top3PerUser(s: SparkSession, d: String): DataFrame = {
-    val owned = userItems(s, d, Tables.orders(s, d))
+    // Ownership feeds scoring AND the anti-join — checkpoint the
+    // distinct'd interaction table so the orders⋈lineitem scan runs once.
+    val owned = userItems(s, d, Tables.orders(s, d)).localCheckpoint(false)
     val model = neighborModel(cooccurPairs(s, d, basketItems(s, d)), 10)
-    val scored = owned.join(model, Seq("item"))
+    // The model is catalog×M-sized by construction — broadcast it so
+    // scoring is a map-side join against the user baskets.
+    val scored = owned.join(broadcast(model), Seq("item"))
       .select(col("u"), col("nbr").as("cand"), col("sim_micro"))
       .groupBy(col("u"), col("cand"))
       .agg(sum(col("sim_micro")).as("score_micro"),
@@ -136,6 +144,7 @@ object Recommender extends QueryModule {
   def coverage(s: SparkSession, d: String): DataFrame = {
     val items = basketItems(s, d)
     val pop = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val cat = pop.agg(count(lit(1)).as("n_catalog"),
       sum(col("n")).as("pop_cat"))
     val recs = top3PerUser(s, d)
@@ -175,10 +184,11 @@ object Recommender extends QueryModule {
       .join(basketItems(s, d), Seq("ok"))
     val model = neighborModel(cooccurPairs(s, d, trainItems), 10)
 
-    val ownedTrain = userItems(s, d, trainOrders)
-    val testItems = userItems(s, d, testOrders)
+    // Each is consumed by 2–3 downstream joins; checkpoint once.
+    val ownedTrain = userItems(s, d, trainOrders).localCheckpoint(false)
+    val testItems = userItems(s, d, testOrders).localCheckpoint(false)
 
-    val recs = ownedTrain.join(model, Seq("item"))
+    val recs = ownedTrain.join(broadcast(model), Seq("item"))
       .select(col("u"), col("nbr").as("cand"), col("sim_micro"))
       .groupBy(col("u"), col("cand"))
       .agg(sum(col("sim_micro")).as("score_micro"))

@@ -250,6 +250,80 @@ class Round14Spec extends AnyFunSuite {
     assert(r.getAs[Double]("coverage") > 0.0 && r.getAs[Double]("coverage") <= 1.0)
   }
 
+  /** Per-user (pre-count, post-purchases) pairs, the CUPED/uplift input. */
+  private def preX_postY(): Map[Long, (Long, Long)] =
+    Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"),
+        when(col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"), 1L)
+          .otherwise(0L),
+        when(col("ts") >= expr("TIMESTAMP '2024-01-16 00:00:00'") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (u, xs) => u -> (xs.map(_._2).sum, xs.map(_._3).sum) }
+
+  test("ev_did: 2x2 cells and estimate match brute force") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(pmod(col("user_id"), lit(2L)),
+        when(col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"),
+          "pre").otherwise("post"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def rate(a: Long, p: String): Double = {
+      val c = ev.filter(e => e._1 == a && e._2 == p)
+      c.map(_._3).sum.toDouble / c.length.toDouble
+    }
+    val want = rate(1, "post") - rate(1, "pre") - (rate(0, "post") - rate(0, "pre"))
+    val got = SparkEntry.queries("ev_did")(spark, TestSpark.sf).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Double]("did") == want)
+      val cell = ev.filter(e =>
+        e._1 == r.getLong(0) && e._2 == r.getString(1))
+      assert(r.getAs[Long]("n_events") == cell.length.toLong)
+      assert(r.getAs[Long]("n_conv") == cell.map(_._3).sum)
+    }
+  }
+
+  test("ev_cuped: theta is cov/var and adjustment never inflates variance") {
+    val pu = preX_postY().values.toSeq
+    val n = pu.length.toDouble
+    val (mx, my) = (pu.map(_._1).sum / n, pu.map(_._2).sum / n)
+    val cov = pu.map { case (x, y) => (x - mx) * (y - my) }.sum / n
+    val varX = pu.map { case (x, _) => (x - mx) * (x - mx) }.sum / n
+    val varY = pu.map { case (_, y) => (y - my) * (y - my) }.sum / n
+    val r = SparkEntry.queries("ev_cuped")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("n") == pu.length.toLong)
+    assert(math.abs(r.getAs[Double]("theta") - cov / varX) < 1e-9)
+    assert(math.abs(r.getAs[Double]("var_y") - varY) < 1e-9)
+    // var(Y_adj) = var(Y) − cov²/var(X) ≤ var(Y), and the reduction is
+    // exactly the squared correlation.
+    assert(r.getAs[Double]("var_y_adj") <= r.getAs[Double]("var_y"))
+    val rho2 = cov * cov / (varX * varY)
+    assert(math.abs(r.getAs[Double]("var_reduction") - rho2) < 1e-9)
+  }
+
+  test("ev_uplift_bucket: per-bucket gaps match brute force") {
+    val pu = preX_postY()
+    val cells = pu.toSeq.map { case (u, (x, y)) =>
+      (math.min(x, 9L), u % 2, if (y > 0) 1L else 0L)
+    }
+    val got = SparkEntry.queries("ev_uplift_bucket")(spark, TestSpark.sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val b = r.getLong(0)
+      val ctl = cells.filter(c => c._1 == b && c._2 == 0L)
+      val trt = cells.filter(c => c._1 == b && c._2 == 1L)
+      assert(r.getAs[Long]("n_control") == ctl.length.toLong)
+      assert(r.getAs[Long]("n_treated") == trt.length.toLong)
+      val want = trt.map(_._3).sum.toDouble / trt.length -
+        ctl.map(_._3).sum.toDouble / ctl.length
+      assert(r.getAs[Double]("uplift") == want)
+    }
+  }
+
   test("agg_anova_f: matches brute-force sums of squares") {
     val rows = Tables.lineitem(spark, TestSpark.sf)
       .select(col("l_returnflag"),
