@@ -548,6 +548,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "bmax",
       // SPRT daily grid — bounded by the observation window
       "day", "n_conv", "llr_micro", "verdict",
+      // ts_stl_daily / ts_bandit_replay calendar grids (daily counts and
+      // the per-arm daily trial/success pivot)
+      "x", "n0", "s0", "n1", "s1", "n2", "s2",
       // PR-AUC / lift bucket & decile grids (knob-bounded)
       "bc1", "n_pos", "n_tot", "pos_tot", "cum_pos")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -712,6 +715,65 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(keys.contains("arm"),
         s"cohort curves must partition by arm, got $keys")
     }
+  }
+
+  test("rec_user_topn: model broadcasts, every window is partitioned, rank limits push down") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("rec_user_topn")(spark, TestSpark.sf)
+      .queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the catalog×M neighbor model must broadcast into scoring:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the top-M / top-3 rank cuts must push down as WindowGroupLimit:\n$p")
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"rec windows must partition (per item / per user), got unpartitioned:\n$p")
+    }
+  }
+
+  test("ts_stl_daily: the 7-day window runs on the calendar day grid, not raw events") {
+    assertWindowReadsAggregated("ts_stl_daily")
+  }
+
+  test("ts_bandit_replay: one sequential fold; trajectory windows partition by arm") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = SparkEntry.queries("ts_bandit_replay")(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+      })
+      // The t row_number is allowed unpartitioned because it reads the
+      // calendar-bounded daily aggregate; everything else is per-arm.
+      assert(keys.contains("arm") ||
+        w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"cumulative reward windows must stay per-arm, got $keys")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "expected the per-arm cumulative windows")
+  }
+
+  test("ev_cuped: one corpus shuffle (the per-user agg), statistic is scan-free") {
+    val p = plan("ev_cuped")
+    val hashEx = "hashpartitioning".r.findAllMatchIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly the per-user hash exchange, got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the moment readout must not join:\n$p")
+  }
+
+  test("ts_periodogram: basis joins broadcast — the hourly grid never shuffles for the basis") {
+    val p = plan("ts_periodogram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 96-row frozen basis must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join against a 96-row table:\n$p")
   }
 
   test("ml_ndcg / ml_precision_at_k: rank windows partition per user") {
