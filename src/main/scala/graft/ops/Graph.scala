@@ -276,7 +276,10 @@ object Graph extends QueryModule {
     * union + one keyed min-agg per round, vertex-sharded at any scale;
     * each round's table is lazily checkpointed (three consumers, the
     * kcore precedent). Reports per-community sizes after round 4. */
-  def labelProp(s: SparkSession, d: String): DataFrame = {
+  /** The co-purchase edge set and its 4-round min-label assignment —
+    * shared by [[labelProp]] and [[modularity]]. Both frames are lazily
+    * checkpointed (multiple consumers each). */
+  private def lpEdgesLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -302,6 +305,11 @@ object Graph extends QueryModule {
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
     }
+    (edges, labels)
+  }
+
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    val (_, labels) = lpEdgesLabels(s, d)
     labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
@@ -309,9 +317,45 @@ object Graph extends QueryModule {
       .limit(100)
   }
 
+  /** Newman modularity Q of the label-propagation partition — the
+    * standard "is this community structure real" score. With m = |edges|,
+    * e_c = intra-community edges and d_c = community degree sum,
+    * Q = Σ_c e_c/m − (d_c/2m)² = (4m·Σe_c − Σd_c²) / 4m² — numerator and
+    * denominator are EXACT BIGINTs (no per-community float folds), so Q
+    * is one correctly-rounded division. Per-community rows carry the
+    * exact ingredients; Q is replicated (the chi-square layout). Keyed
+    * joins/aggs only — vertex- and edge-sharded at any scale. */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val (edges, labels) = lpEdgesLabels(s, d)
+    val eIn = edges
+      .join(labels.select(col("id").as("u"), col("lbl").as("cu")), Seq("u"))
+      .join(labels.select(col("id").as("v"), col("lbl").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val deg = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val dC = deg.join(labels, Seq("id"))
+      .groupBy(col("lbl"))
+      .agg(sum(col("dg")).as("d_c"), count(lit(1)).as("n_members"))
+    val cells = dC.join(eIn, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_members"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"))
+    val tot = cells.agg(sum(col("e_in")).as("se"),
+      sum(col("d_c") * col("d_c")).as("sd2"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("m"))))
+      .select(((lit(4L) * col("m") * col("se") - col("sd2")).cast("double") /
+        (lit(4L) * col("m") * col("m")).cast("double")).as("q"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lbl"), col("n_members"), col("e_in"), col("d_c"), col("q"))
+      .orderBy(col("n_members").desc, col("lbl").asc)
+      .limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> (kcorePeel _),
     "graph_label_prop" -> (labelProp _),
+    "graph_modularity" -> (modularity _),
     "graph_shortest_path" -> (shortestPaths _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_triangles" -> (triangles _),
@@ -369,32 +413,63 @@ object Graph extends QueryModule {
        |    AS n_vertices,
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$n) AS n_edges)""".stripMargin
 
+  /** Shared LPA CTE chain (edges + 4 unrolled min-label rounds), every
+    * step MATERIALIZED (the DuckDB multi-reference inlining hazard). */
+  private lazy val lpaCtes: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT id, MIN(lbl) AS lbl FROM (
+         |    SELECT id, lbl FROM l${r - 1}
+         |    UNION ALL
+         |    SELECT e.v AS id, l.lbl FROM e JOIN l${r - 1} l ON l.id = e.u
+         |    UNION ALL
+         |    SELECT e.u AS id, l.lbl FROM e JOIN l${r - 1} l ON l.id = e.v)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+       |verts AS MATERIALIZED (
+       |  SELECT u AS id FROM e UNION SELECT v AS id FROM e),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
+       |$rounds""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
-    "graph_label_prop" -> {
-      val rounds = (1 to 4).map { r =>
-        s"""l$r AS MATERIALIZED (
-           |  SELECT id, MIN(lbl) AS lbl FROM (
-           |    SELECT id, lbl FROM l${r - 1}
-           |    UNION ALL
-           |    SELECT e.v AS id, l.lbl FROM e JOIN l${r - 1} l ON l.id = e.u
-           |    UNION ALL
-           |    SELECT e.u AS id, l.lbl FROM e JOIN l${r - 1} l ON l.id = e.v)
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH op AS MATERIALIZED (
-         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         |e AS MATERIALIZED (SELECT a.p AS u, b.p AS v
-         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-         |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
-         |verts AS MATERIALIZED (
-         |  SELECT u AS id FROM e UNION SELECT v AS id FROM e),
-         |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts),
-         |$rounds
+    "graph_label_prop" ->
+      s"""WITH $lpaCtes
          |SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  MIN(id) AS min_id, MAX(id) AS max_id
          |FROM l4 GROUP BY 1
-         |ORDER BY n_members DESC, lbl ASC LIMIT 100""".stripMargin
-    },
+         |ORDER BY n_members DESC, lbl ASC LIMIT 100""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $lpaCtes,
+         |e_in AS MATERIALIZED (
+         |  SELECT lu.lbl, CAST(COUNT(*) AS BIGINT) AS e_in
+         |  FROM e JOIN l4 lu ON lu.id = e.u JOIN l4 lv ON lv.id = e.v
+         |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+         |deg AS MATERIALIZED (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+         |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+         |  GROUP BY 1),
+         |dc AS MATERIALIZED (
+         |  SELECT l.lbl, CAST(SUM(d.dg) AS BIGINT) AS d_c,
+         |    CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM deg d JOIN l4 l ON l.id = d.id GROUP BY 1),
+         |cells AS MATERIALIZED (
+         |  SELECT dc.lbl, dc.n_members,
+         |    COALESCE(e_in.e_in, CAST(0 AS BIGINT)) AS e_in, dc.d_c
+         |  FROM dc LEFT JOIN e_in USING (lbl)),
+         |sums AS (SELECT CAST(SUM(e_in) AS BIGINT) AS se,
+         |  CAST(SUM(d_c * d_c) AS BIGINT) AS sd2 FROM cells),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+         |qq AS (SELECT CAST(4 * m * se - sd2 AS DOUBLE) /
+         |  CAST(4 * m * m AS DOUBLE) AS q FROM sums CROSS JOIN mm)
+         |SELECT c.lbl, c.n_members, c.e_in, c.d_c, q.q
+         |FROM cells c CROSS JOIN qq q
+         |ORDER BY c.n_members DESC, c.lbl ASC LIMIT 20""".stripMargin,
     "graph_kcore" ->
       s"""WITH op AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

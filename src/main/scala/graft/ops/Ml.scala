@@ -636,7 +636,51 @@ object Ml extends QueryModule {
 
   // ---------------------------------------------------------- registration
 
+  /** Closed-form ridge regression (2 features + intercept, λ = 1) solved
+    * IN the engine — training, not just scoring: per-user views/clicks
+    * predict purchases. The 2×2 normal equations on centered data are
+    * solved by Cramer's rule over n²-scaled centered moments
+    * (Cuu = n·Σu² − (Σu)², … — EXACT BIGINTs; λ enters as +n in the same
+    * scale), so β̂, the intercept, and the training RMSE are one shared
+    * float expression tree over nine exact sums. One corpus shuffle (the
+    * per-user agg); the solve itself reads a 1-row table. */
+  def ridge2d(s: SparkSession, d: String): DataFrame = {
+    val pu = Tables.events(s, d)
+      .select(col("user_id"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("u"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("u")).as("u"), sum(col("v")).as("v"), sum(col("y")).as("y"))
+    val m = pu.agg(count(lit(1)).as("n"),
+      sum(col("u")).as("su"), sum(col("v")).as("sv"), sum(col("y")).as("sy"),
+      sum(col("u") * col("u")).as("suu"),
+      sum(col("v") * col("v")).as("svv"),
+      sum(col("u") * col("v")).as("suv"),
+      sum(col("u") * col("y")).as("suy"),
+      sum(col("v") * col("y")).as("svy"),
+      sum(col("y") * col("y")).as("syy"))
+    val cuu = (col("n") * col("suu") - col("su") * col("su")).cast("double")
+    val cvv = (col("n") * col("svv") - col("sv") * col("sv")).cast("double")
+    val cuv = (col("n") * col("suv") - col("su") * col("sv")).cast("double")
+    val cuy = (col("n") * col("suy") - col("su") * col("sy")).cast("double")
+    val cvy = (col("n") * col("svy") - col("sv") * col("sy")).cast("double")
+    val cyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val lam = col("n").cast("double") // λ=1 scaled into C-units
+    val det = (cuu + lam) * (cvv + lam) - cuv * cuv
+    val b1 = (cuy * (cvv + lam) - cuv * cvy) / det
+    val b2 = ((cuu + lam) * cvy - cuv * cuy) / det
+    m.select(col("n"), b1.as("b_views"), b2.as("b_clicks"),
+        ((col("sy").cast("double") - b1 * col("su").cast("double") -
+          b2 * col("sv").cast("double")) / col("n").cast("double"))
+          .as("intercept"),
+        sqrt((cyy - lit(2.0) * b1 * cuy - lit(2.0) * b2 * cvy +
+          b1 * b1 * cuu + lit(2.0) * b1 * b2 * cuv + b2 * b2 * cvv) /
+          (col("n").cast("double") * col("n").cast("double"))).as("rmse"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_ridge_2d" -> (ridge2d _),
     "ml_logreg_score" -> (logregScore _),
     "ml_tree_score" -> (treeScore _),
     "ml_gbdt_margin" -> (gbdtMargin _),
@@ -660,6 +704,48 @@ object Ml extends QueryModule {
       |       ELSE CAST(0 AS BIGINT) END AS rel FROM events)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "ml_ridge_2d" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS u,
+        |    CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS v,
+        |    CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(u * u) AS BIGINT) AS suu,
+        |    CAST(SUM(v * v) AS BIGINT) AS svv,
+        |    CAST(SUM(u * v) AS BIGINT) AS suv,
+        |    CAST(SUM(u * y) AS BIGINT) AS suy,
+        |    CAST(SUM(v * y) AS BIGINT) AS svy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |c AS (
+        |  SELECT n, su, sv, sy,
+        |    CAST(n * suu - su * su AS DOUBLE) AS cuu,
+        |    CAST(n * svv - sv * sv AS DOUBLE) AS cvv,
+        |    CAST(n * suv - su * sv AS DOUBLE) AS cuv,
+        |    CAST(n * suy - su * sy AS DOUBLE) AS cuy,
+        |    CAST(n * svy - sv * sy AS DOUBLE) AS cvy,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+        |    CAST(n AS DOUBLE) AS lam
+        |  FROM m),
+        |b AS (
+        |  SELECT *,
+        |    (cuy * (cvv + lam) - cuv * cvy) /
+        |      ((cuu + lam) * (cvv + lam) - cuv * cuv) AS b1,
+        |    ((cuu + lam) * cvy - cuv * cuy) /
+        |      ((cuu + lam) * (cvv + lam) - cuv * cuv) AS b2
+        |  FROM c)
+        |SELECT n, b1 AS b_views, b2 AS b_clicks,
+        |  (CAST(sy AS DOUBLE) - b1 * CAST(su AS DOUBLE) -
+        |   b2 * CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  SQRT((cyy - 2.0 * b1 * cuy - 2.0 * b2 * cvy +
+        |    b1 * b1 * cuu + 2.0 * b1 * b2 * cuv + b2 * b2 * cvv) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS rmse
+        |FROM b""".stripMargin,
     "ml_pr_auc" ->
       s"""WITH base AS ($baseSql),
          |scored AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS score, y

@@ -232,6 +232,84 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force co-purchase edges + 4-round synchronous min-LPA. */
+  private def lpaBrute(): (Seq[(Long, Long)], Map[Long, Long]) = {
+    val op = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = op.groupBy(_._1).values
+      .flatMap(xs => xs.map(_._2).toSeq.sorted.combinations(2)
+        .map(p => (p(0), p(1))))
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    var lbl = verts.map(v => v -> v).toMap
+    for (_ <- 1 to 4)
+      lbl = verts.map(v =>
+        v -> (adj.getOrElse(v, Seq.empty).map(lbl) :+ lbl(v)).min).toMap
+    (edges, lbl)
+  }
+
+  test("graph_modularity: exact ingredients and Q match brute force") {
+    val (edges, lbl) = lpaBrute()
+    val m = edges.length.toLong
+    val eIn = edges.filter(e => lbl(e._1) == lbl(e._2))
+      .groupBy(e => lbl(e._1)).map { case (c, es) => c -> es.length.toLong }
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.length.toLong }
+    val dC = deg.toSeq.groupBy { case (v, _) => lbl(v) }
+      .map { case (c, xs) => c -> xs.map(_._2).sum }
+    val q = (4L * m * eIn.values.sum - dC.values.map(d => d * d).sum).toDouble /
+      (4L * m * m).toDouble
+    val got = SparkEntry.queries("graph_modularity")(spark, TestSpark.sf)
+      .collect()
+    assert(got.nonEmpty && got.length <= 20)
+    got.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getAs[Long]("e_in") == eIn.getOrElse(c, 0L))
+      assert(r.getAs[Long]("d_c") == dC(c))
+      assert(r.getAs[Double]("q") == q)
+    }
+    assert(q > -0.5 && q <= 1.0)
+  }
+
+  test("ml_ridge_2d: matches a brute-force ridge solve") {
+    val pu = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"),
+        when(col("event_type") === "view", 1L).otherwise(0L),
+        when(col("event_type") === "click", 1L).otherwise(0L),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).values
+      .map(xs => (xs.map(_._2).sum.toDouble, xs.map(_._3).sum.toDouble,
+        xs.map(_._4).sum.toDouble)).toSeq
+    val n = pu.length.toDouble
+    val (mu, mv, my) =
+      (pu.map(_._1).sum / n, pu.map(_._2).sum / n, pu.map(_._3).sum / n)
+    def c(f: ((Double, Double, Double)) => Double,
+          g: ((Double, Double, Double)) => Double,
+          cf: Double, cg: Double): Double =
+      pu.map(p => (f(p) - cf) * (g(p) - cg)).sum
+    val (suu, svv, suv) = (c(_._1, _._1, mu, mu), c(_._2, _._2, mv, mv),
+      c(_._1, _._2, mu, mv))
+    val (suy, svy) = (c(_._1, _._3, mu, my), c(_._2, _._3, mv, my))
+    // λ = 1 on the population normal equations.
+    val det = (suu + 1.0) * (svv + 1.0) - suv * suv
+    val b1 = (suy * (svv + 1.0) - suv * svy) / det
+    val b2 = ((suu + 1.0) * svy - suv * suy) / det
+    val b0 = my - b1 * mu - b2 * mv
+    val r = SparkEntry.queries("ml_ridge_2d")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("n") == pu.length.toLong)
+    assert(math.abs(r.getAs[Double]("b_views") - b1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b_clicks") - b2) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - b0) < 1e-9)
+    val sse = pu.map { case (u, v, y) =>
+      val e = y - (b0 + b1 * u + b2 * v); e * e }.sum
+    assert(math.abs(r.getAs[Double]("rmse") - math.sqrt(sse / n)) < 1e-9)
+  }
+
   test("rec_coverage: consistent with the served top-3 lists") {
     val recs = SparkEntry.queries("rec_user_topn")(spark, TestSpark.sf)
       .collect()
