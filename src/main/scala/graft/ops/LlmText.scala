@@ -82,6 +82,43 @@ object LlmText extends QueryModule {
       .orderBy(col("n").desc, col("token"))
       .limit(50)
 
+  /** PMI-ranked collocations: the word pairs that co-occur adjacently far
+    * more than chance — the phrase-mining primitive behind tokenizer
+    * vocab curation and "New York"-style phrase merging. Ranking is BY
+    * LIFT = P(ab)/(P(a)·P(b)) = c_ab·N²/(M·c_a·c_b), which is monotone in
+    * PMI, so NO logarithm runs on either engine: the value is one float
+    * expression over four exact BIGINT counts (StrictMath-vs-libm never
+    * enters). Bigrams explode linearly from the token stream (min support
+    * 5 prunes the pair table before the unigram joins); one corpus scan
+    * feeds both the unigram and bigram aggregates. */
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+      .localCheckpoint(false) // feeds the unigram AND bigram explodes
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val bg = docs.filter(size(col("toks")) >= 2) // sequence(2,1) descends
+      .select(explode(expr(
+        """transform(sequence(2, size(toks)), i -> named_struct(
+          |  'a', element_at(toks, CAST(i - 1 AS INT)),
+          |  'b', element_at(toks, CAST(i AS INT))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val tot = uni.agg(sum(col("c_w")).as("n"))
+    val mTot = bg.agg(count(lit(1)).as("m"))
+    pairs
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(mTot))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab").cast("double") * col("n").cast("double") *
+          col("n").cast("double") /
+          (col("m").cast("double") * col("c_a").cast("double") *
+            col("c_b").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(30)
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set (canonical
     * bag-of-words identity — robust to word order), plus a 32-bit numeric
     * fingerprint from its first 8 hex digits. */
@@ -845,6 +882,7 @@ object LlmText extends QueryModule {
     "text_quality"     -> (quality _),
     "text_token_counts" -> (tokenCounts _),
     "text_word_freq"   -> (wordFreq _),
+    "text_pmi_collocations" -> (pmiCollocations _),
     "text_fingerprint" -> (fingerprint _),
   )
 
@@ -1272,6 +1310,30 @@ object LlmText extends QueryModule {
          |  len(list_distinct($sqlToks)) AS n_distinct_tokens,
          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_pieces
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pmi_collocations" ->
+      s"""WITH docs AS MATERIALIZED (SELECT $sqlToks AS toks FROM documents),
+         |bg AS MATERIALIZED (
+         |  SELECT UNNEST(toks[1:len(toks)-1]) AS a,
+         |    UNNEST(toks[2:len(toks)]) AS b
+         |  FROM docs),
+         |uni AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w FROM (
+         |    SELECT UNNEST(toks) AS w FROM docs) GROUP BY 1),
+         |pairs AS MATERIALIZED (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |  FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM uni),
+         |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bg)
+         |SELECT p.a, p.b, p.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+         |  CAST(p.c_ab AS DOUBLE) * CAST(t.n AS DOUBLE) *
+         |    CAST(t.n AS DOUBLE) /
+         |    (CAST(mt.m AS DOUBLE) * CAST(ua.c_w AS DOUBLE) *
+         |     CAST(ub.c_w AS DOUBLE)) AS lift
+         |FROM pairs p
+         |JOIN uni ua ON ua.w = p.a
+         |JOIN uni ub ON ub.w = p.b
+         |CROSS JOIN tot t CROSS JOIN mt
+         |ORDER BY lift DESC, p.a ASC, p.b ASC LIMIT 30""".stripMargin,
     "text_word_freq" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |  SELECT unnest($sqlToks) AS token FROM documents) t

@@ -145,6 +145,44 @@ object PiiQueries extends QueryModule {
       .orderBy(col("c_custkey"))
   }
 
+  /** t-closeness audit — the third leg of the anonymization triad after
+    * k-anonymity and l-diversity (both in [[kAnonymity]]): for every
+    * quasi-identifier group, the total-variation distance between the
+    * group's sensitive-attribute distribution (account-balance band) and
+    * the global one. Everything is exact: TVD = Σ|c_gb·N − c_b·n_g| /
+    * (2·n_g·N), so the numerator is an exact BIGINT sum over the ≤|bands|
+    * grid, the readout is ONE division, and the t ≤ 0.2 gate is the pure
+    * integer comparison 5·num ≤ 2·n_g·N (no float threshold). Scale: one
+    * pass to the (group, band) cells; the grid join is groups × ≤11
+    * bands, broadcast. */
+  def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("band"))
+    val cells = cust.groupBy(col("c_nationkey"), col("c_mktsegment"),
+        col("band"))
+      .agg(count(lit(1)).as("c_gb"))
+    val groups = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c_gb")).as("n_g"))
+    val bands = cust.groupBy(col("band")).agg(count(lit(1)).as("c_b"))
+    val tot = cust.agg(count(lit(1)).as("n"))
+    groups.crossJoin(broadcast(bands))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"), col("n"),
+        abs(coalesce(col("c_gb"), lit(0L)) * col("n") -
+          col("c_b") * col("n_g")).as("term"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_g"), col("n"))
+      .agg(sum(col("term")).as("tvd_num"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+        col("tvd_num"),
+        (col("tvd_num").cast("double") /
+          (lit(2L) * col("n_g") * col("n")).cast("double")).as("tvd"),
+        when(lit(5L) * col("tvd_num") <= lit(2L) * col("n_g") * col("n"), 1L)
+          .otherwise(0L).as("meets_t"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   /** K-anonymity ENFORCEMENT (the action `pii_k_anonymity`'s audit asks
     * for): a generalize-then-suppress ladder over the quasi-identifiers
     * (nation, balance band, market segment) with k = 10. Level 1 keeps
@@ -324,6 +362,7 @@ object PiiQueries extends QueryModule {
     "pii_dp_counts" -> (dpCounts _),
     "pii_generalize" -> (generalizeK _),
     "pii_k_anonymity" -> (kAnonymity _),
+    "pii_t_closeness" -> (tCloseness _),
     "pii_fpe_tokenize" -> (fpeTokenize _),
     "pii_text_scrub"  -> (textScrub _),
     "pii_drop"        -> (dropColumns _),
@@ -439,6 +478,36 @@ object PiiQueries extends QueryModule {
         |  CASE WHEN COUNT(DISTINCT CAST(floor(c_acctbal/1000.0) AS BIGINT)) >= 3
         |    THEN 1 ELSE 0 END AS meets_l
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pii_t_closeness" ->
+      """WITH cust AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |cells AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(COUNT(*) AS BIGINT) AS c_gb
+        |  FROM cust GROUP BY 1, 2, 3),
+        |groups AS MATERIALIZED (
+        |  SELECT c_nationkey, c_mktsegment, CAST(SUM(c_gb) AS BIGINT) AS n_g
+        |  FROM cells GROUP BY 1, 2),
+        |bands AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS c_b
+        |  FROM cust GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+        |num AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, t.n,
+        |    CAST(SUM(ABS(COALESCE(c.c_gb, 0) * t.n - b.c_b * g.n_g))
+        |      AS BIGINT) AS tvd_num
+        |  FROM groups g
+        |  CROSS JOIN bands b
+        |  CROSS JOIN tot t
+        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, c_mktsegment, n_g, tvd_num,
+        |  CAST(tvd_num AS DOUBLE) / CAST(2 * n_g * n AS DOUBLE) AS tvd,
+        |  CASE WHEN 5 * tvd_num <= 2 * n_g * n
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS meets_t
+        |FROM num ORDER BY 1, 2""".stripMargin,
     "pii_fpe_tokenize" ->
       """SELECT c_custkey,
         |  array_to_string([CASE WHEN substring(c_name, i, 1) BETWEEN '0' AND '9'

@@ -402,6 +402,62 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("pii_t_closeness: TVD matches brute force; gate is the integer compare") {
+    val rows = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val n = rows.length.toLong
+    val bandTot = rows.groupBy(_._2).map { case (b, xs) => b -> xs.length.toLong }
+    val got = SparkEntry.queries("pii_t_closeness")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val key = (r.getInt(0), r.getString(1))
+      val grp = rows.filter(_._1 == key).map(_._2)
+      val nG = grp.length.toLong
+      val num = bandTot.toSeq.map { case (b, cb) =>
+        math.abs(grp.count(_ == b).toLong * n - cb * nG)
+      }.sum
+      assert(r.getAs[Long]("n_g") == nG)
+      assert(r.getAs[Long]("tvd_num") == num)
+      assert(r.getAs[Double]("tvd") ==
+        num.toDouble / (2L * nG * n).toDouble)
+      assert(r.getAs[Long]("meets_t") ==
+        (if (5L * num <= 2L * nG * n) 1L else 0L))
+      assert(r.getAs[Double]("tvd") >= 0.0 && r.getAs[Double]("tvd") <= 1.0)
+    }
+  }
+
+  test("text_pmi_collocations: lift matches brute-force counts, no sub-support pair") {
+    val toksPerDoc = Tables.documents(spark, TestSpark.sf)
+      .select(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+      .collect().map(_.getSeq[String](0))
+    val uni = toksPerDoc.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toLong }
+    val n = uni.values.sum
+    val bgs = toksPerDoc.flatMap(ts => ts.zip(ts.drop(1)))
+    val m = bgs.length.toLong
+    val cAb = bgs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = SparkEntry.queries("text_pmi_collocations")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == 30)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(cAb((a, b)) == r.getAs[Long]("c_ab") && r.getAs[Long]("c_ab") >= 5)
+      assert(uni(a) == r.getAs[Long]("c_a") && uni(b) == r.getAs[Long]("c_b"))
+      assert(r.getAs[Double]("lift") ==
+        cAb((a, b)).toDouble * n.toDouble * n.toDouble /
+          (m.toDouble * uni(a).toDouble * uni(b).toDouble))
+    }
+    // The served list is the true top-30 by lift (ties by pair).
+    val all = cAb.filter(_._2 >= 5).toSeq.map { case ((a, b), c) =>
+      (c.toDouble * n * n / (m.toDouble * uni(a) * uni(b)), a, b)
+    }.sortBy(t => (-t._1, t._2, t._3)).take(30)
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      all.map(t => (t._2, t._3)))
+  }
+
   test("agg_anova_f: matches brute-force sums of squares") {
     val rows = Tables.lineitem(spark, TestSpark.sf)
       .select(col("l_returnflag"),
