@@ -654,6 +654,36 @@ object Aggs extends QueryModule {
         (col("ssb") / (col("ssb") + col("ssw"))).as("eta_sq"))
   }
 
+  /** Tukey-fence outlier report per supplier: Q1/Q3 as exact discrete
+    * order statistics (the cume_dist pattern of [[percentileDisc]] —
+    * real data values, engine-agnostic), fences evaluated as the PURE
+    * INTEGER comparisons 2y < 5·Q1 − 3·Q3 / 2y > 5·Q3 − 3·Q1 on cents
+    * (no 1.5·IQR float ever exists). Partitions are per-supplier (row
+    * count per key is catalog-ratio-bounded, not corpus-bounded);
+    * the top-20 noisiest suppliers emerge via a distributed TakeOrdered.
+    */
+  def tukeyOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("y"))
+    val w = Window.partitionBy(col("sk")).orderBy(col("y"))
+    val qs = li.withColumn("cd", cume_dist().over(w))
+      .groupBy(col("sk"))
+      .agg(min(when(col("cd") >= 0.25, col("y"))).as("q1_c"),
+        min(when(col("cd") >= 0.75, col("y"))).as("q3_c"),
+        count(lit(1)).as("n"))
+    li.join(qs, Seq("sk"))
+      .select(col("sk"), col("n"), col("q1_c"), col("q3_c"),
+        when(lit(2L) * col("y") < lit(5L) * col("q1_c") - lit(3L) * col("q3_c")
+          || lit(2L) * col("y") > lit(5L) * col("q3_c") - lit(3L) * col("q1_c"),
+          1L).otherwise(0L).as("flag"))
+      .groupBy(col("sk"), col("n"), col("q1_c"), col("q3_c"))
+      .agg(sum(col("flag")).as("n_outliers"))
+      .orderBy(col("n_outliers").desc, col("sk").asc)
+      .limit(20)
+  }
+
   /** Exact distinct customers per priority via the mergeable BITMAP
     * aggregate ([[graft.functions.BitmapDistinctAggregator]]) — gated
     * against the same query's built-in `countDistinct`, so the oracle
@@ -1062,6 +1092,7 @@ object Aggs extends QueryModule {
     "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_chi_square"    -> (chiSquare _),
     "agg_anova_f"       -> (anovaF _),
+    "agg_tukey_outliers" -> (tukeyOutliers _),
     "agg_mode"          -> (mode _),
     "agg_skew_kurtosis" -> (skewKurtosis _),
     "agg_equidepth"     -> (equidepthHistogram _),
@@ -1351,6 +1382,27 @@ object Aggs extends QueryModule {
         |    (ssw / CAST(n - k AS DOUBLE)) AS f_stat,
         |  ssb / (ssb + ssw) AS eta_sq
         |FROM f""".stripMargin,
+    "agg_tukey_outliers" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_suppkey AS sk,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |qs AS MATERIALIZED (
+        |  SELECT sk,
+        |    CAST(MIN(CASE WHEN cd >= 0.25 THEN y END) AS BIGINT) AS q1_c,
+        |    CAST(MIN(CASE WHEN cd >= 0.75 THEN y END) AS BIGINT) AS q3_c,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT sk, y,
+        |      cume_dist() OVER (PARTITION BY sk ORDER BY y) AS cd
+        |    FROM li) t
+        |  GROUP BY sk)
+        |SELECT li.sk, qs.n, qs.q1_c, qs.q3_c,
+        |  CAST(SUM(CASE WHEN 2 * li.y < 5 * qs.q1_c - 3 * qs.q3_c
+        |    OR 2 * li.y > 5 * qs.q3_c - 3 * qs.q1_c
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM li JOIN qs ON qs.sk = li.sk
+        |GROUP BY li.sk, qs.n, qs.q1_c, qs.q3_c
+        |ORDER BY n_outliers DESC, li.sk ASC LIMIT 20""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |  FROM orders GROUP BY 1, 2),

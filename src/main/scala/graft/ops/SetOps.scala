@@ -110,7 +110,36 @@ object SetOps extends QueryModule {
       .select(col("p_partkey"), col("p_name"), col("p_size"), col("p_retailprice"))
       .orderBy(col("p_partkey"))
 
+  /** Neyman optimal allocation for stratified sampling: given a total
+    * budget of 1000 draws, allocate n_h ∝ N_h·S_h (stratum size × stddev)
+    * — the survey-design readout that makes [[stratifiedSample]]'s
+    * fractions principled. Per-stratum variances come from exact BIGINT
+    * cent moments (one division each); the allocation denominator
+    * Σ N_h·S_h folds the ≤|brands| per-stratum terms in ascending value
+    * order (the chi-square pin) so every float is bit-identical across
+    * engines; the final allocation is a floor to integer draws. */
+  def neymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_brand"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("y"))
+    val g = p.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_h"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("p_brand"), col("n_h"),
+        ((col("n_h") * col("syy") - col("sy") * col("sy")).cast("double") /
+          (col("n_h") * col("n_h")).cast("double")).as("var_h"))
+      .withColumn("nsh", col("n_h").cast("double") * sqrt(col("var_h")))
+    val denom = g.agg(aggregate(array_sort(collect_list(col("nsh"))),
+      lit(0.0), (a, x) => a + x).as("denom"))
+    g.crossJoin(broadcast(denom))
+      .select(col("p_brand"), col("n_h"), col("var_h"), col("nsh"),
+        floor(lit(1000.0) * col("nsh") / col("denom")).cast("long")
+          .as("alloc"))
+      .orderBy(col("p_brand"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_neyman_alloc" -> (neymanAlloc _),
     "set_intersect"     -> (intersectYears _),
     "set_except"        -> (exceptYears _),
     "set_intersect_all" -> (intersectAllYears _),
@@ -130,6 +159,25 @@ object SetOps extends QueryModule {
     "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"
 
   override def oracleSql: Map[String, String] = Map(
+    "set_neyman_alloc" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT p_brand,
+        |    CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM part),
+        |g AS MATERIALIZED (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    CAST(CAST(COUNT(*) AS BIGINT) * CAST(SUM(y * y) AS BIGINT) -
+        |      CAST(SUM(y) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE) /
+        |    CAST(CAST(COUNT(*) AS BIGINT) * CAST(COUNT(*) AS BIGINT)
+        |      AS DOUBLE) AS var_h
+        |  FROM p GROUP BY 1),
+        |g2 AS MATERIALIZED (
+        |  SELECT *, CAST(n_h AS DOUBLE) * SQRT(var_h) AS nsh FROM g),
+        |dn AS (SELECT list_reduce(list_prepend(0.0, list(nsh ORDER BY nsh)),
+        |  (a, x) -> a + x) AS denom FROM g2)
+        |SELECT p_brand, n_h, var_h, nsh,
+        |  CAST(FLOOR(1000.0 * nsh / denom) AS BIGINT) AS alloc
+        |FROM g2 CROSS JOIN dn ORDER BY p_brand""".stripMargin,
     // set_tablesample / set_stratified_sample: rows-only (seeded sampling
     // is engine-specific by design; properties pinned in specs)
     "set_intersect" ->

@@ -209,14 +209,86 @@ object TimeSeries extends QueryModule {
       .orderBy(col("f"))
   }
 
+  /** Stationary distribution of the event-type Markov chain by 8 rounds
+    * of power iteration — "where does user behavior settle". The whole
+    * iteration is EXACT INTEGER arithmetic: the distribution is carried
+    * nano-scaled (v₀ = 10⁹/|states|) and each step is
+    * vₜ₊₁(j) = Σᵢ (vₜ(i)·c(i,j)) div rᵢ — truncating division is part of
+    * the pinned definition (mass leaks ≤|states| nanos per step), so both
+    * engines produce identical BIGINTs with NO float folds (contrast
+    * pagerank's ordered-fold doubles). The chain matrix is |types|² ≤ 25
+    * cells (broadcast); only the transition count is corpus-sized. */
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val counts = Tables.events(s, d)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // 25-cell matrix feeds every round
+    val r = counts.groupBy(col("cur")).agg(sum(col("c")).as("r"))
+    val mat = counts.join(broadcast(r), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("c"), col("r"))
+      .localCheckpoint(false)
+    val states = mat.select(col("cur").as("state")).distinct()
+    var v = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select(col("state"), expr("1000000000 div k").as("v"))
+    for (_ <- 1 to 8) {
+      v = mat.join(v.select(col("state").as("cur"), col("v")), Seq("cur"))
+        .select(col("nxt").as("state"),
+          expr("(v * c) div r").as("term"))
+        .groupBy(col("state")).agg(sum(col("term")).as("v"))
+        .localCheckpoint(false)
+    }
+    val tot = v.agg(sum(col("v")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .select(col("state"), col("v").as("v_nano"),
+        (col("v").cast("double") / col("tot").cast("double")).as("pi"))
+      .orderBy(col("state"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_acf" -> (acf _),
     "ts_periodogram" -> (periodogram _),
+    "ev_markov_stationary" -> (markovStationary _),
     "ts_stl_daily" -> (stlDaily _),
     "ts_bandit_replay" -> (banditReplay _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_markov_stationary" -> {
+      val rounds = (1 to 8).map { t =>
+        s"""v$t AS MATERIALIZED (
+           |  SELECT m.nxt AS state, CAST(SUM((v.v * m.c) // m.r) AS BIGINT)
+           |    AS v
+           |  FROM mat m JOIN v${t - 1} v ON v.state = m.cur
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |counts AS MATERIALIZED (
+        |  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |rr AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS r
+        |  FROM counts GROUP BY 1),
+        |mat AS MATERIALIZED (
+        |  SELECT c.cur, c.nxt, c.c, r.r FROM counts c JOIN rr r USING (cur)),
+        |v0 AS MATERIALIZED (
+        |  SELECT state, CAST(1000000000 // k AS BIGINT) AS v
+        |  FROM (SELECT DISTINCT cur AS state FROM mat)
+        |  CROSS JOIN (SELECT CAST(COUNT(DISTINCT cur) AS BIGINT) AS k
+        |    FROM mat)),
+        |$rounds,
+        |tot AS (SELECT CAST(SUM(v) AS BIGINT) AS tot FROM v8)
+        |SELECT state, v AS v_nano,
+        |  CAST(v AS DOUBLE) / CAST(tot AS DOUBLE) AS pi
+        |FROM v8 CROSS JOIN tot ORDER BY state""".stripMargin
+    },
     "ts_periodogram" -> {
       val rows = dftBasis
         .map { case (f, p, c, sn) => s"($f, $p, $c, $sn)" }

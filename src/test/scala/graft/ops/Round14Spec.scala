@@ -402,6 +402,83 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("ev_markov_stationary: equals brute-force integer power iteration") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { xs =>
+      val sorted = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.zip(sorted.drop(1))
+    }.toSeq
+    val c = pairs.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val r = c.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    val states = c.keys.map(_._1).toSeq.distinct.sorted
+    var v = states.map(st => st -> 1000000000L / states.length).toMap
+    for (_ <- 1 to 8)
+      v = states.map { j =>
+        j -> states.map(i => v(i) * c.getOrElse((i, j), 0L) / r(i)).sum
+      }.toMap
+    val tot = v.values.sum
+    val got = SparkEntry.queries("ev_markov_stationary")(spark, TestSpark.sf)
+      .collect()
+    assert(got.map(_.getString(0)).toSeq == states)
+    got.foreach { row =>
+      assert(row.getAs[Long]("v_nano") == v(row.getString(0)))
+      assert(row.getAs[Double]("pi") ==
+        v(row.getString(0)).toDouble / tot.toDouble)
+    }
+    // Mass conservation up to the documented truncation leak.
+    assert(tot <= 1000000000L && tot > 1000000000L - 8L * 5L * 5L)
+  }
+
+  test("agg_tukey_outliers: fences and counts match brute force") {
+    val li = Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (sk, xs) => sk -> xs.map(_._2).sorted }
+    def qDisc(ys: Seq[Long], p: Double): Long =
+      ys(math.ceil(p * ys.length).toInt - 1) // first y with cume_dist ≥ p
+    val want = li.map { case (sk, ys) =>
+      val (q1, q3) = (qDisc(ys, 0.25), qDisc(ys, 0.75))
+      sk -> (ys.length.toLong, q1, q3,
+        ys.count(y => 2 * y < 5 * q1 - 3 * q3 || 2 * y > 5 * q3 - 3 * q1).toLong)
+    }
+    val got = SparkEntry.queries("agg_tukey_outliers")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == math.min(20, li.size))
+    got.foreach { r =>
+      val (n, q1, q3, out) = want(r.getLong(0))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("q1_c") == q1 &&
+        r.getAs[Long]("q3_c") == q3 && r.getAs[Long]("n_outliers") == out)
+    }
+    // True top-20 by outlier count (ties by supplier key).
+    val top = want.toSeq.sortBy { case (sk, (_, _, _, o)) => (-o, sk) }
+      .take(20).map(_._1)
+    assert(got.map(_.getLong(0)).toSeq == top)
+  }
+
+  test("set_neyman_alloc: allocation proportional to N_h*S_h, budget respected") {
+    val got = SparkEntry.queries("set_neyman_alloc")(spark, TestSpark.sf)
+      .collect()
+    assert(got.nonEmpty)
+    val sumAlloc = got.map(_.getAs[Long]("alloc")).sum
+    assert(sumAlloc <= 1000L && sumAlloc > 1000L - got.length)
+    got.foreach { r =>
+      assert(r.getAs[Double]("var_h") >= 0.0)
+      assert(r.getAs[Double]("nsh") ==
+        r.getAs[Long]("n_h").toDouble * math.sqrt(r.getAs[Double]("var_h")))
+    }
+    // Monotone: larger N_h*S_h never gets a smaller allocation.
+    val byNsh = got.sortBy(_.getAs[Double]("nsh"))
+    assert(byNsh.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("alloc") <= b.getAs[Long]("alloc")
+      case _ => true
+    })
+  }
+
   test("pii_t_closeness: TVD matches brute force; gate is the integer compare") {
     val rows = Tables.customer(spark, TestSpark.sf)
       .select(col("c_nationkey"), col("c_mktsegment"),
