@@ -109,20 +109,29 @@ object TimeSeries extends QueryModule {
     * recovered afterwards as arm-partitioned running sums of the emitted
     * trajectory (state only changes when an arm is played). The DuckDB
     * oracle replays the identical recurrence as a recursive CTE. */
-  def banditReplay(s: SparkSession, d: String): DataFrame = {
-    def armAgg(a: Int, conv: Boolean): Column = {
-      val base = when(pmod(col("user_id"), lit(3L)) === a.toLong, 1L)
-        .otherwise(0L)
-      sum(if (conv) when(col("event_type") === "purchase", base)
-        .otherwise(0L) else base)
-    }
-    val daily = Tables.events(s, d)
-      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d"),
-        col("user_id"), col("event_type"))
+  def banditReplay(s: SparkSession, d: String): DataFrame =
+    banditTrajectory(
+      Tables.events(s, d)
+        .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .as("d"),
+          pmod(col("user_id"), lit(3L)).as("arm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        .groupBy(col("d"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("sv")))
+
+  /** The engine-independent tail of the bandit replay: takes the
+    * per-(day, arm) trial/success cells — from the batch aggregate OR a
+    * drained streaming aggregate (`ev_stream_bandit`) — pivots to the
+    * day grid and runs the deterministic fold. Shared so stream ≡ batch
+    * is equality of PLANS past the source, not a re-implementation. */
+  private[graft] def banditTrajectory(cells: DataFrame): DataFrame = {
+    def armAgg(a: Int, c: String): Column =
+      sum(when(col("arm") === a.toLong, col(c)).otherwise(0L))
+    val daily = cells
       .groupBy(col("d"))
-      .agg(armAgg(0, conv = false).as("n0"), armAgg(0, conv = true).as("s0"),
-        armAgg(1, conv = false).as("n1"), armAgg(1, conv = true).as("s1"),
-        armAgg(2, conv = false).as("n2"), armAgg(2, conv = true).as("s2"))
+      .agg(armAgg(0, "n").as("n0"), armAgg(0, "sv").as("s0"),
+        armAgg(1, "n").as("n1"), armAgg(1, "sv").as("s1"),
+        armAgg(2, "n").as("n2"), armAgg(2, "sv").as("s2"))
       .withColumn("t",
         row_number().over(Window.orderBy(col("d"))).cast("long"))
     // The chosen-arm expression, inlined everywhere the lambda needs it

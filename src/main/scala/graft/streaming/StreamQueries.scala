@@ -359,7 +359,28 @@ object StreamQueries extends QueryModule {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming twin of `ts_bandit_replay`: the per-(day, arm)
+    * trial/success cells accumulate as a watermarked streaming aggregate
+    * (Complete mode — the drained sink holds the final cell table), then
+    * the IDENTICAL deterministic ε-greedy fold
+    * ([[graft.ops.TimeSeries.banditTrajectory]] — shared code, not a
+    * re-implementation) replays the policy. Gated by the SAME
+    * recursive-CTE oracle as the batch form: stream ≡ batch ≡ SQL. */
+  def streamBandit(s: SparkSession, d: String): DataFrame = {
+    val cells = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("d"),
+        pmod(col("user_id"), lit(3L)).as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .groupBy(col("d"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("sv"))
+    graft.ops.TimeSeries.banditTrajectory(
+      drain(s, cells, OutputMode.Complete(), "bandit"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_stream_bandit" -> (streamBandit _),
     "ev_stream_score" -> (streamScore _),
     "ev_stream_static_join" -> (streamStaticJoin _),
     "ev_stream_dedup" -> (streamDedup _),
@@ -375,6 +396,9 @@ object StreamQueries extends QueryModule {
     s"CAST(CAST(SUM($inner) AS VARCHAR) AS DOUBLE)"
 
   override def oracleSql: Map[String, String] = Map(
+    // Stream ≡ batch ≡ SQL: the drained streaming aggregate feeds the
+    // same fold, so the batch query's recursive-CTE oracle gates both.
+    "ev_stream_bandit" -> graft.ops.TimeSeries.oracleSql("ts_bandit_replay"),
     // The same scoring arithmetic relationally — every event once.
     "ev_stream_score" ->
       """WITH scored AS (
