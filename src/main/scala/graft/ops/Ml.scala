@@ -679,8 +679,46 @@ object Ml extends QueryModule {
           (col("n").cast("double") * col("n").cast("double"))).as("rmse"))
   }
 
+  /** Point-in-time-correct training-set assembly — the feature-store
+    * discipline as one query: for every order (label = high-value flag),
+    * each feature is computed ONLY from the customer's strictly-prior
+    * order history (windows over unbounded-preceding..−1 rows in the
+    * deterministic (date, key) order), so label leakage is structurally
+    * impossible; the split is the stable md5 fold (no RNG, re-shard
+    * safe). One shuffle on the entity key; every feature is exact
+    * integers. The as-of/point-in-time JOIN form of the same discipline
+    * is `join_pit` — this is the windowed self-history form. */
+  def trainingSet(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wLag = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("label",
+        when(col("cents") >= 20000000L, 1L).otherwise(0L))
+      .withColumn("prior_n",
+        coalesce(count(lit(1)).over(w), lit(0L)))
+      .withColumn("prior_cents",
+        coalesce(sum(col("cents")).over(w), lit(0L)))
+      .withColumn("days_since_prev",
+        coalesce(datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(wLag))).cast("long"),
+          lit(-1L)))
+      .withColumn("fold", Corpus.md5bucket(
+        concat(lit("ts:"), col("o_orderkey").cast("string")), 10))
+      .select(col("o_orderkey"), col("o_custkey"), col("label"),
+        col("prior_n"), col("prior_cents"), col("days_since_prev"),
+        col("fold"))
+      .orderBy(col("o_orderkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_ridge_2d" -> (ridge2d _),
+    "ml_training_set" -> (trainingSet _),
     "ml_logreg_score" -> (logregScore _),
     "ml_tree_score" -> (treeScore _),
     "ml_gbdt_margin" -> (gbdtMargin _),
@@ -704,6 +742,29 @@ object Ml extends QueryModule {
       |       ELSE CAST(0 AS BIGINT) END AS rel FROM events)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "ml_training_set" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN cents >= 20000000 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS label,
+        |  CAST(COALESCE(COUNT(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS prior_n,
+        |  CAST(COALESCE(SUM(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS prior_cents,
+        |  CAST(COALESCE(date_diff('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)), -1) AS BIGINT) AS days_since_prev,
+        |  CAST(('0x' || substring(md5('ts:' || CAST(o_orderkey AS VARCHAR)),
+        |    1, 8)) AS BIGINT) % 10 AS fold
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "ml_ridge_2d" ->
       """WITH pu AS MATERIALIZED (
         |  SELECT user_id,

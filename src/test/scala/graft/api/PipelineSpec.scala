@@ -146,6 +146,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ExperimentPipeline stages reproduce their gated queries") {
+    val api = new ExperimentPipeline
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      "ev_ab_test" -> (api.abTest _),
+      "ev_sprt" -> (api.sprt _),
+      "ev_did" -> (api.did _),
+      "ev_cuped" -> (api.cuped _),
+      "ev_uplift_bucket" -> (api.uplift _),
+      "ts_bandit_replay" -> (api.banditReplay _),
+    ).foreach { case (name, stage) =>
+      val a = stage(spark, TestSpark.sf)
+      val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)
+      assert(a.exceptAll(q).isEmpty && q.exceptAll(a).isEmpty,
+        s"$name: API stage must BE the gated query")
+    }
+  }
+
   test("ScoringPipeline stages reproduce their gated queries") {
     val api = new ScoringPipeline
     Seq[(String, (org.apache.spark.sql.SparkSession, String) =>

@@ -402,6 +402,34 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("ml_training_set: features use strictly-prior history only (no leakage)") {
+    val orders = Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("string"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val byCust = orders.groupBy(_._2)
+      .map { case (c, xs) => c -> xs.sortBy(o => (o._3, o._1)) }
+    val got = SparkEntry.queries("ml_training_set")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == orders.length)
+    got.foreach { r =>
+      val (ok, ck) = (r.getLong(0), r.getLong(1))
+      val hist = byCust(ck)
+      val idx = hist.indexWhere(_._1 == ok)
+      val prior = hist.take(idx)
+      assert(r.getAs[Long]("prior_n") == prior.length.toLong,
+        s"order $ok must see exactly its $idx prior orders")
+      assert(r.getAs[Long]("prior_cents") == prior.map(_._4).sum)
+      assert(r.getAs[Long]("label") ==
+        (if (hist(idx)._4 >= 20000000L) 1L else 0L))
+      assert(r.getAs[Long]("fold") >= 0L && r.getAs[Long]("fold") <= 9L)
+      // days_since_prev: -1 exactly when this is the first order.
+      assert((r.getAs[Long]("days_since_prev") == -1L) == (idx == 0))
+    }
+  }
+
   test("ev_markov_stationary: equals brute-force integer power iteration") {
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
