@@ -98,6 +98,26 @@ object TimeSeries extends QueryModule {
       .orderBy(col("d"))
   }
 
+  /** Anomaly flags on the STL residuals — "which days deviate from trend
+    * AND season". The 2σ test never touches a float: |rem − μ| > 2σ is
+    * evaluated as (m·rem − S)² > 4·(m·Q − S²) over exact decimal squares
+    * (headroom to ~10⁴× fixture scale inside DECIMAL(38,0)), so the flag
+    * is bit-identical by construction. Reads the [[stlDaily]] table —
+    * same calendar-bounded posture. */
+  def stlAnomaly(s: SparkSession, d: String): DataFrame = {
+    val stl = stlDaily(s, d)
+    val mo = stl.agg(count(lit(1)).as("m"), sum(col("rem_micro")).as("sr"),
+      sum(col("rem_micro").cast("decimal(18,0)") *
+        col("rem_micro").cast("decimal(18,0)")).cast("decimal(38,0)").as("q"))
+    val lhs = (col("rem_micro") * col("m") - col("sr")).cast("decimal(19,0)")
+    val rhs = lit(4) * (col("m") * col("q") -
+      col("sr").cast("decimal(19,0)") * col("sr").cast("decimal(19,0)"))
+    stl.crossJoin(broadcast(mo))
+      .select(col("d"), col("x"), col("rem_micro"),
+        when(lhs * lhs > rhs, 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy(col("d"))
+  }
+
   /** ε-greedy bandit replay over the daily grid, arms = user_id mod 3,
     * reward = that arm's purchases that day. The policy is fully
     * deterministic — days 1–3 initialize each arm once; every 5th day
@@ -263,8 +283,43 @@ object TimeSeries extends QueryModule {
     "ts_periodogram" -> (periodogram _),
     "ev_markov_stationary" -> (markovStationary _),
     "ts_stl_daily" -> (stlDaily _),
+    "ts_stl_anomaly" -> (stlAnomaly _),
     "ts_bandit_replay" -> (banditReplay _),
   )
+
+  /** Shared STL oracle prefix: the full decomposition table as one CTE
+    * chain (re-read by the anomaly twin). */
+  private lazy val stlCtes: String =
+    """counts AS MATERIALIZED (
+      |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM counts),
+      |grid AS (SELECT UNNEST(range(dmin, dmax + 1)) AS d FROM bounds),
+      |xs AS MATERIALIZED (
+      |  SELECT g.d, COALESCE(c.x, CAST(0 AS BIGINT)) AS x
+      |  FROM grid g LEFT JOIN counts c USING (d)),
+      |trended AS MATERIALIZED (
+      |  SELECT d, x, CAST((1000000 * w7) // 7 AS BIGINT) AS trend_micro,
+      |    d % 7 AS phase,
+      |    CAST(1000000 * x - (1000000 * w7) // 7 AS BIGINT) AS detr_micro
+      |  FROM (
+      |    SELECT d, x,
+      |      SUM(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+      |        AND 3 FOLLOWING) AS w7,
+      |      COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+      |        AND 3 FOLLOWING) AS cnt7
+      |    FROM xs)
+      |  WHERE cnt7 = 7),
+      |seas AS (
+      |  SELECT phase, CAST(FLOOR(CAST(SUM(detr_micro) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS seas_micro
+      |  FROM trended GROUP BY 1),
+      |stl AS MATERIALIZED (
+      |  SELECT t.d, t.x, t.trend_micro, t.phase, s.seas_micro,
+      |    CAST(1000000 * t.x - t.trend_micro - s.seas_micro AS BIGINT)
+      |      AS rem_micro
+      |  FROM trended t JOIN seas s USING (phase))""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "ev_markov_stationary" -> {
@@ -347,36 +402,25 @@ object TimeSeries extends QueryModule {
         |SELECT k, n_pairs, num / den AS acf
         |FROM num CROSS JOIN den ORDER BY k""".stripMargin,
     "ts_stl_daily" ->
-      """WITH counts AS MATERIALIZED (
-        |  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
-        |    CAST(COUNT(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1),
-        |bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM counts),
-        |grid AS (SELECT UNNEST(range(dmin, dmax + 1)) AS d FROM bounds),
-        |xs AS MATERIALIZED (
-        |  SELECT g.d, COALESCE(c.x, CAST(0 AS BIGINT)) AS x
-        |  FROM grid g LEFT JOIN counts c USING (d)),
-        |trended AS MATERIALIZED (
-        |  SELECT d, x, CAST((1000000 * w7) // 7 AS BIGINT) AS trend_micro,
-        |    d % 7 AS phase,
-        |    CAST(1000000 * x - (1000000 * w7) // 7 AS BIGINT) AS detr_micro
-        |  FROM (
-        |    SELECT d, x,
-        |      SUM(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
-        |        AND 3 FOLLOWING) AS w7,
-        |      COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
-        |        AND 3 FOLLOWING) AS cnt7
-        |    FROM xs)
-        |  WHERE cnt7 = 7),
-        |seas AS (
-        |  SELECT phase, CAST(FLOOR(CAST(SUM(detr_micro) AS DOUBLE) /
-        |    CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS seas_micro
-        |  FROM trended GROUP BY 1)
-        |SELECT t.d, t.x, t.trend_micro, t.phase, s.seas_micro,
-        |  CAST(1000000 * t.x - t.trend_micro - s.seas_micro AS BIGINT)
-        |    AS rem_micro
-        |FROM trended t JOIN seas s USING (phase)
-        |ORDER BY t.d""".stripMargin,
+      s"""WITH $stlCtes
+        |SELECT d, x, trend_micro, phase, seas_micro, rem_micro
+        |FROM stl ORDER BY d""".stripMargin,
+    "ts_stl_anomaly" ->
+      s"""WITH $stlCtes,
+        |mo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(rem_micro) AS BIGINT) AS sr,
+        |    CAST(SUM(CAST(rem_micro AS DECIMAL(18,0)) *
+        |      CAST(rem_micro AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS q
+        |  FROM stl)
+        |SELECT s.d, s.x, s.rem_micro,
+        |  CASE WHEN
+        |    CAST(s.rem_micro * mo.m - mo.sr AS DECIMAL(19,0)) *
+        |    CAST(s.rem_micro * mo.m - mo.sr AS DECIMAL(19,0)) >
+        |    4 * (mo.m * mo.q -
+        |      CAST(mo.sr AS DECIMAL(19,0)) * CAST(mo.sr AS DECIMAL(19,0)))
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_anomaly
+        |FROM stl s CROSS JOIN mo ORDER BY s.d""".stripMargin,
     "ts_bandit_replay" -> {
       val gt01 = "(rec.s1 * rec.n0 > rec.s0 * rec.n1)"
       val arm =

@@ -430,6 +430,42 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("ts_stl_anomaly: integer 2-sigma flags match brute force") {
+    val stl = SparkEntry.queries("ts_stl_daily")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("rem_micro")))
+    val m = stl.length.toLong
+    val sr = stl.map(_._2).sum
+    val q = stl.map(r => BigInt(r._2) * BigInt(r._2)).sum
+    val got = SparkEntry.queries("ts_stl_anomaly")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == stl.length)
+    got.foreach { r =>
+      val rem = stl.find(_._1 == r.getLong(0)).get._2
+      val lhs = BigInt(rem * m - sr).pow(2)
+      val rhs = 4 * (m * q - BigInt(sr) * BigInt(sr))
+      assert(r.getAs[Long]("is_anomaly") == (if (lhs > rhs) 1L else 0L))
+    }
+  }
+
+  test("banditTrajectory: degenerate shapes — empty, single day, missing arms") {
+    import spark.implicits._
+    // Empty cell table → empty trajectory (fold over empty list).
+    val empty = Seq.empty[(Long, Long, Long, Long)].toDF("d", "arm", "n", "sv")
+    assert(TimeSeries.banditTrajectory(empty).collect().isEmpty)
+    // One day, only arm 2 observed: t=1 plays arm 0 (init path) and
+    // observes ZERO trials — the policy never peeks at unplayed arms.
+    val oneDay = Seq((10L, 2L, 5L, 3L)).toDF("d", "arm", "n", "sv")
+    val r1 = TimeSeries.banditTrajectory(oneDay).collect()
+    assert(r1.length == 1 && r1.head.getAs[Long]("arm") == 0L &&
+      r1.head.getAs[Long]("obs_n") == 0L && r1.head.getAs[Long]("cum_n") == 0L)
+    // Four days, all arms always equal: exploit on t=4 ties to arm 0.
+    val cells = (1L to 4L).flatMap(day =>
+      (0L to 2L).map(a => (day, a, 10L, 1L)))
+      .toDF("d", "arm", "n", "sv")
+    val r4 = TimeSeries.banditTrajectory(cells).collect().sortBy(_.getLong(0))
+    assert(r4.map(_.getAs[Long]("arm")).toSeq == Seq(0L, 1L, 2L, 0L))
+  }
+
   test("ev_markov_stationary: equals brute-force integer power iteration") {
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
