@@ -119,6 +119,38 @@ object LlmText extends QueryModule {
       .limit(30)
   }
 
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb-class
+    * filter): deflate each document at a FIXED level and report
+    * compressed/raw per mille — highly repetitive boilerplate compresses
+    * far below natural text and gets dropped. Runs inside the same
+    * mapPartitions codec contract as the Multimodal decoders (Deflater is
+    * imperative by nature; one Deflater per partition, reset per row).
+    * Rows-only by design: zlib OUTPUT BYTES are version-dependent, so no
+    * DuckDB twin exists — Round14Spec pins determinism, the exact length
+    * arithmetic against an independent deflate, and lossless round-trip.
+    * Scale: map-only, zero shuffle before the final order. */
+  def compressRatio(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val defl = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](4096)
+        rows.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          defl.reset(); defl.setInput(raw); defl.finish()
+          var clen = 0L
+          while (!defl.finished()) clen += defl.deflate(buf)
+          (id, raw.length.toLong, clen,
+            if (raw.length > 0) 1000L * clen / raw.length else -1L)
+        }
+      }.toDF("doc_id", "raw_len", "deflate_len", "ratio_milli")
+      .withColumn("keep",
+        when(col("ratio_milli") >= 300L, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set (canonical
     * bag-of-words identity — robust to word order), plus a 32-bit numeric
     * fingerprint from its first 8 hex digits. */
@@ -883,6 +915,7 @@ object LlmText extends QueryModule {
     "text_token_counts" -> (tokenCounts _),
     "text_word_freq"   -> (wordFreq _),
     "text_pmi_collocations" -> (pmiCollocations _),
+    "text_compress_ratio" -> (compressRatio _),
     "text_fingerprint" -> (fingerprint _),
   )
 

@@ -69,10 +69,19 @@ object TimeSeries extends QueryModule {
     * division of exact sums, remainder pure integer subtraction. The
     * 7-row window runs unpartitioned over the day grid — calendar-bounded,
     * the SPRT precedent. */
-  def stlDaily(s: SparkSession, d: String): DataFrame = {
-    val counts = Tables.events(s, d)
-      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d"))
-      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+  def stlDaily(s: SparkSession, d: String): DataFrame =
+    stlFromCounts(
+      Tables.events(s, d)
+        .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("x")))
+
+  /** The engine-independent tail of the decomposition: takes the raw
+    * (day, count) cells — batch aggregate OR drained streaming aggregate
+    * (`ev_stream_stl_daily`) — zero-fills the calendar grid and runs the
+    * trend/seasonal/remainder algebra. Shared so stream ≡ batch is plan
+    * identity past the source. */
+  private[graft] def stlFromCounts(counts: DataFrame): DataFrame = {
     val grid = counts.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
       .select(explode(sequence(col("dmin"), col("dmax"))).as("d"))
     val xs = grid.join(counts, Seq("d"), "left")

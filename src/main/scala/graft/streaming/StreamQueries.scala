@@ -379,8 +379,23 @@ object StreamQueries extends QueryModule {
       drain(s, cells, OutputMode.Complete(), "bandit"))
   }
 
+  /** Streaming twin of `ts_stl_daily`: daily counts accumulate as a
+    * watermarked streaming aggregate, then the IDENTICAL decomposition
+    * tail ([[graft.ops.TimeSeries.stlFromCounts]]) runs on the drained
+    * table — gated by the batch query's oracle. */
+  def streamStl(s: SparkSession, d: String): DataFrame = {
+    val counts = streamEvents(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+        .as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("x"))
+    graft.ops.TimeSeries.stlFromCounts(
+      drain(s, counts, OutputMode.Complete(), "stl"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_stream_bandit" -> (streamBandit _),
+    "ev_stream_stl_daily" -> (streamStl _),
     "ev_stream_score" -> (streamScore _),
     "ev_stream_static_join" -> (streamStaticJoin _),
     "ev_stream_dedup" -> (streamDedup _),
@@ -399,6 +414,7 @@ object StreamQueries extends QueryModule {
     // Stream ≡ batch ≡ SQL: the drained streaming aggregate feeds the
     // same fold, so the batch query's recursive-CTE oracle gates both.
     "ev_stream_bandit" -> graft.ops.TimeSeries.oracleSql("ts_bandit_replay"),
+    "ev_stream_stl_daily" -> graft.ops.TimeSeries.oracleSql("ts_stl_daily"),
     // The same scoring arithmetic relationally — every event once.
     "ev_stream_score" ->
       """WITH scored AS (

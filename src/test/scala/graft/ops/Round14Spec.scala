@@ -466,6 +466,51 @@ class Round14Spec extends AnyFunSuite {
     assert(r4.map(_.getAs[Long]("arm")).toSeq == Seq(0L, 1L, 2L, 0L))
   }
 
+  test("ev_stream_stl_daily: streaming twin equals the batch decomposition") {
+    val batch = SparkEntry.queries("ts_stl_daily")(spark, TestSpark.sf)
+    val stream = SparkEntry.queries("ev_stream_stl_daily")(spark, TestSpark.sf)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("text_compress_ratio: deterministic, length-exact vs independent deflate, lossless") {
+    val got = SparkEntry.queries("text_compress_ratio")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val again = SparkEntry.queries("text_compress_ratio")(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == again.toSeq) // fixed level, no state: restart-stable
+    val texts = Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    got.take(50).foreach { case (id, rawLen, cLen, ratio) =>
+      val z = deflate(texts(id))
+      assert(rawLen == texts(id).getBytes("UTF-8").length.toLong)
+      assert(cLen == z.length.toLong,
+        s"doc $id: query deflate length must match an independent deflate")
+      assert(ratio == 1000L * cLen / rawLen)
+      // Lossless: inflate round-trips to the original bytes.
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(z)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+      assert(new String(out.toByteArray, "UTF-8") == texts(id))
+    }
+    // The signal separates: pure repetition compresses far below the
+    // natural-text band.
+    val rep = deflate("spam " * 2000)
+    assert(1000L * rep.length / ("spam " * 2000).getBytes("UTF-8").length < 50)
+  }
+
   test("ev_markov_stationary: equals brute-force integer power iteration") {
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
