@@ -79,4 +79,12 @@ class ScoringPipeline {
   /** Cumulative gains / lift table by score decile. */
   def liftGains(s: SparkSession, dir: String): DataFrame =
     Ml.liftGains(s, dir)
+
+  /** Kolmogorov–Smirnov discrimination: the max CDF gap, exact-integer. */
+  def ksScore(s: SparkSession, dir: String): DataFrame =
+    Ml.ksScore(s, dir)
+
+  /** Leakage-free point-in-time training-set assembly with md5 folds. */
+  def trainingSet(s: SparkSession, dir: String): DataFrame =
+    Ml.trainingSet(s, dir)
 }

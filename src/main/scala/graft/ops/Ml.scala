@@ -306,6 +306,48 @@ object Ml extends QueryModule {
       .orderBy(col("n_pos"))
   }
 
+  /** Kolmogorov–Smirnov model-discrimination score: the maximum gap
+    * between the positive and negative score CDFs. At every distinct
+    * score the gap is the EXACT integer |cp·N⁻ − cn·N⁺| (the /N⁺N⁻
+    * normalization deferred to one readout division), the cumulative
+    * counts are bucket-localized exactly like [[aucExact]] (per-bucket
+    * base offsets + windows partitioned on the bucket — no
+    * corpus-proportional unpartitioned window), and the argmax row
+    * emerges via a distributed TakeOrdered with deterministic
+    * tie-breaks. */
+  def ksScore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = base(s, d)
+      .select(floor(col("o_totalprice")).cast("long").as("score"), col("y"))
+    val vc = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+      .withColumn("bucket", floor(col("score") / 10000.0).cast("long"))
+    val bk = vc.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("bc"), sum(col("c1")).as("bc1"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bse = bk
+      .withColumn("base", coalesce(sum(col("bc")).over(wB), lit(0L)))
+      .withColumn("base1", coalesce(sum(col("bc1")).over(wB), lit(0L)))
+      .select(col("bucket"), col("base"), col("base1"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = vc.agg(sum(col("c1")).as("n_pos"),
+      sum(col("c") - col("c1")).as("n_neg"))
+    vc.join(broadcast(bse), Seq("bucket"))
+      .withColumn("cp", col("base1") + sum(col("c1")).over(wIn))
+      .withColumn("ct", col("base") + sum(col("c")).over(wIn))
+      .crossJoin(broadcast(tot))
+      .select(col("score"), col("cp"), (col("ct") - col("cp")).as("cn"),
+        col("n_pos"), col("n_neg"),
+        abs(col("cp") * col("n_neg") -
+          (col("ct") - col("cp")) * col("n_pos")).as("ks_num"))
+      .withColumn("ks", col("ks_num").cast("double") /
+        (col("n_pos") * col("n_neg")).cast("double"))
+      .orderBy(col("ks_num").desc, col("score").asc)
+      .limit(1)
+  }
+
   /** Average precision (PR-AUC) over the price-score ranking: AP =
     * Σ_over-positives precision@rank / n_pos, computed on the DISTINCT
     * score grid with descending cumulative tp/fp counts (midpoint
@@ -719,6 +761,7 @@ object Ml extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_ridge_2d" -> (ridge2d _),
     "ml_training_set" -> (trainingSet _),
+    "ml_ks_score" -> (ksScore _),
     "ml_logreg_score" -> (logregScore _),
     "ml_tree_score" -> (treeScore _),
     "ml_gbdt_margin" -> (gbdtMargin _),
@@ -765,6 +808,25 @@ object Ml extends QueryModule {
         |  CAST(('0x' || substring(md5('ts:' || CAST(o_orderkey AS VARCHAR)),
         |    1, 8)) AS BIGINT) % 10 AS fold
         |FROM o ORDER BY o_orderkey""".stripMargin,
+    "ml_ks_score" ->
+      s"""WITH base AS ($baseSql),
+         |vc AS MATERIALIZED (
+         |  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS score,
+         |    CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS c1
+         |  FROM base GROUP BY 1),
+         |cum AS MATERIALIZED (
+         |  SELECT score,
+         |    CAST(SUM(c1) OVER (ORDER BY score) AS BIGINT) AS cp,
+         |    CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS ct
+         |  FROM vc),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+         |  CAST(SUM(c - c1) AS BIGINT) AS n_neg FROM vc)
+         |SELECT score, cp, ct - cp AS cn, n_pos, n_neg,
+         |  ABS(cp * n_neg - (ct - cp) * n_pos) AS ks_num,
+         |  CAST(ABS(cp * n_neg - (ct - cp) * n_pos) AS DOUBLE) /
+         |    CAST(n_pos * n_neg AS DOUBLE) AS ks
+         |FROM cum CROSS JOIN tot
+         |ORDER BY ks_num DESC, score ASC LIMIT 1""".stripMargin,
     "ml_ridge_2d" ->
       """WITH pu AS MATERIALIZED (
         |  SELECT user_id,

@@ -776,6 +776,10 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no sort-merge join against a 96-row table:\n$p")
   }
 
+  test("ml_ks_score: the CDF cumsums partition on the score bucket") {
+    assertBucketLocalized("ml_ks_score", "score", "bucket")
+  }
+
   test("ml_ndcg / ml_precision_at_k: rank windows partition per user") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     Seq("ml_ndcg", "ml_precision_at_k").foreach { q =>

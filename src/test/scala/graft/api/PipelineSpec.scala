@@ -183,6 +183,8 @@ class PipelineSpec extends AnyFunSuite {
       "ml_conformal" -> (api.conformal _),
       "ml_pr_auc" -> (api.prAuc _),
       "ml_lift_gains" -> (api.liftGains _),
+      "ml_ks_score" -> (api.ksScore _),
+      "ml_training_set" -> (api.trainingSet _),
     ).foreach { case (name, stage) =>
       val a = stage(spark, TestSpark.sf)
       val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)

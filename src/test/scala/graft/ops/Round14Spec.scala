@@ -644,6 +644,30 @@ class Round14Spec extends AnyFunSuite {
       all.map(t => (t._2, t._3)))
   }
 
+  test("ml_ks_score: equals brute-force max CDF gap") {
+    val rows = Tables.orders(spark, TestSpark.sf)
+      .join(Tables.customer(spark, TestSpark.sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(floor(col("o_totalprice")).cast("long"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nPos = rows.count(_._2 == 1L).toLong
+    val nNeg = rows.length.toLong - nPos
+    val scores = rows.map(_._1).distinct.sorted
+    val best = scores.map { t =>
+      val cp = rows.count(r => r._1 <= t && r._2 == 1L).toLong
+      val cn = rows.count(r => r._1 <= t && r._2 == 0L).toLong
+      (math.abs(cp * nNeg - cn * nPos), t, cp, cn)
+    }.maxBy(x => (x._1, -x._2))
+    val r = SparkEntry.queries("ml_ks_score")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("ks_num") == best._1)
+    assert(r.getAs[Long]("score") == best._2)
+    assert(r.getAs[Long]("cp") == best._3 && r.getAs[Long]("cn") == best._4)
+    assert(r.getAs[Double]("ks") ==
+      best._1.toDouble / (nPos * nNeg).toDouble)
+  }
+
   test("agg_anova_f: matches brute-force sums of squares") {
     val rows = Tables.lineitem(spark, TestSpark.sf)
       .select(col("l_returnflag"),
