@@ -79,10 +79,11 @@ object Recommender extends QueryModule {
   /** Top-M neighbor lists per item (both directions of the i<j pairs),
     * rank = (sim desc, neighbor asc) — the broadcastable serving model. */
   private def neighborModel(pairs: DataFrame, m: Int): DataFrame = {
-    // The i<j pair table feeds BOTH union branches — lazily checkpoint it
-    // so the expensive basket self-join runs once, not once per branch
-    // (the kcore/BPE localCheckpoint precedent).
-    val p = pairs.localCheckpoint(false)
+    // The i<j pair table feeds both union branches; AQE's exchange reuse
+    // already evaluates the self-join once (a localCheckpoint here was
+    // MEASURED 10× slower on rec_eval_mrr — the blocking materialization
+    // barrier costs far more than the reuse saves; see BENCH_NOTES r14).
+    val p = pairs
     val sym = p.select(col("i").as("item"), col("j").as("nbr"),
         col("sim_micro"))
       .unionAll(p.select(col("j").as("item"), col("i").as("nbr"),
@@ -110,9 +111,7 @@ object Recommender extends QueryModule {
     * BIGINT sums → window ranking partitioned BY USER (per-user state
     * only — scales to any user count). */
   private def top3PerUser(s: SparkSession, d: String): DataFrame = {
-    // Ownership feeds scoring AND the anti-join — checkpoint the
-    // distinct'd interaction table so the orders⋈lineitem scan runs once.
-    val owned = userItems(s, d, Tables.orders(s, d)).localCheckpoint(false)
+    val owned = userItems(s, d, Tables.orders(s, d))
     val model = neighborModel(cooccurPairs(s, d, basketItems(s, d)), 10)
     // The model is catalog×M-sized by construction — broadcast it so
     // scoring is a map-side join against the user baskets.
@@ -144,7 +143,6 @@ object Recommender extends QueryModule {
   def coverage(s: SparkSession, d: String): DataFrame = {
     val items = basketItems(s, d)
     val pop = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
     val cat = pop.agg(count(lit(1)).as("n_catalog"),
       sum(col("n")).as("pop_cat"))
     val recs = top3PerUser(s, d)
@@ -184,9 +182,8 @@ object Recommender extends QueryModule {
       .join(basketItems(s, d), Seq("ok"))
     val model = neighborModel(cooccurPairs(s, d, trainItems), 10)
 
-    // Each is consumed by 2–3 downstream joins; checkpoint once.
-    val ownedTrain = userItems(s, d, trainOrders).localCheckpoint(false)
-    val testItems = userItems(s, d, testOrders).localCheckpoint(false)
+    val ownedTrain = userItems(s, d, trainOrders)
+    val testItems = userItems(s, d, testOrders)
 
     val recs = ownedTrain.join(broadcast(model), Seq("item"))
       .select(col("u"), col("nbr").as("cand"), col("sim_micro"))
