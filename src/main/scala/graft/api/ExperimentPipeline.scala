@@ -43,4 +43,8 @@ class ExperimentPipeline {
   /** Deterministic ε-greedy bandit replay over the daily grid. */
   def banditReplay(s: SparkSession, dir: String): DataFrame =
     TimeSeries.banditReplay(s, dir)
+
+  /** Cohen's d + Welch CI — magnitude, not just significance. */
+  def effectSize(s: SparkSession, dir: String): DataFrame =
+    Experiment.effectSize(s, dir)
 }

@@ -87,4 +87,8 @@ class ScoringPipeline {
   /** Leakage-free point-in-time training-set assembly with md5 folds. */
   def trainingSet(s: SparkSession, dir: String): DataFrame =
     Ml.trainingSet(s, dir)
+
+  /** Exact linear-SHAP global feature attribution. */
+  def shapLinear(s: SparkSession, dir: String): DataFrame =
+    Ml.shapLinear(s, dir)
 }

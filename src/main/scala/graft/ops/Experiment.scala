@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
@@ -118,13 +118,93 @@ object Experiment extends QueryModule {
       .orderBy(col("bucket"))
   }
 
+  /** Effect size of the arm difference on event value: Cohen's d with the
+    * pooled standard deviation, plus the Welch 95% CI of the mean
+    * difference — the "is it LARGE, not just significant" readout that
+    * belongs next to every p-value. Per-arm moments are exact BIGINT cent
+    * sums (routed decimal→string→double where they exceed 2⁵³); d and
+    * the CI are one shared float expression tree, z = 1.96 a design
+    * literal. */
+  def effectSize(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.events(s, d)
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").cast("string").cast("double").as("scc"))
+    def arm(a: Int, c: String) =
+      first(when(col("arm") === a.toLong, col(c)), ignoreNulls = true)
+    val wide = m.agg(
+      arm(0, "n").as("n0"), arm(0, "sc").as("s0"), arm(0, "scc").as("q0"),
+      arm(1, "n").as("n1"), arm(1, "sc").as("s1"), arm(1, "scc").as("q1"))
+    // Sample variances s² = (n·Q − S²)/(n·(n−1)); all in cents.
+    def v(n: Column, sc: Column, q: Column): Column =
+      (n.cast("double") * q - sc.cast("double") * sc.cast("double")) /
+        (n.cast("double") * (n - 1L).cast("double"))
+    val (m0, m1) = (col("s0").cast("double") / col("n0").cast("double"),
+      col("s1").cast("double") / col("n1").cast("double"))
+    val (v0, v1) = (v(col("n0"), col("s0"), col("q0")),
+      v(col("n1"), col("s1"), col("q1")))
+    val sp = sqrt(((col("n0") - 1L).cast("double") * v0 +
+      (col("n1") - 1L).cast("double") * v1) /
+      (col("n0") + col("n1") - 2L).cast("double"))
+    val se = sqrt(v0 / col("n0").cast("double") +
+      v1 / col("n1").cast("double"))
+    wide.select(col("n0"), col("n1"),
+      (m0 / lit(100.0)).as("mean_control"),
+      (m1 / lit(100.0)).as("mean_treated"),
+      ((m1 - m0) / sp).as("cohens_d"),
+      ((m1 - m0 - lit(1.96) * se) / lit(100.0)).as("ci_lo"),
+      ((m1 - m0 + lit(1.96) * se) / lit(100.0)).as("ci_hi"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_did" -> (did _),
+    "ev_effect_size" -> (effectSize _),
     "ev_cuped" -> (cuped _),
     "ev_uplift_bucket" -> (upliftBucket _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_effect_size" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sc,
+        |    CAST(CAST(CAST(SUM(
+        |      CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+        |        AS DECIMAL(18,0)) *
+        |      CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+        |        AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS VARCHAR)
+        |      AS DOUBLE) AS scc
+        |  FROM events GROUP BY 1),
+        |wide AS (
+        |  SELECT MAX(n) FILTER (arm = 0) AS n0,
+        |    MAX(sc) FILTER (arm = 0) AS s0, MAX(scc) FILTER (arm = 0) AS q0,
+        |    MAX(n) FILTER (arm = 1) AS n1,
+        |    MAX(sc) FILTER (arm = 1) AS s1, MAX(scc) FILTER (arm = 1) AS q1
+        |  FROM m),
+        |c AS (
+        |  SELECT *,
+        |    CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    (CAST(n0 AS DOUBLE) * q0 -
+        |      CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)) /
+        |      (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) AS v0,
+        |    (CAST(n1 AS DOUBLE) * q1 -
+        |      CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |      (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS v1
+        |  FROM wide)
+        |SELECT n0, n1, m0 / 100.0 AS mean_control, m1 / 100.0 AS mean_treated,
+        |  (m1 - m0) / SQRT((CAST(n0 - 1 AS DOUBLE) * v0 +
+        |    CAST(n1 - 1 AS DOUBLE) * v1) /
+        |    CAST(n0 + n1 - 2 AS DOUBLE)) AS cohens_d,
+        |  (m1 - m0 - 1.96 * SQRT(v0 / CAST(n0 AS DOUBLE) +
+        |    v1 / CAST(n1 AS DOUBLE))) / 100.0 AS ci_lo,
+        |  (m1 - m0 + 1.96 * SQRT(v0 / CAST(n0 AS DOUBLE) +
+        |    v1 / CAST(n1 AS DOUBLE))) / 100.0 AS ci_hi
+        |FROM c""".stripMargin,
     "ev_did" ->
       s"""WITH cells AS MATERIALIZED (
         |  SELECT user_id % 2 AS arm,

@@ -306,6 +306,42 @@ object Ml extends QueryModule {
       .orderBy(col("n_pos"))
   }
 
+  /** Exact SHAP feature attribution for the linear scorer — for a linear
+    * model the Shapley value has the closed form φ_f = w_f·(x_f − μ_f),
+    * so "explainability" is computable EXACTLY at corpus scale: global
+    * importance per feature = mean|φ| with everything n-scaled to
+    * integers (n·φ = w·(n·x − Σx), BIGINT end-to-end; absent one-hot
+    * rows contribute the closed-form (n − cnt)·|w·Σx| term instead of
+    * being materialized). One melt + one hash agg; the readout divisions
+    * are single IEEE ops. Additivity Σφ = margin − E[margin] is the
+    * MlSpec pin. */
+  def shapLinear(s: SparkSession, d: String): DataFrame = {
+    val w = s.createDataFrame(weightRows).toDF("feature", "w")
+    val feats = featureRows(base(s, d))
+    val nDf = base(s, d).agg(count(lit(1)).as("n"))
+    val perF = feats.groupBy(col("feature"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"))
+      .join(broadcast(w), Seq("feature"))
+    val present = feats.join(broadcast(perF), Seq("feature"))
+      .crossJoin(broadcast(nDf))
+      .select(col("feature"),
+        abs(col("w") * (col("n") * col("x") - col("sx")))
+          .cast("decimal(28,0)").as("a"))
+      .groupBy(col("feature"))
+      .agg(sum(col("a")).cast("decimal(38,0)").as("sum_abs_present"))
+    perF.join(present, Seq("feature"))
+      .crossJoin(broadcast(nDf))
+      .select(col("feature"), col("w").as("w_milli"), col("cnt"),
+        col("sx"),
+        ((col("sum_abs_present") +
+          ((col("n") - col("cnt")) * abs(col("w") * col("sx")))
+            .cast("decimal(38,0)")).cast("decimal(38,0)")
+          .cast("string").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * lit(1000.0)))
+          .as("mean_abs_phi"))
+      .orderBy(col("mean_abs_phi").desc, col("feature").asc)
+  }
+
   /** Kolmogorov–Smirnov model-discrimination score: the maximum gap
     * between the positive and negative score CDFs. At every distinct
     * score the gap is the EXACT integer |cp·N⁻ − cn·N⁺| (the /N⁺N⁻
@@ -762,6 +798,7 @@ object Ml extends QueryModule {
     "ml_ridge_2d" -> (ridge2d _),
     "ml_training_set" -> (trainingSet _),
     "ml_ks_score" -> (ksScore _),
+    "ml_shap_linear" -> (shapLinear _),
     "ml_logreg_score" -> (logregScore _),
     "ml_tree_score" -> (treeScore _),
     "ml_gbdt_margin" -> (gbdtMargin _),
@@ -808,6 +845,30 @@ object Ml extends QueryModule {
         |  CAST(('0x' || substring(md5('ts:' || CAST(o_orderkey AS VARCHAR)),
         |    1, 8)) AS BIGINT) % 10 AS fold
         |FROM o ORDER BY o_orderkey""".stripMargin,
+    "ml_shap_linear" ->
+      s"""WITH base AS ($baseSql),
+         |$weightsSqlCte,
+         |$featureRowsSql,
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+         |perf AS MATERIALIZED (
+         |  SELECT f.feature, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    CAST(SUM(f.x) AS BIGINT) AS sx, w.w
+         |  FROM feats f JOIN w ON w.feature = f.feature
+         |  GROUP BY 1, 4),
+         |pres AS MATERIALIZED (
+         |  SELECT f.feature,
+         |    CAST(SUM(CAST(ABS(p.w * (nn.n * f.x - p.sx)) AS DECIMAL(28,0)))
+         |      AS DECIMAL(38,0)) AS sum_abs_present
+         |  FROM feats f JOIN perf p ON p.feature = f.feature CROSS JOIN nn
+         |  GROUP BY 1)
+         |SELECT p.feature, p.w AS w_milli, p.cnt, p.sx,
+         |  CAST(CAST(CAST(pr.sum_abs_present +
+         |      CAST((nn.n - p.cnt) * ABS(p.w * p.sx) AS DECIMAL(38,0))
+         |      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) /
+         |    (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1000.0)
+         |    AS mean_abs_phi
+         |FROM perf p JOIN pres pr ON pr.feature = p.feature CROSS JOIN nn
+         |ORDER BY mean_abs_phi DESC, p.feature ASC""".stripMargin,
     "ml_ks_score" ->
       s"""WITH base AS ($baseSql),
          |vc AS MATERIALIZED (

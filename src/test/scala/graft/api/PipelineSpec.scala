@@ -156,6 +156,7 @@ class PipelineSpec extends AnyFunSuite {
       "ev_cuped" -> (api.cuped _),
       "ev_uplift_bucket" -> (api.uplift _),
       "ts_bandit_replay" -> (api.banditReplay _),
+      "ev_effect_size" -> (api.effectSize _),
     ).foreach { case (name, stage) =>
       val a = stage(spark, TestSpark.sf)
       val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)
@@ -185,6 +186,7 @@ class PipelineSpec extends AnyFunSuite {
       "ml_lift_gains" -> (api.liftGains _),
       "ml_ks_score" -> (api.ksScore _),
       "ml_training_set" -> (api.trainingSet _),
+      "ml_shap_linear" -> (api.shapLinear _),
     ).foreach { case (name, stage) =>
       val a = stage(spark, TestSpark.sf)
       val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)

@@ -644,6 +644,76 @@ class Round14Spec extends AnyFunSuite {
       all.map(t => (t._2, t._3)))
   }
 
+  test("ml_shap_linear: mean|phi| matches brute force; phi is additive") {
+    val weights = Map("bias" -> -500L,
+      "prio=1-URGENT" -> 800L, "prio=2-HIGH" -> 400L, "prio=3-MEDIUM" -> 0L,
+      "prio=4-NOT SPECIFIED" -> -200L, "prio=5-LOW" -> -600L,
+      "seg=AUTOMOBILE" -> 150L, "seg=BUILDING" -> -100L,
+      "seg=FURNITURE" -> 250L, "seg=HOUSEHOLD" -> -50L,
+      "seg=MACHINERY" -> 50L, "price_10k" -> 30L, "bal_1k" -> -40L)
+    val rows = Tables.orders(spark, TestSpark.sf)
+      .join(Tables.customer(spark, TestSpark.sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("c_mktsegment"),
+        floor(col("o_totalprice") / 10000.0).cast("long"),
+        floor(col("c_acctbal") / 1000.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val n = rows.length.toLong
+    def x(row: (Long, String, String, Long, Long), f: String): Long = f match {
+      case "bias" => 1L
+      case "price_10k" => row._4
+      case "bal_1k" => row._5
+      case p if p.startsWith("prio=") => if (s"prio=${row._2}" == p) 1L else 0L
+      case sg => if (s"seg=${row._3}" == sg) 1L else 0L
+    }
+    val got = SparkEntry.queries("ml_shap_linear")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == weights.size)
+    got.foreach { r =>
+      val f = r.getString(0)
+      val sx = rows.map(x(_, f)).sum
+      assert(r.getAs[Long]("sx") == sx)
+      val sumAbs = rows.map(row =>
+        (BigInt(weights(f)) * (n * x(row, f) - sx)).abs).sum
+      assert(r.getAs[Double]("mean_abs_phi") ==
+        sumAbs.toDouble / (n.toDouble * n.toDouble * 1000.0))
+    }
+    // Additivity: Σ_f φ_f(row) = margin(row) − mean margin (in n-scaled
+    // milli units, exactly — the linear-SHAP identity).
+    val fs = weights.keys.toSeq
+    val sxMap = fs.map(f => f -> rows.map(x(_, f)).sum).toMap
+    rows.take(20).foreach { row =>
+      val lhs = fs.map(f => BigInt(weights(f)) * (n * x(row, f) - sxMap(f))).sum
+      val margin = fs.map(f => weights(f) * x(row, f)).sum
+      val sumMargins = rows.map(rr => fs.map(f => weights(f) * x(rr, f)).sum).sum
+      assert(lhs == BigInt(n) * margin - BigInt(sumMargins))
+    }
+  }
+
+  test("ev_effect_size: Cohen's d and Welch CI match brute force") {
+    val byArm = Tables.events(spark, TestSpark.sf)
+      .select(pmod(col("user_id"), lit(2L)),
+        floor(col("value") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2.toDouble) }
+    def stats(xs: Iterable[Double]) = {
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      (n, m, xs.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+    val (n0, m0, v0) = stats(byArm(0L)); val (n1, m1, v1) = stats(byArm(1L))
+    val sp = math.sqrt(((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2))
+    val se = math.sqrt(v0 / n0 + v1 / n1)
+    val r = SparkEntry.queries("ev_effect_size")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("n0") == n0.toLong && r.getAs[Long]("n1") == n1.toLong)
+    assert(math.abs(r.getAs[Double]("cohens_d") - (m1 - m0) / sp) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_lo") - (m1 - m0 - 1.96 * se) / 100.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ci_hi") - (m1 - m0 + 1.96 * se) / 100.0) < 1e-9)
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
+  }
+
   test("ml_ks_score: equals brute-force max CDF gap") {
     val rows = Tables.orders(spark, TestSpark.sf)
       .join(Tables.customer(spark, TestSpark.sf),
