@@ -684,6 +684,30 @@ object Aggs extends QueryModule {
       .limit(20)
   }
 
+  /** Herfindahl–Hirschman market-concentration index per nation: HHI =
+    * Σ(supplier revenue share)² = Σrev² / (Σrev)² — the antitrust-class
+    * readout. Per-supplier revenues are exact BIGINT cents; squares ride
+    * DECIMAL(19,0)² → (38,0) → string → double, totals are double-exact
+    * casts, and HHI is one division. Two hash aggs, one broadcast dim
+    * join. */
+  def hhi(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"), col("s_suppkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum(col("c")).as("rev"))
+    rev.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("rev")).as("tot_cents"),
+        sum(col("rev").cast("decimal(19,0)") * col("rev"))
+          .cast("decimal(38,0)").cast("string").cast("double").as("sq"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("tot_cents"),
+        (col("sq") / (col("tot_cents").cast("double") *
+          col("tot_cents").cast("double"))).as("hhi"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Exact distinct customers per priority via the mergeable BITMAP
     * aggregate ([[graft.functions.BitmapDistinctAggregator]]) — gated
     * against the same query's built-in `countDistinct`, so the oracle
@@ -1093,6 +1117,7 @@ object Aggs extends QueryModule {
     "agg_chi_square"    -> (chiSquare _),
     "agg_anova_f"       -> (anovaF _),
     "agg_tukey_outliers" -> (tukeyOutliers _),
+    "agg_hhi"           -> (hhi _),
     "agg_mode"          -> (mode _),
     "agg_skew_kurtosis" -> (skewKurtosis _),
     "agg_equidepth"     -> (equidepthHistogram _),
@@ -1382,6 +1407,20 @@ object Aggs extends QueryModule {
         |    (ssw / CAST(n - k AS DOUBLE)) AS f_stat,
         |  ssb / (ssb + ssw) AS eta_sq
         |FROM f""".stripMargin,
+    "agg_hhi" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT s.s_nationkey, l.l_suppkey,
+        |    CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |  CAST(SUM(rev) AS BIGINT) AS tot_cents,
+        |  CAST(CAST(CAST(SUM(CAST(rev AS DECIMAL(19,0)) * rev)
+        |    AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) /
+        |  (CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) *
+        |   CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE)) AS hhi
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_tukey_outliers" ->
       """WITH li AS MATERIALIZED (
         |  SELECT l_suppkey AS sk,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relationally-derived graphs (SURVEY.md §2.13):
@@ -352,10 +352,94 @@ object Graph extends QueryModule {
       .limit(20)
   }
 
+  /** Global clustering coefficient C = 3·triangles / wedges — "how
+    * cliquish is the co-purchase graph" in one number. Triangles reuse
+    * the degree-orientation wedge join of [[triangles]]; wedges are the
+    * closed form Σ d(d−1)/2 over the degree table (never a path join).
+    * Both counts exact BIGINT; C is one division. */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint(false) // degree table + orientation join + count
+    val deg = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg((sum(col("dg") * (col("dg") - 1L)) / lit(2L))
+      .cast("long").as("n_wedges"))
+    val du = deg.select(col("id").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("dg").as("dv"))
+    val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val e = e0.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint(false)
+    val tri = e.as("e1").join(e.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e2.t").as("c"))
+      .join(e.as("e3"), col("a") === col("e3.s") && col("c") === col("e3.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(tri)).crossJoin(broadcast(wedges))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") =!= 0L,
+          (lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
+
+  /** Degree assortativity (Newman's r): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — do hubs attach to
+    * hubs? All five moment sums are exact; the big cross products
+    * (S·Σjk ≈ 10¹⁶⁺ at sf0.1) go through DECIMAL(38,0) → string → double
+    * so the readout is the single correctly-rounded expression both
+    * engines share. */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint(false)
+    val deg = e0.select(col("u").as("id"))
+      .unionByName(e0.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val jk = sym
+      .join(deg.select(col("id").as("u"), col("dg").as("j")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("dg").as("k")), Seq("v"))
+    def d2d(c: Column): Column = c.cast("string").cast("double")
+    val mo = jk.agg(count(lit(1)).as("s2m"),
+      sum(col("j")).as("sj"),
+      sum(col("j").cast("decimal(19,0)") * col("j")).cast("decimal(38,0)")
+        .as("sjj"),
+      sum(col("j").cast("decimal(19,0)") * col("k")).cast("decimal(38,0)")
+        .as("sjk"))
+    // r = (S·Σjk − Σj·Σk) / (S·Σj² − (Σj)²); by edge symmetry the j and k
+    // marginals coincide, collapsing Newman's formula to one ratio.
+    mo.select(col("s2m"),
+      ((d2d((col("s2m") * col("sjk")).cast("decimal(38,0)")) -
+        d2d((col("sj").cast("decimal(19,0)") * col("sj"))
+          .cast("decimal(38,0)"))) /
+        (d2d((col("s2m") * col("sjj")).cast("decimal(38,0)")) -
+          d2d((col("sj").cast("decimal(19,0)") * col("sj"))
+            .cast("decimal(38,0)")))).as("assortativity"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> (kcorePeel _),
     "graph_label_prop" -> (labelProp _),
     "graph_modularity" -> (modularity _),
+    "graph_clustering_coeff" -> (clusteringCoeff _),
+    "graph_assortativity" -> (assortativity _),
     "graph_shortest_path" -> (shortestPaths _),
     "graph_link_prediction" -> (linkPrediction _),
     "graph_triangles" -> (triangles _),
@@ -502,6 +586,55 @@ object Graph extends QueryModule {
         |FROM cand JOIN deg da ON da.id = cand.a
         |JOIN deg dc ON dc.id = cand.c
         |ORDER BY jaccard DESC, a, c LIMIT 20""".stripMargin,
+    "graph_clustering_coeff" ->
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+        |wg AS (SELECT CAST(SUM(dg * (dg - 1)) // 2 AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |e AS MATERIALIZED (
+        |  SELECT CASE WHEN (du.dg, u) < (dv.dg, v) THEN u ELSE v END AS s,
+        |         CASE WHEN (du.dg, u) < (dv.dg, v) THEN v ELSE u END AS t
+        |  FROM e0 JOIN deg du ON du.id = e0.u JOIN deg dv ON dv.id = e0.v),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.t = e2.s
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t)
+        |SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+        |  wg.n_wedges, tri.n_triangles,
+        |  CASE WHEN wg.n_wedges <> 0 THEN
+        |    CAST(3 * tri.n_triangles AS DOUBLE) /
+        |    CAST(wg.n_wedges AS DOUBLE) END AS clustering_coeff
+        |FROM wg CROSS JOIN tri""".stripMargin,
+    "graph_assortativity" ->
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (SELECT x AS id, CAST(COUNT(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0) GROUP BY x),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |mo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS s2m,
+        |    CAST(SUM(du.dg) AS BIGINT) AS sj,
+        |    CAST(SUM(CAST(du.dg AS DECIMAL(19,0)) * du.dg)
+        |      AS DECIMAL(38,0)) AS sjj,
+        |    CAST(SUM(CAST(du.dg AS DECIMAL(19,0)) * dv.dg)
+        |      AS DECIMAL(38,0)) AS sjk
+        |  FROM sym JOIN deg du ON du.id = sym.u JOIN deg dv ON dv.id = sym.v)
+        |SELECT s2m,
+        |  (CAST(CAST(CAST(s2m * sjk AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) -
+        |   CAST(CAST(CAST(CAST(sj AS DECIMAL(19,0)) * sj AS DECIMAL(38,0))
+        |     AS VARCHAR) AS DOUBLE)) /
+        |  (CAST(CAST(CAST(s2m * sjj AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) -
+        |   CAST(CAST(CAST(CAST(sj AS DECIMAL(19,0)) * sj AS DECIMAL(38,0))
+        |     AS VARCHAR) AS DOUBLE)) AS assortativity
+        |FROM mo""".stripMargin,
     "graph_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT a.p AS u, b.p AS v

@@ -175,7 +175,40 @@ object Windows extends QueryModule {
       .orderBy(col("seg"))
   }
 
+  /** RSI-14 (simple form) on the daily revenue series: gains/losses are
+    * day-over-day deltas of exact integer cents, the 14-row trailing
+    * frame sums stay BIGINT, and RSI = 100·ΣG/(ΣG+ΣL) is one float
+    * division (the Wilder-smoothed variant would be a sequential
+    * recursion — the simple moving form is the distributed one). Windows
+    * run on the calendar-bounded daily aggregate (the rel_mom_growth
+    * precedent). */
+  def rsi(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .as("cents"))
+    val wD = Window.orderBy(col("day"))
+    val w14 = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    daily
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(wD))
+      .filter(col("delta").isNotNull)
+      .withColumn("gain", greatest(col("delta"), lit(0L)))
+      .withColumn("loss", greatest(-col("delta"), lit(0L)))
+      .withColumn("cnt14", count(lit(1)).over(w14))
+      .withColumn("sum_gain", sum(col("gain")).over(w14))
+      .withColumn("sum_loss", sum(col("loss")).over(w14))
+      .filter(col("cnt14") === 14) // AFTER the frame sums — same frames
+      .select(col("day").cast("string").as("day"), col("cents"),
+        col("sum_gain"), col("sum_loss"),
+        when(col("sum_gain") + col("sum_loss") > 0L,
+          lit(100.0) * col("sum_gain").cast("double") /
+            (col("sum_gain") + col("sum_loss")).cast("double"))
+          .as("rsi"))
+      .orderBy(col("day"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rsi" -> (rsi _),
     "win_drawdown" -> (drawdown _),
     "win_rolling_slope" -> (rollingSlope _),
     "win_rolling_median" -> (rollingMedian _),
@@ -188,6 +221,36 @@ object Windows extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "win_rsi" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |dd AS MATERIALIZED (
+        |  SELECT day, cents,
+        |    cents - LAG(cents, 1) OVER (ORDER BY day) AS delta
+        |  FROM daily),
+        |gl AS MATERIALIZED (
+        |  SELECT day, cents,
+        |    GREATEST(delta, 0) AS gain, GREATEST(-delta, 0) AS loss,
+        |    COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS cnt14
+        |  FROM dd WHERE delta IS NOT NULL),
+        |fr AS (
+        |  SELECT day, cents, cnt14,
+        |    CAST(SUM(gain) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sum_gain,
+        |    CAST(SUM(loss) OVER (ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sum_loss
+        |  FROM gl)
+        |SELECT CAST(day AS VARCHAR) AS day, cents, sum_gain, sum_loss,
+        |  CASE WHEN sum_gain + sum_loss > 0 THEN
+        |    100.0 * CAST(sum_gain AS DOUBLE) /
+        |    CAST(sum_gain + sum_loss AS DOUBLE) END AS rsi
+        |FROM fr WHERE cnt14 = 14 ORDER BY day""".stripMargin,
     "win_drawdown" ->
       """WITH daily AS (
         |  SELECT c_mktsegment AS seg, CAST(o_orderdate AS DATE) AS day,

@@ -310,6 +310,95 @@ class Round14Spec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("rmse") - math.sqrt(sse / n)) < 1e-9)
   }
 
+  test("graph_clustering_coeff: wedges and triangles match brute force") {
+    val (edges, _) = lpaBrute()
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    val deg = adj.map { case (v, ns) => v -> ns.size.toLong }
+    val wedges = deg.values.map(dd => dd * (dd - 1) / 2).sum
+    // Brute triangles: unordered vertex triples with all three edges.
+    val verts = adj.keys.toSeq.sorted
+    val nTri = (for {
+      i <- verts.indices; j <- (i + 1) until verts.length
+      if adj(verts(i))(verts(j))
+      k <- (j + 1) until verts.length
+      if adj(verts(i))(verts(k)) && adj(verts(j))(verts(k))
+    } yield 1).sum.toLong
+    val r = SparkEntry.queries("graph_clustering_coeff")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(r.getAs[Long]("n_wedges") == wedges)
+    assert(r.getAs[Long]("n_triangles") == nTri)
+    assert(r.getAs[Double]("clustering_coeff") ==
+      3.0 * nTri.toDouble / wedges.toDouble)
+  }
+
+  test("graph_assortativity: equals brute-force degree Pearson") {
+    val (edges, _) = lpaBrute()
+    val deg = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.size.toDouble }
+    val sym = edges ++ edges.map(_.swap)
+    val n = sym.length.toDouble
+    val js = sym.map(e => deg(e._1)); val ks = sym.map(e => deg(e._2))
+    val (mj, mk) = (js.sum / n, ks.sum / n)
+    val cov = sym.map(e => (deg(e._1) - mj) * (deg(e._2) - mk)).sum
+    val vj = js.map(j => (j - mj) * (j - mj)).sum
+    val r = SparkEntry.queries("graph_assortativity")(spark, TestSpark.sf)
+      .collect().head
+    assert(r.getAs[Long]("s2m") == sym.length.toLong)
+    // By symmetry var(j) = var(k), so r = cov/var(j).
+    assert(math.abs(r.getAs[Double]("assortativity") - cov / vj) < 1e-9)
+    assert(math.abs(r.getAs[Double]("assortativity")) <= 1.0)
+  }
+
+  test("agg_hhi: per-nation concentration matches brute force") {
+    val revs = Tables.lineitem(spark, TestSpark.sf)
+      .join(Tables.supplier(spark, TestSpark.sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey"), col("s_suppkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val byNation = revs.groupBy(_._1._1)
+    val got = SparkEntry.queries("agg_hhi")(spark, TestSpark.sf).collect()
+    assert(got.length == byNation.size)
+    got.foreach { r =>
+      val sup = byNation(r.getInt(0)).values
+      val tot = sup.sum
+      assert(r.getAs[Long]("n_suppliers") == sup.size.toLong)
+      assert(r.getAs[Long]("tot_cents") == tot)
+      val want = sup.map(v => BigInt(v) * BigInt(v)).sum.toDouble /
+        (tot.toDouble * tot.toDouble)
+      assert(math.abs(r.getAs[Double]("hhi") - want) < 1e-12)
+      // HHI bounds: 1/n ≤ HHI ≤ 1.
+      assert(r.getAs[Double]("hhi") >= 1.0 / sup.size - 1e-12 &&
+        r.getAs[Double]("hhi") <= 1.0)
+    }
+  }
+
+  test("win_rsi: trailing sums and RSI match brute force") {
+    val daily = Tables.orders(spark, TestSpark.sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val deltas = daily.zip(daily.drop(1)).map { case ((_, a), (dy, b)) =>
+      (dy, b, b - a) }
+    val got = SparkEntry.queries("win_rsi")(spark, TestSpark.sf).collect()
+    assert(got.length == math.max(0, deltas.length - 13))
+    got.foreach { r =>
+      val i = deltas.indexWhere(_._1 == r.getString(0))
+      val frame = deltas.slice(i - 13, i + 1)
+      assert(frame.length == 14)
+      val sg = frame.map(x => math.max(x._3, 0L)).sum
+      val sl = frame.map(x => math.max(-x._3, 0L)).sum
+      assert(r.getAs[Long]("sum_gain") == sg && r.getAs[Long]("sum_loss") == sl)
+      if (sg + sl > 0)
+        assert(r.getAs[Double]("rsi") ==
+          100.0 * sg.toDouble / (sg + sl).toDouble)
+    }
+  }
+
   test("rec_coverage: consistent with the served top-3 lists") {
     val recs = SparkEntry.queries("rec_user_topn")(spark, TestSpark.sf)
       .collect()
