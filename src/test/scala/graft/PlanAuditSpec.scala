@@ -551,6 +551,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // ts_stl_daily / ts_bandit_replay calendar grids (daily counts and
       // the per-arm daily trial/success pivot)
       "x", "n0", "s0", "n1", "s1", "n2", "s2",
+      // win_rsi daily revenue grid (delta gains/losses per calendar day)
+      "gain", "loss",
       // PR-AUC / lift bucket & decile grids (knob-bounded)
       "bc1", "n_pos", "n_tot", "pos_tot", "cum_pos")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
