@@ -692,7 +692,44 @@ object LlmDedup extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Fellegi–Sunter record-linkage scoring — the probabilistic
+    * entity-resolution step after blocking: each candidate pair gets a
+    * linkage score = Σ field agreement/disagreement weights (frozen
+    * milli-log-odds LITERALS, so the score is an exact BIGINT sum) and a
+    * match / possible / non-match classification at fixed thresholds.
+    * Blocking is (first name token, size) — the standard knob that keeps
+    * the pair space at Σ|block|², never corpus²; the name comparator is
+    * the same bounded levenshtein as `join_fuzzy_name`. Top-100 by
+    * (score, keys) via a distributed TakeOrdered. */
+  def erScore(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(
+      col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+      col("p_size"), element_at(split(col("p_name"), " "), 1).as("blk"))
+    val a = p.select(col("blk"), col("p_size"), col("p_partkey").as("a_key"),
+      col("p_name").as("a_name"), col("p_brand").as("a_brand"),
+      col("p_type").as("a_type"))
+    val b = p.select(col("blk"), col("p_size"), col("p_partkey").as("b_key"),
+      col("p_name").as("b_name"), col("p_brand").as("b_brand"),
+      col("p_type").as("b_type"))
+    a.join(b, Seq("blk", "p_size"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("name_dist", levenshtein(col("a_name"), col("b_name")))
+      .withColumn("score_milli",
+        when(col("name_dist") <= 6, 800L).otherwise(-300L) +
+          when(col("a_brand") === col("b_brand"), 400L).otherwise(-200L) +
+          when(col("a_type") === col("b_type"), 500L).otherwise(-250L))
+      .withColumn("verdict",
+        when(col("score_milli") >= 1500L, "match")
+          .when(col("score_milli") >= 500L, "possible")
+          .otherwise("non_match"))
+      .select(col("a_key"), col("b_key"), col("name_dist"),
+        col("score_milli"), col("verdict"))
+      .orderBy(col("score_milli").desc, col("a_key").asc, col("b_key").asc)
+      .limit(100)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_er_score" -> (erScore _),
     "dd_dup_stats"         -> (dupStats _),
     "dd_chunk_dedup"       -> (chunkDedup _),
     "dd_bloom_incremental" -> (bloomIncremental _),
@@ -719,6 +756,28 @@ object LlmDedup extends QueryModule {
     s"CAST(('0x' || substring(md5('$seed:' || $e), 1, 8)) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "dd_er_score" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |    levenshtein(a.p_name, b.p_name) AS name_dist,
+        |    CAST(CASE WHEN levenshtein(a.p_name, b.p_name) <= 6
+        |        THEN 800 ELSE -300 END +
+        |      CASE WHEN a.p_brand = b.p_brand THEN 400 ELSE -200 END +
+        |      CASE WHEN a.p_type = b.p_type THEN 500 ELSE -250 END
+        |      AS BIGINT) AS score_milli
+        |  FROM p a JOIN p b ON a.blk = b.blk AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey)
+        |SELECT a_key, b_key, CAST(name_dist AS INT) AS name_dist,
+        |  score_milli,
+        |  CASE WHEN score_milli >= 1500 THEN 'match'
+        |    WHEN score_milli >= 500 THEN 'possible'
+        |    ELSE 'non_match' END AS verdict
+        |FROM pairs
+        |ORDER BY score_milli DESC, a_key ASC, b_key ASC LIMIT 100""".stripMargin,
     "dd_dup_stats" ->
       """WITH docs AS (
         |  SELECT doc_id, source, md5(text) AS h FROM documents),

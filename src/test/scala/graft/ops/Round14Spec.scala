@@ -536,6 +536,69 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("dd_er_score: scores and verdicts match brute-force Fellegi-Sunter") {
+    val parts = Tables.part(spark, TestSpark.sf)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4)))
+    def lev(x: String, y: String): Int = {
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to x.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(x.length)
+    }
+    val byBlock = parts.toSeq.groupBy(p => (p._2.split(" ").head, p._5))
+    val want = byBlock.values.flatMap { ps =>
+      for {
+        a <- ps; b <- ps if a._1 < b._1
+      } yield {
+        val d0 = lev(a._2, b._2)
+        val sc = (if (d0 <= 6) 800L else -300L) +
+          (if (a._3 == b._3) 400L else -200L) +
+          (if (a._4 == b._4) 500L else -250L)
+        (a._1, b._1, d0, sc)
+      }
+    }.toSeq
+    val got = SparkEntry.queries("dd_er_score")(spark, TestSpark.sf)
+      .collect()
+    assert(got.length == math.min(100, want.length))
+    val wantMap = want.map(w => (w._1, w._2) -> w).toMap
+    got.foreach { r =>
+      val w = wantMap((r.getLong(0), r.getLong(1)))
+      assert(r.getInt(2) == w._3 && r.getAs[Long]("score_milli") == w._4)
+      val verdict = if (w._4 >= 1500) "match"
+        else if (w._4 >= 500) "possible" else "non_match"
+      assert(r.getString(4) == verdict)
+    }
+    // The cut is the true top-100 by (score desc, keys).
+    val top = want.sortBy(w => (-w._4, w._1, w._2)).take(100)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      top.map(w => (w._1, w._2)))
+  }
+
+  test("stlFromCounts: degenerate grids — empty, under 7 days, exactly 7") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d", "x")
+    assert(TimeSeries.stlFromCounts(empty).collect().isEmpty)
+    // 6 days: no full 7-row window exists → empty decomposition.
+    val six = (1L to 6L).map(i => (i, 10L * i)).toDF("d", "x")
+    assert(TimeSeries.stlFromCounts(six).collect().isEmpty)
+    // Exactly 7 days: one full window; trend = mean; gap days zero-fill.
+    val seven = Seq((1L, 7L), (3L, 14L), (7L, 7L)).toDF("d", "x")
+    val r = TimeSeries.stlFromCounts(seven).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 4L) // the center day
+    assert(r.head.getAs[Long]("x") == 0L) // day 4 itself was a gap
+    assert(r.head.getAs[Long]("trend_micro") == 1000000L * 28L / 7L)
+  }
+
   test("banditTrajectory: degenerate shapes — empty, single day, missing arms") {
     import spark.implicits._
     // Empty cell table → empty trajectory (fold over empty list).
