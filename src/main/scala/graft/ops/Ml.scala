@@ -722,39 +722,69 @@ object Ml extends QueryModule {
     * scale), so β̂, the intercept, and the training RMSE are one shared
     * float expression tree over nine exact sums. One corpus shuffle (the
     * per-user agg); the solve itself reads a 1-row table. */
-  def ridge2d(s: SparkSession, d: String): DataFrame = {
-    val pu = Tables.events(s, d)
+  def ridge2d(s: SparkSession, d: String): DataFrame =
+    ridgeSolve(ridgeMoments(s, d), col("n").cast("double")) // λ=1 in C-units
+      .select(col("n"), col("b_views"), col("b_clicks"), col("intercept"),
+        col("rmse"))
+
+  /** Per-user (views, clicks, purchases) → the 1-row exact moment table
+    * every ridge variant solves from. */
+  private def ridgeMoments(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(col("user_id"),
         when(col("event_type") === "view", 1L).otherwise(0L).as("u"),
         when(col("event_type") === "click", 1L).otherwise(0L).as("v"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
       .groupBy(col("user_id"))
       .agg(sum(col("u")).as("u"), sum(col("v")).as("v"), sum(col("y")).as("y"))
-    val m = pu.agg(count(lit(1)).as("n"),
-      sum(col("u")).as("su"), sum(col("v")).as("sv"), sum(col("y")).as("sy"),
-      sum(col("u") * col("u")).as("suu"),
-      sum(col("v") * col("v")).as("svv"),
-      sum(col("u") * col("v")).as("suv"),
-      sum(col("u") * col("y")).as("suy"),
-      sum(col("v") * col("y")).as("svy"),
-      sum(col("y") * col("y")).as("syy"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("su"), sum(col("v")).as("sv"), sum(col("y")).as("sy"),
+        sum(col("u") * col("u")).as("suu"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("v")).as("suv"),
+        sum(col("u") * col("y")).as("suy"),
+        sum(col("v") * col("y")).as("svy"),
+        sum(col("y") * col("y")).as("syy"))
+
+  /** Regularization-path sweep: the SAME closed-form solve at a LITERAL
+    * λ grid (0.1, 1, 10, 100 — exploded onto the 1-row moment table, so
+    * the whole sweep costs ONE corpus aggregate + 4 scalar solves). The
+    * hyperparameter search that usually demands a cluster of retrains is
+    * a single plan here because training is closed-form. */
+  def ridgeSweep(s: SparkSession, d: String): DataFrame =
+    ridgeSolve(
+      // λ grid as INTEGER millis — a 0.1 decimal literal would hit the
+      // DuckDB decimal→double rounding hazard (see OracleSafe).
+      ridgeMoments(s, d).withColumn("lam_milli",
+        explode(array(lit(100L), lit(1000L), lit(10000L), lit(100000L)))),
+      col("lam_milli").cast("double") / lit(1000.0) * col("n").cast("double"))
+      .select((col("lam_milli").cast("double") / lit(1000.0)).as("lambda"),
+        col("n"), col("b_views"), col("b_clicks"), col("intercept"),
+        col("rmse"))
+      .orderBy(col("lambda"))
+
+  /** The shared closed-form solve: given the 1-row moment table and the
+    * C-unit-scaled ridge penalty column, emit coefficients, intercept,
+    * and training RMSE (one float expression tree over the exact sums).
+    */
+  private def ridgeSolve(m: DataFrame, lam: Column): DataFrame = {
     val cuu = (col("n") * col("suu") - col("su") * col("su")).cast("double")
     val cvv = (col("n") * col("svv") - col("sv") * col("sv")).cast("double")
     val cuv = (col("n") * col("suv") - col("su") * col("sv")).cast("double")
     val cuy = (col("n") * col("suy") - col("su") * col("sy")).cast("double")
     val cvy = (col("n") * col("svy") - col("sv") * col("sy")).cast("double")
     val cyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-    val lam = col("n").cast("double") // λ=1 scaled into C-units
     val det = (cuu + lam) * (cvv + lam) - cuv * cuv
     val b1 = (cuy * (cvv + lam) - cuv * cvy) / det
     val b2 = ((cuu + lam) * cvy - cuv * cuy) / det
-    m.select(col("n"), b1.as("b_views"), b2.as("b_clicks"),
-        ((col("sy").cast("double") - b1 * col("su").cast("double") -
+    m.withColumn("b_views", b1).withColumn("b_clicks", b2)
+      .withColumn("intercept",
+        (col("sy").cast("double") - b1 * col("su").cast("double") -
           b2 * col("sv").cast("double")) / col("n").cast("double"))
-          .as("intercept"),
+      .withColumn("rmse",
         sqrt((cyy - lit(2.0) * b1 * cuy - lit(2.0) * b2 * cvy +
           b1 * b1 * cuu + lit(2.0) * b1 * b2 * cuv + b2 * b2 * cvv) /
-          (col("n").cast("double") * col("n").cast("double"))).as("rmse"))
+          (col("n").cast("double") * col("n").cast("double"))))
   }
 
   /** Point-in-time-correct training-set assembly — the feature-store
@@ -799,6 +829,7 @@ object Ml extends QueryModule {
     "ml_training_set" -> (trainingSet _),
     "ml_ks_score" -> (ksScore _),
     "ml_shap_linear" -> (shapLinear _),
+    "ml_ridge_sweep" -> (ridgeSweep _),
     "ml_logreg_score" -> (logregScore _),
     "ml_tree_score" -> (treeScore _),
     "ml_gbdt_margin" -> (gbdtMargin _),
@@ -869,6 +900,50 @@ object Ml extends QueryModule {
          |    AS mean_abs_phi
          |FROM perf p JOIN pres pr ON pr.feature = p.feature CROSS JOIN nn
          |ORDER BY mean_abs_phi DESC, p.feature ASC""".stripMargin,
+    "ml_ridge_sweep" ->
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS u,
+        |    CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS v,
+        |    CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(u) AS BIGINT) AS su, CAST(SUM(v) AS BIGINT) AS sv,
+        |    CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(u * u) AS BIGINT) AS suu,
+        |    CAST(SUM(v * v) AS BIGINT) AS svv,
+        |    CAST(SUM(u * v) AS BIGINT) AS suv,
+        |    CAST(SUM(u * y) AS BIGINT) AS suy,
+        |    CAST(SUM(v * y) AS BIGINT) AS svy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |g(lam_milli) AS (VALUES (100), (1000), (10000), (100000)),
+        |c AS (
+        |  SELECT m.*, g.lam_milli,
+        |    CAST(n * suu - su * su AS DOUBLE) AS cuu,
+        |    CAST(n * svv - sv * sv AS DOUBLE) AS cvv,
+        |    CAST(n * suv - su * sv AS DOUBLE) AS cuv,
+        |    CAST(n * suy - su * sy AS DOUBLE) AS cuy,
+        |    CAST(n * svy - sv * sy AS DOUBLE) AS cvy,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+        |    CAST(lam_milli AS DOUBLE) / 1000.0 * CAST(n AS DOUBLE) AS lam
+        |  FROM m CROSS JOIN g),
+        |b AS (
+        |  SELECT *,
+        |    (cuy * (cvv + lam) - cuv * cvy) /
+        |      ((cuu + lam) * (cvv + lam) - cuv * cuv) AS b1,
+        |    ((cuu + lam) * cvy - cuv * cuy) /
+        |      ((cuu + lam) * (cvv + lam) - cuv * cuv) AS b2
+        |  FROM c)
+        |SELECT CAST(lam_milli AS DOUBLE) / 1000.0 AS lambda, n,
+        |  b1 AS b_views, b2 AS b_clicks,
+        |  (CAST(sy AS DOUBLE) - b1 * CAST(su AS DOUBLE) -
+        |   b2 * CAST(sv AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  SQRT((cyy - 2.0 * b1 * cuy - 2.0 * b2 * cvy +
+        |    b1 * b1 * cuu + 2.0 * b1 * b2 * cuv + b2 * b2 * cvv) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS rmse
+        |FROM b ORDER BY lambda""".stripMargin,
     "ml_ks_score" ->
       s"""WITH base AS ($baseSql),
          |vc AS MATERIALIZED (

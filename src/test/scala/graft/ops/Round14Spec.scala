@@ -866,6 +866,23 @@ class Round14Spec extends AnyFunSuite {
     assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
   }
 
+  test("ml_ridge_sweep: path is RMSE-monotone and contains the lambda=1 solve") {
+    val sweep = SparkEntry.queries("ml_ridge_sweep")(spark, TestSpark.sf)
+      .collect()
+    assert(sweep.map(_.getAs[Double]("lambda")).toSeq ==
+      Seq(0.1, 1.0, 10.0, 100.0))
+    // Training RMSE is non-decreasing along the regularization path.
+    val rmses = sweep.map(_.getAs[Double]("rmse"))
+    assert(rmses.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    // The λ=1 row IS the ml_ridge_2d solve.
+    val one = sweep.find(_.getAs[Double]("lambda") == 1.0).get
+    val r2d = SparkEntry.queries("ml_ridge_2d")(spark, TestSpark.sf)
+      .collect().head
+    assert(one.getAs[Double]("b_views") == r2d.getAs[Double]("b_views"))
+    assert(one.getAs[Double]("b_clicks") == r2d.getAs[Double]("b_clicks"))
+    assert(one.getAs[Double]("rmse") == r2d.getAs[Double]("rmse"))
+  }
+
   test("ml_ks_score: equals brute-force max CDF gap") {
     val rows = Tables.orders(spark, TestSpark.sf)
       .join(Tables.customer(spark, TestSpark.sf),
