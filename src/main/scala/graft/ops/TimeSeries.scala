@@ -287,8 +287,105 @@ object TimeSeries extends QueryModule {
       .orderBy(col("state"))
   }
 
+  /** Markov data-driven attribution (removal effects): model each user
+    * journey as an absorbing chain — START → channel states (click /
+    * view / signup / error) → CONV (first purchase) or NULL (journey
+    * ends) — and credit each channel by how much conversion probability
+    * DISAPPEARS when paths through it are severed (edges into the
+    * removed channel redirect to NULL; no renormalization, the standard
+    * removal-effect convention). Absorption-within-8-steps probabilities
+    * come from 8 value-iteration rounds over the ≤(5 variants × 6
+    * states) matrix; every per-state sum folds its ≤7 terms in ascending
+    * VALUE order (the chi-square pin — scalar doubles, not structs), so
+    * the floats are bit-identical across engines. Journeys truncate at
+    * the first purchase; only the transition-count aggregation touches
+    * the corpus. */
+  def attributionMarkov(s: SparkSession, d: String): DataFrame = {
+    val wRk = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ranked = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+    val fp = ranked.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rk")).as("fp_rk"))
+    val kept = ranked.join(fp, Seq("user_id"), "left")
+      .filter(col("fp_rk").isNull || col("rk") <= col("fp_rk"))
+    val wk = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val steps = kept
+      .withColumn("nxt_raw", lead(col("event_type"), 1).over(wk))
+      .withColumn("nxt",
+        when(col("nxt_raw") === "purchase", "conv")
+          .when(col("nxt_raw").isNull, "null")
+          .otherwise(col("nxt_raw")))
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("cur"), col("nxt"))
+    val starts = kept.filter(col("rk") === 1L)
+      .select(lit("start").as("cur"),
+        when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")).as("nxt"))
+    val counts = steps.unionByName(starts)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds all 5 variants + row totals
+    val r = counts.groupBy(col("cur")).agg(sum(col("c")).as("r"))
+    val channels = Seq("click", "view", "signup", "error")
+    // Variant matrices: 'full' keeps every edge; removing channel x
+    // redirects edges INTO x to the NULL absorber and drops x's rows.
+    val variants = (Seq("full") ++ channels).map { v =>
+      val m0 = counts.join(broadcast(r), Seq("cur"))
+      val m =
+        if (v == "full") m0
+        else m0.filter(col("cur") =!= v)
+          .select(col("cur"),
+            when(col("nxt") === v, "null").otherwise(col("nxt")).as("nxt"),
+            col("c"), col("r"))
+          .groupBy(col("cur"), col("nxt"), col("r"))
+          .agg(sum(col("c")).as("c"))
+      m.select(lit(v).as("variant"), col("cur"), col("nxt"), col("c"),
+        col("r"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    var p = variants.select(col("variant"), col("cur").as("state"))
+      .distinct()
+      .withColumn("p", lit(0.0))
+      .localCheckpoint(false)
+    for (_ <- 1 to 8) {
+      p = variants
+        .join(p.select(col("variant"), col("state").as("nxt"),
+          col("p").as("pn")), Seq("variant", "nxt"), "left")
+        .withColumn("v",
+          when(col("nxt") === "conv", lit(1.0))
+            .when(col("nxt") === "null", lit(0.0))
+            .otherwise(coalesce(col("pn"), lit(0.0))))
+        .withColumn("term",
+          col("c").cast("double") / col("r").cast("double") * col("v"))
+        .groupBy(col("variant"), col("cur").as("state"))
+        .agg(aggregate(array_sort(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x).as("p"))
+        .localCheckpoint(false)
+    }
+    val pStart = p.filter(col("state") === "start")
+      .select(col("variant"), col("p").as("p_conv"))
+      .localCheckpoint(false)
+    val pFull = pStart.filter(col("variant") === "full")
+      .select(col("p_conv").as("p_full"))
+    val effects = pStart.filter(col("variant") =!= "full")
+      .crossJoin(broadcast(pFull))
+      .withColumn("removal_effect",
+        lit(1.0) - col("p_conv") / col("p_full"))
+    val tot = effects.agg(aggregate(
+      array_sort(collect_list(col("removal_effect"))), lit(0.0),
+      (a, x) => a + x).as("sum_re"))
+    effects.crossJoin(broadcast(tot))
+      .select(col("variant").as("channel"), col("p_conv"),
+        col("p_full"), col("removal_effect"),
+        (col("removal_effect") / col("sum_re")).as("attribution"))
+      .orderBy(col("channel"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_acf" -> (acf _),
+    "ev_attribution_markov" -> (attributionMarkov _),
     "ts_periodogram" -> (periodogram _),
     "ev_markov_stationary" -> (markovStationary _),
     "ts_stl_daily" -> (stlDaily _),
@@ -331,6 +428,82 @@ object TimeSeries extends QueryModule {
       |  FROM trended t JOIN seas s USING (phase))""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "ev_attribution_markov" -> {
+      val term =
+        """CAST(v.c AS DOUBLE) / CAST(v.r AS DOUBLE) *
+          |      CASE WHEN v.nxt = 'conv' THEN CAST(1 AS DOUBLE)
+          |        WHEN v.nxt = 'null' THEN CAST(0 AS DOUBLE)
+          |        ELSE COALESCE(p.p, CAST(0 AS DOUBLE)) END""".stripMargin
+      val rounds = (1 to 8).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT v.variant, v.cur AS state,
+           |    list_reduce(list_prepend(0.0, list(
+           |      $term
+           |      ORDER BY
+           |      $term)),
+           |      (a, x) -> a + x) AS p
+           |  FROM variants v LEFT JOIN p${k - 1} p
+           |    ON p.variant = v.variant AND p.state = v.nxt
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ranked AS MATERIALIZED (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rk
+        |  FROM events),
+        |fp AS (SELECT user_id, MIN(rk) AS fp_rk FROM ranked
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |kept AS MATERIALIZED (
+        |  SELECT r.*, f.fp_rk FROM ranked r LEFT JOIN fp f USING (user_id)
+        |  WHERE f.fp_rk IS NULL OR r.rk <= f.fp_rk),
+        |steps AS (
+        |  SELECT event_type AS cur,
+        |    CASE WHEN nr = 'purchase' THEN 'conv'
+        |      WHEN nr IS NULL THEN 'null' ELSE nr END AS nxt
+        |  FROM (SELECT *, LEAD(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS nr FROM kept)
+        |  WHERE event_type <> 'purchase'),
+        |starts AS (
+        |  SELECT 'start' AS cur,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv'
+        |      ELSE event_type END AS nxt
+        |  FROM kept WHERE rk = 1),
+        |counts AS MATERIALIZED (
+        |  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT * FROM steps UNION ALL SELECT * FROM starts)
+        |  GROUP BY 1, 2),
+        |rr AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS r FROM counts
+        |  GROUP BY 1),
+        |m0 AS MATERIALIZED (
+        |  SELECT c.cur, c.nxt, c.c, r.r FROM counts c JOIN rr r USING (cur)),
+        |variants AS MATERIALIZED (
+        |  SELECT 'full' AS variant, cur, nxt, c, r FROM m0
+        |  UNION ALL
+        |  SELECT ch.v, m.cur,
+        |    CASE WHEN m.nxt = ch.v THEN 'null' ELSE m.nxt END AS nxt,
+        |    CAST(SUM(m.c) AS BIGINT) AS c, m.r
+        |  FROM m0 m CROSS JOIN (VALUES ('click'), ('view'), ('signup'),
+        |    ('error')) ch(v)
+        |  WHERE m.cur <> ch.v
+        |  GROUP BY 1, 2, 3, 5),
+        |p0 AS MATERIALIZED (
+        |  SELECT DISTINCT variant, cur AS state, CAST(0 AS DOUBLE) AS p
+        |  FROM variants),
+        |$rounds,
+        |ps AS MATERIALIZED (SELECT variant, p AS p_conv FROM p8
+        |  WHERE state = 'start'),
+        |pf AS (SELECT p_conv AS p_full FROM ps WHERE variant = 'full'),
+        |eff AS MATERIALIZED (
+        |  SELECT variant AS channel, p_conv, pf.p_full,
+        |    1.0 - p_conv / pf.p_full AS removal_effect
+        |  FROM ps CROSS JOIN pf WHERE variant <> 'full'),
+        |tot AS (SELECT list_reduce(list_prepend(0.0,
+        |  list(removal_effect ORDER BY removal_effect)),
+        |  (a, x) -> a + x) AS sum_re FROM eff)
+        |SELECT channel, p_conv, p_full, removal_effect,
+        |  removal_effect / sum_re AS attribution
+        |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
+    },
     "ev_markov_stationary" -> {
       val rounds = (1 to 8).map { t =>
         s"""v$t AS MATERIALIZED (

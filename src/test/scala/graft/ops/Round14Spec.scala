@@ -663,6 +663,68 @@ class Round14Spec extends AnyFunSuite {
     assert(1000L * rep.length / ("spam " * 2000).getBytes("UTF-8").length < 50)
   }
 
+  test("ev_attribution_markov: equals a brute-force removal-effect replay") {
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // Journeys truncated at the first purchase.
+    val journeys = ev.groupBy(_._1).values.map { xs =>
+      val types = xs.sortBy(e => (e._2, e._3)).map(_._4)
+      val i = types.indexOf("purchase")
+      if (i >= 0) types.take(i + 1) else types
+    }.toSeq
+    val trans = journeys.flatMap { j =>
+      val path = "start" +: j.map(t => if (t == "purchase") "conv" else t)
+      val term = if (j.lastOption.contains("purchase")) path
+        else path :+ "null"
+      term.zip(term.drop(1)).filter(_._1 != "conv")
+    }
+    val counts = trans.groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    val rTot = counts.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val channels = Seq("click", "error", "signup", "view")
+    def pConv(removed: Option[String]): Double = {
+      val mat = counts.toSeq
+        .filter { case ((c, _), _) => !removed.contains(c) }
+        .map { case ((c, x), n) =>
+          (c, if (removed.contains(x)) "null" else x, n) }
+        .groupBy(t => (t._1, t._2))
+        .map { case ((c, x), xs) => (c, x, xs.map(_._3).sum) }.toSeq
+      val states = mat.map(_._1).distinct
+      var p = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to 8)
+        p = states.map { st =>
+          val terms = mat.filter(_._1 == st).map { case (_, x, n) =>
+            n.toDouble / rTot(st).toDouble *
+              (if (x == "conv") 1.0 else if (x == "null") 0.0
+               else p.getOrElse(x, 0.0))
+          }.sorted
+          st -> terms.foldLeft(0.0)(_ + _)
+        }.toMap
+      p("start")
+    }
+    val pFull = pConv(None)
+    val effects = channels.map(c => c -> (1.0 - pConv(Some(c)) / pFull))
+    val sumRe = effects.map(_._2).sorted.foldLeft(0.0)(_ + _)
+    val got = SparkEntry.queries("ev_attribution_markov")(spark, TestSpark.sf)
+      .collect()
+    assert(got.map(_.getString(0)).toSeq == channels.sorted)
+    got.foreach { r =>
+      val want = effects.find(_._1 == r.getString(0)).get._2
+      assert(math.abs(r.getAs[Double]("removal_effect") - want) < 1e-12)
+      assert(r.getAs[Double]("p_full") == pFull ||
+        math.abs(r.getAs[Double]("p_full") - pFull) < 1e-12)
+      assert(math.abs(r.getAs[Double]("attribution") - want / sumRe) < 1e-12)
+      // Severing a channel can only LOWER absorption probability.
+      assert(r.getAs[Double]("p_conv") <= r.getAs[Double]("p_full"))
+    }
+    // Attributions are a proper distribution over channels.
+    val s0 = got.map(_.getAs[Double]("attribution")).sum
+    assert(math.abs(s0 - 1.0) < 1e-9)
+  }
+
   test("ev_markov_stationary: equals brute-force integer power iteration") {
     val ev = Tables.events(spark, TestSpark.sf)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
