@@ -47,4 +47,8 @@ class ExperimentPipeline {
   /** Cohen's d + Welch CI — magnitude, not just significance. */
   def effectSize(s: SparkSession, dir: String): DataFrame =
     Experiment.effectSize(s, dir)
+
+  /** Markov data-driven attribution: per-channel removal effects. */
+  def attribution(s: SparkSession, dir: String): DataFrame =
+    TimeSeries.attributionMarkov(s, dir)
 }

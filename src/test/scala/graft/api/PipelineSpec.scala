@@ -157,6 +157,7 @@ class PipelineSpec extends AnyFunSuite {
       "ev_uplift_bucket" -> (api.uplift _),
       "ts_bandit_replay" -> (api.banditReplay _),
       "ev_effect_size" -> (api.effectSize _),
+      "ev_attribution_markov" -> (api.attribution _),
     ).foreach { case (name, stage) =>
       val a = stage(spark, TestSpark.sf)
       val q = graft.SparkEntry.queries(name)(spark, TestSpark.sf)
