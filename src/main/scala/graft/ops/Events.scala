@@ -1076,7 +1076,7 @@ object Events extends QueryModule {
     // floor(1e6·ln(.95/.05)) / floor(1e6·ln(.05/.95)).
     val (aMu, bMu, up, lo) = (405465L, -57159L, 2944438L, -2944439L)
     val daily = Tables.events(s, d)
-      .filter(pmod(col("user_id"), lit(2L)) === 1L) // the treatment arm
+      .filter(expr("user_id % 2") === 1L) // the treatment arm (% matches the oracle for any id sign)
       .select(to_date(col("ts")).as("day"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
       .groupBy(col("day"))

@@ -29,7 +29,7 @@ object Experiment extends QueryModule {
     * replicated onto each cell row (the chi-square layout). */
   def did(s: SparkSession, d: String): DataFrame = {
     val cells = Tables.events(s, d)
-      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+      .select(expr("user_id % 2").as("arm"),
         when(col("ts") < expr(splitTs), lit("pre")).otherwise(lit("post"))
           .as("period"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
@@ -99,7 +99,7 @@ object Experiment extends QueryModule {
           col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
       .groupBy(col("user_id"))
       .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
-      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+      .select(expr("user_id % 2").as("arm"),
         least(col("x"), lit(9L)).as("bucket"),
         when(col("y") > 0L, 1L).otherwise(0L).as("conv"))
     val cells = perUser.groupBy(col("bucket"), col("arm"))
@@ -127,7 +127,7 @@ object Experiment extends QueryModule {
     * literal. */
   def effectSize(s: SparkSession, d: String): DataFrame = {
     val m = Tables.events(s, d)
-      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+      .select(expr("user_id % 2").as("arm"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
       .groupBy(col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),

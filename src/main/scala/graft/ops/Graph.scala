@@ -371,8 +371,10 @@ object Graph extends QueryModule {
     val deg = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("dg"))
-    val wedges = deg.agg((sum(col("dg") * (col("dg") - 1L)) / lit(2L))
-      .cast("long").as("n_wedges"))
+    // Integer `div 2` on the BIGINT sum — exactly the oracle's `// 2`
+    // (Σ d(d−1) is always even, but a double divide + truncate would also
+    // lean on the sum staying below 2^53; div keeps it pure BIGINT).
+    val wedges = deg.agg(expr("sum(dg * (dg - 1)) div 2").as("n_wedges"))
     val du = deg.select(col("id").as("u"), col("dg").as("du"))
     val dv = deg.select(col("id").as("v"), col("dg").as("dv"))
     val lower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))

@@ -122,9 +122,15 @@ object SetOps extends QueryModule {
     val p = Tables.part(s, d)
       .select(col("p_brand"),
         floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("y"))
+    // Squared-cents moments go through DECIMAL(18,0)² = (37,0) before the
+    // sum (the agg_anova_f discipline): a plain BIGINT sum(y·y) silently
+    // wraps past 2^63 on a large stratum while DuckDB promotes to HUGEINT.
+    // n·Σy² − (Σy)² stays in exact decimal to the single double division.
     val g = p.groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_h"), sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("y").cast("decimal(20,0)")).cast("decimal(38,0)").as("sy"),
+        sum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("syy"))
       .select(col("p_brand"), col("n_h"),
         ((col("n_h") * col("syy") - col("sy") * col("sy")).cast("double") /
           (col("n_h") * col("n_h")).cast("double")).as("var_h"))

@@ -133,7 +133,7 @@ object Survival extends QueryModule {
     */
   def kmArms(s: SparkSession, d: String): DataFrame =
     kmCurve(
-      durations(s, d).withColumn("arm", pmod(col("user_id"), lit(3L))),
+      durations(s, d).withColumn("arm", expr("user_id % 3")),
       Seq("arm"))
       .orderBy(col("arm"), col("t"))
 
@@ -145,7 +145,7 @@ object Survival extends QueryModule {
   def logrank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val durs = durations(s, d)
-      .withColumn("arm", pmod(col("user_id"), lit(3L)))
+      .withColumn("arm", expr("user_id % 3"))
       .filter(col("arm") < 2L)
     val grid = durs.groupBy(col("t"))
       .agg(sum(col("event")).as("d"),

@@ -43,18 +43,21 @@ object TimeSeries extends QueryModule {
     val st = xs.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
     val ys = xs.crossJoin(broadcast(st))
       .select(col("h"), (col("n") * col("x") - col("s")).as("y"))
-    // Sums pass through DECIMAL(38,0) → string → double: exact at any
-    // scale and correctly-rounded identically on both engines.
-    val den = ys.agg(sum(col("y") * col("y")).cast("decimal(38,0)")
-      .cast("string").cast("double").as("den"))
+    // The y·y products are widened to DECIMAL(19,0)² = (38,0) BEFORE the
+    // sum (the agg_anova_f discipline — a plain BIGINT sum would wrap past
+    // 2^63 while DuckDB promotes to HUGEINT), then → string → double for
+    // the correctly-rounded identical readout on both engines.
+    def dsum(a: Column, b: Column): Column =
+      sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
+        .cast("decimal(38,0)").cast("string").cast("double")
+    val den = ys.agg(dsum(col("y"), col("y")).as("den"))
     val lags = s.range(0, 25).select(col("id").as("k"))
     ys.crossJoin(broadcast(lags))
       .join(ys.select(col("h").as("h2"), col("y").as("y2")),
         col("h2") === col("h") + col("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("y") * col("y2")).cast("decimal(38,0)")
-          .cast("string").cast("double").as("num"))
+        dsum(col("y"), col("y2")).as("num"))
       .crossJoin(broadcast(den))
       .select(col("k"), col("n_pairs"), (col("num") / col("den")).as("acf"))
       .orderBy(col("k"))
@@ -143,7 +146,7 @@ object TimeSeries extends QueryModule {
       Tables.events(s, d)
         .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
             .as("d"),
-          pmod(col("user_id"), lit(3L)).as("arm"),
+          expr("user_id % 3").as("arm"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
         .groupBy(col("d"), col("arm"))
         .agg(count(lit(1)).as("n"), sum(col("conv")).as("sv")))

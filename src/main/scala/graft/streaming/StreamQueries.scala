@@ -371,7 +371,7 @@ object StreamQueries extends QueryModule {
       .withWatermark("ts", "1 hour")
       .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
           .as("d"),
-        pmod(col("user_id"), lit(3L)).as("arm"),
+        expr("user_id % 3").as("arm"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
       .groupBy(col("d"), col("arm"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("sv"))
