@@ -692,27 +692,69 @@ object LlmDedup extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Exact sub-block triangle decomposition of a blocked i<j self-pair
+    * enumeration — the skew guard for blocked ER. Records of each block
+    * are hashed into gn = ⌈|block| / subBlock⌉ sub-blocks; every record is
+    * replicated gn× (once per sub-block it must meet — zero replication
+    * for small blocks, where gn = 1) and the pair join keys on
+    * (block, ci, cj), so a hot block's |block|² pair work spreads over
+    * gn(gn+1)/2 independent cells of ≤ subBlock² work instead of landing
+    * on ONE reducer. (A plain `join_salted_skew`-style salt doesn't work
+    * on a SELF-join — both sides are skewed — hence the triangle shape.)
+    * Each unordered pair meets in EXACTLY one surviving cell: a cross-
+    * sub-block pair (ga ≠ gb) only ever shares the cell (min,max)(ga,gb);
+    * a same-sub-block pair shares all of g's cells, and the
+    * `a_g ≠ b_g ∨ (ci,cj) = (g,g)` filter keeps only the diagonal one.
+    * The output pair set is therefore IDENTICAL to the naive blocked
+    * self-join (gate hashes untouched); only the shuffle-key granularity
+    * changes. The block-count side is an aggregate on the same key and
+    * broadcasts back (listing-scale: one row per distinct blocking key).
+    * Returns blockCols ++ (a_g, b_g, ci, cj) ++ a_/b_-prefixed key+attrs,
+    * already filtered to a_key < b_key. */
+  private[graft] def trianglePairs(p: DataFrame, blockCols: Seq[String],
+      key: String, attrs: Seq[String], subBlock: Long): DataFrame = {
+    val bc = p.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("bc"))
+    val rep = p.join(broadcast(bc), blockCols)
+      .withColumn("gn", expr(s"CAST((bc + ${subBlock - 1}) div $subBlock AS INT)"))
+      .withColumn("g", pmod(xxhash64(col(key)), col("gn")).cast("int"))
+      .withColumn("t", explode(sequence(lit(0), col("gn") - 1)))
+      .withColumn("ci", least(col("g"), col("t")))
+      .withColumn("cj", greatest(col("g"), col("t")))
+    def side(pre: String): DataFrame = rep.select(
+      blockCols.map(col) ++ Seq(col("ci"), col("cj"), col("g").as(s"${pre}g")) ++
+        (key +: attrs).map(c => col(c).as(s"$pre$c")): _*)
+    side("a_").join(side("b_"), blockCols ++ Seq("ci", "cj"))
+      .filter(col(s"a_$key") < col(s"b_$key") &&
+        (col("a_g") =!= col("b_g") ||
+          (col("ci") === col("a_g") && col("cj") === col("a_g"))))
+  }
+
   /** Fellegi–Sunter record-linkage scoring — the probabilistic
     * entity-resolution step after blocking: each candidate pair gets a
     * linkage score = Σ field agreement/disagreement weights (frozen
     * milli-log-odds LITERALS, so the score is an exact BIGINT sum) and a
     * match / possible / non-match classification at fixed thresholds.
     * Blocking is (first name token, size) — the standard knob that keeps
-    * the pair space at Σ|block|², never corpus²; the name comparator is
-    * the same bounded levenshtein as `join_fuzzy_name`. Top-100 by
-    * (score, keys) via a distributed TakeOrdered. */
+    * the pair space at Σ|block|², never corpus² — and the pair join runs
+    * through the [[trianglePairs]] skew guard (sub-block ≤ 32), so a hot
+    * blocking key at 100× spreads over many cells instead of one reducer;
+    * the name comparator is the same bounded levenshtein as
+    * `join_fuzzy_name`. Top-100 by (score, keys) via a distributed
+    * TakeOrdered. */
   def erScore(s: SparkSession, d: String): DataFrame = {
     val p = Tables.part(s, d).select(
       col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
       col("p_size"), element_at(split(col("p_name"), " "), 1).as("blk"))
-    val a = p.select(col("blk"), col("p_size"), col("p_partkey").as("a_key"),
-      col("p_name").as("a_name"), col("p_brand").as("a_brand"),
-      col("p_type").as("a_type"))
-    val b = p.select(col("blk"), col("p_size"), col("p_partkey").as("b_key"),
-      col("p_name").as("b_name"), col("p_brand").as("b_brand"),
-      col("p_type").as("b_type"))
-    a.join(b, Seq("blk", "p_size"))
-      .filter(col("a_key") < col("b_key"))
+    trianglePairs(p, Seq("blk", "p_size"), "p_partkey",
+        Seq("p_name", "p_brand", "p_type"), 32L)
+      .withColumnRenamed("a_p_partkey", "a_key")
+      .withColumnRenamed("b_p_partkey", "b_key")
+      .withColumnRenamed("a_p_name", "a_name")
+      .withColumnRenamed("b_p_name", "b_name")
+      .withColumnRenamed("a_p_brand", "a_brand")
+      .withColumnRenamed("b_p_brand", "b_brand")
+      .withColumnRenamed("a_p_type", "a_type")
+      .withColumnRenamed("b_p_type", "b_type")
       .withColumn("name_dist", levenshtein(col("a_name"), col("b_name")))
       .withColumn("score_milli",
         when(col("name_dist") <= 6, 800L).otherwise(-300L) +

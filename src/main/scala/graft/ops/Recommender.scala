@@ -105,16 +105,17 @@ object Recommender extends QueryModule {
       .orderBy(col("sim_micro").desc, col("i").asc, col("j").asc)
       .limit(100)
 
-  /** Top-3 recommendations per user: score(candidate) = Σ sim_micro over
-    * the user's owned items whose top-M neighbor lists contain the
-    * candidate, candidates the user already owns anti-joined away. Exact
-    * BIGINT sums → window ranking partitioned BY USER (per-user state
-    * only — scales to any user count). */
-  private def top3PerUser(s: SparkSession, d: String): DataFrame = {
-    val owned = userItems(s, d, Tables.orders(s, d))
-    val model = neighborModel(cooccurPairs(s, d, basketItems(s, d)), 10)
-    // The model is catalog×M-sized by construction — broadcast it so
-    // scoring is a map-side join against the user baskets.
+  /** THE scoring tail, shared by serving ([[top3PerUser]] → rec_user_topn
+    * / rec_coverage) and offline eval ([[evalMrr]]): score(candidate) =
+    * Σ sim_micro over the `owned` items whose top-M neighbor lists contain
+    * the candidate, candidates already in `owned` anti-joined away, top-3
+    * per user by (score desc, cand). The ownership frame is the ONLY
+    * parameter (full history vs leave-last-order-out training history).
+    * The model is catalog×M-sized by construction — broadcast, so scoring
+    * is a map-side join against the user baskets; exact BIGINT sums →
+    * window ranking partitioned BY USER (per-user state only — scales to
+    * any user count). */
+  private def scoreTop3(owned: DataFrame, model: DataFrame): DataFrame = {
     val scored = owned.join(broadcast(model), Seq("item"))
       .select(col("u"), col("nbr").as("cand"), col("sim_micro"))
       .groupBy(col("u"), col("cand"))
@@ -127,6 +128,12 @@ object Recommender extends QueryModule {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
   }
+
+  /** Top-3 recommendations per user over the FULL ownership history. */
+  private def top3PerUser(s: SparkSession, d: String): DataFrame =
+    scoreTop3(
+      userItems(s, d, Tables.orders(s, d)),
+      neighborModel(cooccurPairs(s, d, basketItems(s, d)), 10))
 
   def userTopN(s: SparkSession, d: String): DataFrame =
     top3PerUser(s, d)
@@ -185,16 +192,9 @@ object Recommender extends QueryModule {
     val ownedTrain = userItems(s, d, trainOrders)
     val testItems = userItems(s, d, testOrders)
 
-    val recs = ownedTrain.join(broadcast(model), Seq("item"))
-      .select(col("u"), col("nbr").as("cand"), col("sim_micro"))
-      .groupBy(col("u"), col("cand"))
-      .agg(sum(col("sim_micro")).as("score_micro"))
-      .join(ownedTrain.select(col("u"), col("item").as("cand")),
-        Seq("u", "cand"), "left_anti")
-    val w = Window.partitionBy(col("u"))
-      .orderBy(col("score_micro").desc, col("cand").asc)
-    val top3 = recs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+    // Same scoring tail as serving, just over the TRAINING ownership frame
+    // (the held-out last order never contributes to scores or anti-joins).
+    val top3 = scoreTop3(ownedTrain, model)
 
     // Users evaluable = have both a training profile and a held-out basket.
     val evalUsers = ownedTrain.select(col("u")).distinct()
