@@ -520,55 +520,136 @@ class PlanAuditSpec extends AnyFunSuite {
     assertBucketLocalized("agg_equidepth", "p", "vb")
   }
 
-  /** THE global scale invariant (round 10): across the ENTIRE registered
-    * catalog, no unpartitioned window may read an input that grows with
-    * the corpus. Mechanically: every logical Window with an empty
-    * partitionSpec must either (a) read a limit-bounded subtree (a
-    * TakeOrdered-cut top-k), or (b) read only columns from the documented
-    * bounded grids — knob-bounded bucket/base tables (rb/sb/vb/qb/bucket/
-    * dday/nb + their counters), tiny dimensions (lang/source/month/
-    * decile), or the aggregated hourly grid. A new unpartitioned window
-    * over raw corpus columns (doc_id, text, order keys, …) fails here
-    * before it ships. */
+  /** One optimized logical plan per registered query, built once and shared
+    * by the catalog-wide audits below (planning all ~400 queries is the
+    * expensive part; the audits themselves are tree walks). */
+  private lazy val catalogPlans: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, TestSpark.sf).queryExecution.optimizedPlan
+    }
+
+  /** THE global scale invariant (round 10, scoped per query in round 11):
+    * across the ENTIRE registered catalog, no unpartitioned window may read
+    * an input that grows with the corpus. Mechanically: every logical
+    * Window with an empty partitionSpec must either (a) read a
+    * limit-bounded subtree (a TakeOrdered-cut top-k), or (b) belong to a
+    * query registered below with EXACTLY the columns of its documented
+    * bounded grid. The allowlist is scoped query → columns (round-10
+    * advice: a single global column set let any future query smuggle an
+    * unpartitioned window over a generic name like "x" past the audit);
+    * a NEW query emitting an unpartitioned window fails here until its
+    * grid is reviewed and registered. */
   test("catalog-wide: every unpartitioned window reads a bounded grid or a limit-cut input") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
-    val boundedCols = Set(
-      // knob-bounded bucket/base tables
-      "rb", "sb", "vb", "qb", "nb", "bucket", "dday",
-      "bn", "bt", "by", "bc", "b1", "b2",
-      // tiny dimension grids
-      "lang", "n", "source", "toks", "base", "rem", "leftover",
-      "month", "n_orders", "cents",
-      "decile", "n_users", "n_events", "t_events", "share",
-      // aggregated hourly grid (ev_interpolate/ev_gapfill fills)
-      "h", "v", "ph", "pv", "_w0",
-      // survival duration grid — bounded by the 48 h censoring window
-      "t", "d", "c", "n_risk", "term_mu", "dead", "d1", "x1", "n1",
-      // skyline price-bucket table (range/10⁴ rows)
-      "bmax",
-      // SPRT daily grid — bounded by the observation window
-      "day", "n_conv", "llr_micro", "verdict",
-      // ts_stl_daily / ts_bandit_replay calendar grids (daily counts and
-      // the per-arm daily trial/success pivot)
-      "x", "n0", "s0", "n1", "s1", "n2", "s2",
-      // win_rsi daily revenue grid (delta gains/losses per calendar day)
-      "gain", "loss",
-      // PR-AUC / lift bucket & decile grids (knob-bounded)
-      "bc1", "n_pos", "n_tot", "pos_tot", "cum_pos")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val lp = fn(spark, TestSpark.sf).queryExecution.optimizedPlan
-        lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-          .flatMap { w =>
-            val cols = w.child.output.map(_.name)
-            val limitBounded =
-              w.child.collectFirst { case l: GlobalLimit => l }.nonEmpty
-            if (limitBounded || cols.forall(boundedCols)) None
-            else Some(s"$name: unpartitioned window over [${cols.mkString(",")}]")
-          }
+    // query → the columns of the knob-bounded grid its unpartitioned
+    // window(s) legitimately read. Each grid's bound is documented at the
+    // query's definition site (buckets, calendar days, deciles, …).
+    val grids: Map[String, Set[String]] = Map(
+      // value-bucket boundary / CDF grids (knob-bounded bucket counts)
+      "agg_equidepth" -> Set("vb", "bn"),
+      "agg_ks_test" -> Set("bucket", "b1", "b2"),
+      "agg_mann_whitney" -> Set("bucket", "bc"),
+      "ml_auc_exact" -> Set("bucket", "bc"),
+      "ml_conformal" -> Set("bucket", "bc"),
+      "ml_ks_score" -> Set("bucket", "bc", "bc1"),
+      "ml_pr_auc" -> Set("bucket", "bc", "bc1"),
+      "ml_lift_gains" -> Set("bucket", "bc", "decile", "n", "n_pos", "n_tot", "pos_tot"),
+      "rel_skyline" -> Set("bucket", "bmax"),
+      // per-source / per-language apportionment grids (|sources| rows)
+      "corpus_apportion" -> Set("source", "toks", "base", "rem", "leftover"),
+      "corpus_global_ids" -> Set("lang", "n"),
+      "corpus_interleave" -> Set("rb", "bn"),
+      "text_vocab_growth" -> Set("sb", "bt", "by"),
+      // calendar grids — bounded by the fixture's observation window
+      "ev_sprt" -> Set("day", "n_events", "n_conv", "llr_micro", "verdict", "_w0"),
+      "rel_mom_growth" -> Set("month", "n_orders", "cents"),
+      "win_rsi" -> Set("day", "cents", "gain", "loss"),
+      "ts_stl_daily" -> Set("d", "x"),
+      "ts_stl_anomaly" -> Set("d", "x"),
+      "ev_stream_stl_daily" -> Set("d", "x"),
+      "ts_bandit_replay" -> Set("d", "n0", "s0", "n1", "s1", "n2", "s2"),
+      "ev_stream_bandit" -> Set("d", "n0", "s0", "n1", "s1", "n2", "s2"),
+      // aggregated hourly grid (gap-fill interpolation spine)
+      "ev_interpolate" -> Set("h", "v", "ph", "pv", "_w0"),
+      // id-range bucket + decile readout grids
+      "ev_pareto_share" -> Set("nb", "bc", "decile", "n_users", "n_events", "t_events", "share"),
+      // survival duration grids — bounded by the 48 h censoring window
+      "ev_time_to_convert" -> Set("dday", "bc"),
+      "surv_km" -> Set("t", "d", "c", "n_risk", "term_mu", "dead", "_w0"),
+      "surv_logrank" -> Set("t", "d", "d1", "x1", "_w0"))
+    val offenders = catalogPlans.flatMap { case (name, lp) =>
+      lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        .flatMap { w =>
+          val cols = w.child.output.map(_.name)
+          val limitBounded =
+            w.child.collectFirst { case l: GlobalLimit => l }.nonEmpty
+          val allowed = grids.getOrElse(name, Set.empty)
+          if (limitBounded || (cols.nonEmpty && cols.forall(allowed))) None
+          else Some(s"$name: unpartitioned window over [${cols.mkString(",")}]")
+        }
     }
     assert(offenders.isEmpty,
       s"unbounded unpartitioned windows found:\n${offenders.mkString("\n")}")
+  }
+
+  /** The OTHER global scale invariant (round 11, from the round-10
+    * verdict): no registered plan may join two corpus-proportional inputs
+    * on a condition with no equality conjunct — the all-pairs blow-up
+    * class (the bug this round fixed in sim_top_pairs/dd_embed_neardup/
+    * sim_ann_recall by capping the eval sample in code). For every logical
+    * Join whose condition carries NO EqualTo/EqualNullSafe conjunct
+    * (theta or cartesian), at least one side must be bounded:
+    *  - a limit-cut subtree (GlobalLimit — the TakeOrdered sample cap),
+    *  - an aggregate (grids / scalar moments — cardinality set by group
+    *    count, which every such query documents as knob-bounded),
+    *  - a LocalRelation / Range (literal grids),
+    *  - an explicit broadcast() hint — the author's asserted-small claim,
+    *    enforced at runtime by the broadcast memory ceiling, or
+    *  - a scan of the fixed geography dims (region 5 / nation 25 rows).
+    * Left-semi/anti are exempt (never cardinality-expanding; the null-aware
+    * anti OR-condition is Spark's canonical NOT-IN shape, broadcast-planned).
+    * ev_attribution_markov is exempted by name: its pair sides are
+    * LogicalRDD checkpoints of the ≤6-row Markov state (bounded by the
+    * channel alphabet, invisible to structural checks). */
+  test("catalog-wide: every non-equi join has at least one bounded side") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalRelation, LogicalPlan, Range => LRange}
+    import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def structurallyBounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case l: GlobalLimit => l; case a: Aggregate => a
+        case l: LocalRelation => l; case r: LRange => r
+      }.nonEmpty ||
+        p.collectLeaves().forall { leaf =>
+          val out = leaf.output.map(_.name).toSet
+          out.contains("r_regionkey") || out.contains("n_nationkey")
+        }
+    val exempt = Set("ev_attribution_markov")
+    val offenders = catalogPlans.filterNot(p => exempt(p._1)).flatMap {
+      case (name, lp) =>
+        lp.collect {
+          case j: Join if Seq(Inner, Cross, FullOuter, LeftOuter, RightOuter)
+            .contains(j.joinType) => j
+        }.flatMap { j =>
+          val hasEqui = j.condition.exists(c => conjuncts(c).exists {
+            case _: EqualTo | _: EqualNullSafe => true
+            case _ => false
+          })
+          def hinted(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+            h.exists(_.strategy.nonEmpty)
+          val leftOk = structurallyBounded(j.left) || hinted(j.hint.leftHint)
+          val rightOk = structurallyBounded(j.right) || hinted(j.hint.rightHint)
+          if (hasEqui || leftOk || rightOk) None
+          else Some(s"$name: ${j.joinType} join with no equi conjunct and no " +
+            s"bounded side (cond=${j.condition.map(_.sql).getOrElse("<none>")})")
+        }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded theta joins found:\n${offenders.mkString("\n")}")
   }
 
   test("corpus_interleave: the rank-grid offset cumsum partitions on the 1024-rank bucket") {
