@@ -826,21 +826,27 @@ object LlmSimilarity extends QueryModule {
       .orderBy(col("vec_id"), col("rank"))
   }
 
-  /** Recall monitor for the NN-descent round: for a deterministic node
-    * sample (vec_id % 7 = 0), the TRUE top-3 by exact cosine (broadcast
-    * sample × corpus — the documented eval-sample exact baseline, same
-    * shape as [[annRecall]]'s truth join, never corpus × corpus), then the
-    * fraction of truth edges present in the SRP-only graph vs the
-    * descended graph. One output row; recall_desc − recall_base is the
-    * lift the expansion round buys. */
+  /** Recall monitor for the NN-descent round: for a bounded deterministic
+    * node sample (the md5-ranked ≤64 cut of the vec_id % 7 = 0 subset —
+    * FIXED-SIZE in code, so the broadcast truth join stays sample × corpus
+    * = linear at any scale; a bare modulo sample would grow as corpus/7
+    * and is exactly what the hint-measured theta audit now rejects), the
+    * TRUE top-3 by exact cosine, then the fraction of truth edges present
+    * in the SRP-only graph vs the descended graph. One output row;
+    * recall_desc − recall_base is the lift the expansion round buys. At
+    * sf0.001 the % 7 subset is 72 nodes, so the 64-cap already selects a
+    * strict subset — the bound is proven engaged at every fixture. */
   def knnRecall(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), sqrt(dotd(col("embedding"), col("embedding"))).as("nrm"))
     val sample = e.filter(col("vec_id") % 7 === 0)
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(64)
       .select(col("vec_id").as("u"), col("embedding").as("u_emb"),
         col("nrm").as("u_nrm"))
+    val sampleIds = sample.select(col("u"))
     val wT = Window.partitionBy(col("u"))
       .orderBy(col("score").desc, col("w"))
     val truth = e.select(col("vec_id").as("w"), col("embedding").as("w_emb"),
@@ -852,10 +858,12 @@ object LlmSimilarity extends QueryModule {
       .withColumn("rk", row_number().over(wT))
       .filter(col("rk") <= 3)
       .select(col("u"), col("w"))
-    val base = knnGraph(s, d).filter(col("vec_id") % 7 === 0)
+    val base = knnGraph(s, d)
       .select(col("vec_id").as("u"), col("nb_id").as("w"), lit(1L).as("in_base"))
-    val desc = knnDescent(s, d).filter(col("vec_id") % 7 === 0)
+      .join(broadcast(sampleIds), Seq("u"), "left_semi")
+    val desc = knnDescent(s, d)
       .select(col("vec_id").as("u"), col("nb_id").as("w"), lit(1L).as("in_desc"))
+      .join(broadcast(sampleIds), Seq("u"), "left_semi")
     truth
       .join(base, Seq("u", "w"), "left")
       .join(desc, Seq("u", "w"), "left")
@@ -1468,21 +1476,26 @@ object LlmSimilarity extends QueryModule {
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
     "sim_knn_recall" ->
       s"""WITH $sqlKnnCtes,
+         |smp AS MATERIALIZED (
+         |  SELECT vec_id FROM embeddings WHERE vec_id % 7 = 0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
          |truth AS (SELECT u, w FROM (
          |  SELECT u, w, row_number() OVER (PARTITION BY u
          |    ORDER BY score DESC, w) AS rk FROM (
          |    SELECT q.vec_id AS u, c.vec_id AS w,
          |      ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
          |        AS score
-         |    FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
-         |    WHERE q.vec_id % 7 = 0) p) t WHERE rk <= 3),
+         |    FROM sig q JOIN smp ON q.vec_id = smp.vec_id
+         |    JOIN sig c ON c.vec_id <> q.vec_id) p) t WHERE rk <= 3),
          |hits AS (SELECT t.u,
          |    CASE WHEN b.u IS NOT NULL THEN 1 ELSE 0 END AS hb,
          |    CASE WHEN g.u IS NOT NULL THEN 1 ELSE 0 END AS hd
          |  FROM truth t
-         |  LEFT JOIN (SELECT u, v FROM g3 WHERE u % 7 = 0) b
+         |  LEFT JOIN (SELECT u, v FROM g3
+         |    WHERE u IN (SELECT vec_id FROM smp)) b
          |    ON t.u = b.u AND t.w = b.v
-         |  LEFT JOIN (SELECT u, w FROM dsc WHERE rank <= 3 AND u % 7 = 0) g
+         |  LEFT JOIN (SELECT u, w FROM dsc
+         |    WHERE rank <= 3 AND u IN (SELECT vec_id FROM smp)) g
          |    ON t.u = g.u AND t.w = g.w)
          |SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
          |  CAST(COUNT(*) AS BIGINT) AS n_truth,

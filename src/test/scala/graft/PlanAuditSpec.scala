@@ -652,6 +652,51 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unbounded theta joins found:\n${offenders.mkString("\n")}")
   }
 
+  /** Companion to the theta audit: where a non-equi join's ONLY bound is a
+    * broadcast() hint (the author's asserted-small claim), EXECUTE that
+    * side at the test sf and measure it — the query-set sides of the
+    * brute-force sim arms must actually be tiny, not just hinted. A side
+    * that grows past the cap here would OOM the broadcast at scale. */
+  test("catalog-wide: every hint-only-bounded theta-join side is measured small") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalRelation, LogicalPlan, Range => LRange}
+    import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def structurallyBounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case l: GlobalLimit => l; case a: Aggregate => a
+        case l: LocalRelation => l; case r: LRange => r
+      }.nonEmpty
+    val exempt = Set("ev_attribution_markov")
+    val tooBig = catalogPlans.filterNot(p => exempt(p._1)).flatMap {
+      case (name, lp) =>
+        lp.collect {
+          case j: Join if Seq(Inner, Cross, FullOuter, LeftOuter, RightOuter)
+            .contains(j.joinType) => j
+        }.flatMap { j =>
+          val hasEqui = j.condition.exists(c => conjuncts(c).exists {
+            case _: EqualTo | _: EqualNullSafe => true
+            case _ => false
+          })
+          if (hasEqui) Nil
+          else Seq(j.left -> j.hint.leftHint, j.right -> j.hint.rightHint)
+            .filter { case (side, hint) =>
+              hint.exists(_.strategy.nonEmpty) && !structurallyBounded(side)
+            }
+            .flatMap { case (side, _) =>
+              val n = org.apache.spark.sql.GraftBridge.ofRows(spark, side).count()
+              if (n <= 64L) None
+              else Some(s"$name: hint-bounded theta side has $n rows (> 64)")
+            }
+        }
+    }
+    assert(tooBig.isEmpty,
+      s"broadcast-hinted theta sides that are not actually small:\n${tooBig.mkString("\n")}")
+  }
+
   test("corpus_interleave: the rank-grid offset cumsum partitions on the 1024-rank bucket") {
     // rk itself is also an allowed partition key: the r2 window partitions
     // BY rk, bounding each partition at |sources| rows.
