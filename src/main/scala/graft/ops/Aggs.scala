@@ -688,11 +688,12 @@ object Aggs extends QueryModule {
     * Σ(supplier revenue share)² = Σrev² / (Σrev)² — the antitrust-class
     * readout. Per-supplier revenues are exact BIGINT cents; squares ride
     * DECIMAL(19,0)² → (38,0) → string → double, totals are double-exact
-    * casts, and HHI is one division. Two hash aggs, one broadcast dim
-    * join. */
+    * casts, and HHI is one division. Two hash aggs, one dim join —
+    * UNHINTED: supplier grows with the corpus, so the planner
+    * auto-broadcasts at fixture scale and AQE shuffles at 100×. */
   def hhi(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_nationkey"), col("s_suppkey"),
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("c"))

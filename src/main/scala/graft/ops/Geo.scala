@@ -54,11 +54,13 @@ object Geo extends QueryModule {
     * is a plain EQUI-join on the cell coordinate, and the exact
     * integer-squared-distance predicate runs only on co-located candidates.
     * Cell edge = R guarantees zero false negatives (any pair within R spans
-    * at most one cell boundary per axis). At 100 TB both sides bucket-join
-    * on (cx, cy) — a shuffle on the grid key, corpus-linear candidates under
-    * bounded density; here the 9×|supplier| side broadcasts, so the customer
-    * corpus never shuffles at all. Oracle: DuckDB evaluates the raw
-    * quadratic predicate — a hash match proves the blocking lost no pair. */
+    * at most one cell boundary per axis). The (cx, cy) join is UNHINTED:
+    * at fixture scale the planner auto-broadcasts the 9×|supplier| side so
+    * the customer corpus never shuffles, and at 100 TB — where supplier has
+    * grown past the broadcast ceiling — AQE bucket-joins both sides on the
+    * grid key (corpus-linear candidates under bounded density). Oracle:
+    * DuckDB evaluates the raw quadratic predicate — a hash match proves
+    * the blocking lost no pair. */
   def gridRadiusJoin(s: SparkSession, d: String): DataFrame = {
     val neigh = array((-1 to 1).map(lit): _*)
     val sCells = supPts(s, d)
@@ -70,7 +72,7 @@ object Geo extends QueryModule {
     custPts(s, d)
       .withColumn("cx", expr(s"x div $R"))
       .withColumn("cy", expr(s"y div $R"))
-      .join(broadcast(sCells), Seq("cx", "cy"))
+      .join(sCells, Seq("cx", "cy"))
       .filter(d2(col("x"), col("y"), col("sx"), col("sy")) <= R2)
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -112,7 +114,9 @@ object Geo extends QueryModule {
     val ringTop = pts
       .withColumn("gcx", expr(s"x div $R"))
       .withColumn("gcy", expr(s"y div $R"))
-      .join(broadcast(supCells), Seq("gcx", "gcy"))
+      // Unhinted like gridRadiusJoin: auto-broadcast at fixture scale,
+      // AQE grid-key bucket join at 100×.
+      .join(supCells, Seq("gcx", "gcy"))
       .select(col("s_suppkey"), col("c_custkey"),
         d2(col("x"), col("y"), col("sx"), col("sy")).as("d2"))
       .groupBy(col("s_suppkey"))

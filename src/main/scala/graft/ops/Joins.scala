@@ -7,20 +7,26 @@ import org.apache.spark.sql.functions._
 
 /** Join variants (SURVEY.md §2.4).
   *
-  * Scale posture: dimension chains (region/nation/supplier/part) are
+  * Scale posture: FIXED dimensions (region 5 rows / nation 25 rows) carry
   * explicit `broadcast()` — at 100 TB the fact side streams through
-  * map-side hash joins with zero shuffle. Fact-fact joins (lineitem⋈orders)
-  * shuffle both sides on the join key once; AQE handles skew. The as-of
-  * join is a union + running-window — one shuffle on user_id, no join
-  * explosion, which is THE scalable as-of strategy (a range join would be
-  * quadratic per key). */
+  * map-side hash joins with zero shuffle. GROWING dimensions (supplier /
+  * customer / part) are deliberately UNHINTED (round-15 sweep): the
+  * planner auto-broadcasts them at fixture scale — the plan-asserted
+  * BroadcastHashJoin chain — and AQE switches to a key shuffle once the
+  * dim outgrows the broadcast ceiling, instead of the forced-hint OOM.
+  * Fact-fact joins (lineitem⋈orders) shuffle both sides on the join key
+  * once; AQE handles skew. The as-of join is a union + running-window —
+  * one shuffle on user_id, no join explosion, which is THE scalable as-of
+  * strategy (a range join would be quadratic per key). */
 object Joins extends QueryModule {
   import OracleSafe._
 
-  /** Fact → 3-level broadcast dim chain: revenue by region/nation. */
+  /** Fact → 3-level broadcast dim chain: revenue by region/nation.
+    * Supplier unhinted (grows with the corpus); nation/region hinted
+    * (fixed). All three broadcast at fixture scale. */
   def broadcastDimChain(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))

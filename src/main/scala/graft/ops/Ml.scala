@@ -33,7 +33,11 @@ object Ml extends QueryModule {
     * broadcast-join pass every scoring query starts from. */
   private def base(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)),
+      // No broadcast hint: customer GROWS with the corpus, so a forced
+      // broadcast is an OOM at 100× — the planner auto-broadcasts it at
+      // fixture scale and AQE picks a key shuffle when it outgrows the
+      // ceiling (round-15 BcastScan sweep).
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
         col("c_mktsegment"), col("c_acctbal"),

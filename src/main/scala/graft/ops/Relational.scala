@@ -57,7 +57,9 @@ object Relational extends QueryModule {
     val li   = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // Unhinted: the segment filter still leaves a corpus-proportional
+      // customer subset (auto-broadcast at fixture, AQE shuffle at 100×).
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum2(col("l_extendedprice"), lit(1.0) - col("l_discount")).as("revenue"))
       .select(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"),
@@ -354,8 +356,12 @@ object Relational extends QueryModule {
     val aNew = o.filter(col("o_orderdate").cast("date") >= cut)
     val bOld = c.filter(col("c_custkey") % 7 =!= 0)
     val bNew = c.filter(col("c_custkey") % 7 === 0)
+    // Unhinted: B_old is the full old dimension state — corpus-
+    // proportional, so the production incremental plan shuffles (or
+    // bucket-joins) on the key; the planner still auto-broadcasts these
+    // fixture-scale sides.
     def j(a: DataFrame, b: DataFrame) =
-      a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+      a.join(b, col("o_custkey") === col("c_custkey"))
     val qNew = j(aOld, bOld)            // Q_old (materialized state)
       .unionByName(j(aNew, bOld))       // ΔA ⋈ B_old
       .unionByName(j(aOld, bNew))       // A_old ⋈ ΔB
@@ -747,7 +753,9 @@ object Relational extends QueryModule {
   def skyline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pts = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)),
+      // Unhinted: customer grows with the corpus (auto-broadcast at
+      // fixture scale, AQE shuffle at 100×).
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .select(floor(col("o_totalprice")).cast("long").as("x"),
         floor(col("c_acctbal") * 100.0).cast("long").as("y"))

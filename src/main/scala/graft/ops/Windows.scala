@@ -152,7 +152,9 @@ object Windows extends QueryModule {
     * and its depth in mean-day units. */
   def drawdown(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)),
+      // Unhinted: customer grows with the corpus (auto-broadcast at
+      // fixture scale, AQE shuffle at 100×).
+      .join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"),
         col("o_orderdate").cast("date").as("day"))

@@ -697,6 +697,62 @@ class PlanAuditSpec extends AnyFunSuite {
       s"broadcast-hinted theta sides that are not actually small:\n${tooBig.mkString("\n")}")
   }
 
+  /** The third broadcast discipline (round 15): an explicit broadcast()
+    * hint on a side that GROWS with the corpus is a forced OOM at 100× —
+    * the planner would have auto-broadcast it at fixture scale anyway, and
+    * without the hint AQE falls back to a key shuffle once the side
+    * outgrows the ceiling. The round-15 sweep (tools/BcastScan) removed
+    * every such hint from corpus-data sides (Ml.base customer, agg_hhi
+    * supplier, geo grid/knn site tables, the chain's supplier level,
+    * q3/skyline/drawdown customer, rel_incr_join's dimension states);
+    * this audit keeps them out: every remaining BROADCAST-hinted,
+    * not-structurally-bounded side must have the same row count at
+    * sf0.001 and sf0.01 (within 2×), i.e. be corpus-independent.
+    * Allowlisted by design:
+    *  - join_pit / rel_scd2_merge — scd2Merge broadcast-prunes by the
+    *    UPDATE BATCH's keys (the Delta-MERGE design; production batches
+    *    are ingest-bounded, the fixture derives them as a corpus fraction);
+    *  - layout_cdf / layout_vacuum / layout_deletion_vectors — lakehouse
+    *    log/manifest tables (listing-scale metadata, bounded by
+    *    checkpointing and the fixed maintenance unit in production). */
+  test("catalog-wide: no broadcast-hinted join side grows with the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalRelation, LogicalPlan, BROADCAST, Range => LRange}
+    val allow = Set("join_pit", "rel_scd2_merge",
+      "layout_cdf", "layout_vacuum", "layout_deletion_vectors")
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case l: GlobalLimit => l; case a: Aggregate => a
+        case l: LocalRelation => l; case r: LRange => r
+      }.nonEmpty
+    def hintedSides(lp: LogicalPlan): Seq[LogicalPlan] =
+      lp.collect { case j: Join => j }.flatMap { j =>
+        def isB(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+          h.flatMap(_.strategy).contains(BROADCAST)
+        Seq(
+          if (isB(j.hint.leftHint) && !bounded(j.left)) Some(j.left) else None,
+          if (isB(j.hint.rightHint) && !bounded(j.right)) Some(j.right) else None
+        ).flatten
+      }
+    val sfB = "/root/testdata/sf0.01"
+    val offenders = catalogPlans.filterNot(p => allow(p._1)).flatMap {
+      case (name, lpA) =>
+        val sidesA = hintedSides(lpA)
+        if (sidesA.isEmpty) Nil
+        else {
+          val sidesB = hintedSides(
+            SparkEntry.queries(name)(spark, sfB).queryExecution.optimizedPlan)
+          sidesA.zip(sidesB).zipWithIndex.flatMap { case ((sa, sb), i) =>
+            val na = org.apache.spark.sql.GraftBridge.ofRows(spark, sa).count()
+            val nb = org.apache.spark.sql.GraftBridge.ofRows(spark, sb).count()
+            if (nb <= 2 * math.max(na, 1L)) None
+            else Some(s"$name side#$i: broadcast-hinted side grew $na -> $nb across sf")
+          }
+        }
+    }
+    assert(offenders.isEmpty,
+      s"corpus-proportional broadcast hints found:\n${offenders.mkString("\n")}")
+  }
+
   test("corpus_interleave: the rank-grid offset cumsum partitions on the 1024-rank bucket") {
     // rk itself is also an allowed partition key: the r2 window partitions
     // BY rk, bounding each partition at |sources| rows.
