@@ -232,22 +232,49 @@ object Aggs extends QueryModule {
   /** Exact DISCRETE percentiles per group (ANSI `percentile_disc`: the
     * smallest group element whose cume_dist ≥ p — an actual data value,
     * never interpolated, so the emitted double is a raw passthrough and
-    * bit-exact across engines with no decimal routing). Computed as one
-    * cume_dist window + a min-over-threshold aggregate — no collect_list,
-    * per-row state O(1), one shuffle on the group key; the complement of
-    * [[quantiles]] (interpolated `percentile_cont` semantics). */
+    * bit-exact across engines with no decimal routing). cume_dist ≥ p is
+    * exactly the k-th order statistic at k = ⌈p·n⌉, so this runs the
+    * [[median2Pass]] bucket-then-order-statistic plan with three ks per
+    * group instead of a cume_dist window over the raw rows — the previous
+    * form sorted corpus/|priorities| rows in ONE task per group (the
+    * round-15 GroupScan straggler class); here the largest sort anywhere
+    * is one value bucket. Oracle: the original cume_dist window form, so
+    * the gate proves the order-statistic reduction. */
   def percentileDisc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
-    Tables.orders(s, d)
-      .select(col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("cd", cume_dist().over(w))
-      .groupBy(col("o_orderpriority"))
+    val o = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("v"), col("o_orderkey").as("id"))
+      .withColumn("bucket", floor(col("v") / 1000.0).cast("long"))
+    val counts = o.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+    val cum = counts.withColumn("cum",
+      sum(col("bn")).over(Window.partitionBy(col("grp")).orderBy(col("bucket"))))
+    val ks = counts.groupBy(col("grp")).agg(sum(col("bn")).as("n"))
+      .select(col("grp"), col("n"), explode(array(
+        struct(lit(25).as("p"), expr("(n + 3) div 4").as("k")),
+        struct(lit(50).as("p"), expr("(n + 1) div 2").as("k")),
+        struct(lit(90).as("p"), expr("(9 * n + 9) div 10").as("k")))).as("pk"))
+      .select(col("grp"), col("n"), col("pk.p").as("p"), col("pk.k").as("k"))
+    val tgt = ks.join(cum, Seq("grp"))
+      .filter(col("cum") >= col("k") && col("cum") - col("bn") < col("k"))
+      .select(col("grp"), col("p"), col("bucket"),
+        (col("k") - (col("cum") - col("bn"))).as("off"))
+    val wIn = Window.partitionBy(col("grp"), col("bucket"))
+      .orderBy(col("v"), col("id"))
+    val stats = o
+      .join(tgt.select(col("grp"), col("bucket")).distinct(), Seq("grp", "bucket"))
+      .withColumn("rn", row_number().over(wIn))
+      .join(tgt, Seq("grp", "bucket"))
+      .filter(col("rn") === col("off"))
+      .groupBy(col("grp"))
       .agg(
-        min(when(col("cd") >= 0.25, col("o_totalprice"))).as("p25_disc"),
-        min(when(col("cd") >= 0.5, col("o_totalprice"))).as("p50_disc"),
-        min(when(col("cd") >= 0.9, col("o_totalprice"))).as("p90_disc"),
-        count(lit(1)).as("n"))
+        min(when(col("p") === 25, col("v"))).as("p25_disc"),
+        min(when(col("p") === 50, col("v"))).as("p50_disc"),
+        min(when(col("p") === 90, col("v"))).as("p90_disc"))
+    ks.select(col("grp"), col("n")).distinct()
+      .join(stats, Seq("grp"))
+      .select(col("grp").as("o_orderpriority"), col("p25_disc"),
+        col("p50_disc"), col("p90_disc"), col("n"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -387,27 +414,44 @@ object Aggs extends QueryModule {
   /** Weighted median (price weighted by quantity) per group — the
     * "typical price of a shipped unit" statistic a plain median gets
     * wrong. Definition: smallest price whose cumulative weight reaches
-    * half the group total. The running weight uses a RANGE frame (peers
-    * enter together, so equal prices share one cumulative value) and
-    * sums EXACT DECIMAL weights — add-order-free, so the running sum is
-    * bit-identical across engines regardless of peer order; the
-    * threshold test is 2·cum ≥ total in decimal (no float halving). One
-    * window + one aggregate, both on the group key. */
+    * half the group total (2·cum ≥ tot in EXACT DECIMAL — add-order-free
+    * sums, no float halving). Bucket-localized like [[median2Pass]]: the
+    * per-(flag, price) weight grid aggregates once, a cumulative window
+    * over the ≤|price-buckets| rows per flag finds each flag's target
+    * bucket, and only that bucket's distinct prices see an ordered
+    * window — the previous RANGE-frame form ran the running weight over
+    * corpus/|flags| raw rows in ONE task per flag (the round-15 GroupScan
+    * straggler class). Peers share one grid row, so RANGE-frame peer
+    * semantics are preserved exactly. Oracle: the original row-level
+    * RANGE-frame window, so the gate proves the grid reduction. */
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"))
-      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(s, d)
+    val pw = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_quantity").cast("decimal(18,4)").as("q"))
-      .withColumn("cum", sum(col("q")).over(w))
-      .withColumn("tot", sum(col("q")).over(wAll))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("q")).as("pq"))
+      .withColumn("bucket",
+        floor(col("l_extendedprice") / 10000.0).cast("long"))
+    val bk = pw.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(sum(col("pq")).as("bw"))
+    val cumB = bk.withColumn("cum", sum(col("bw")).over(
+      Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))))
+    val tot = bk.groupBy(col("l_returnflag")).agg(sum(col("bw")).as("tot"))
+    // First bucket where the running weight crosses half the total; the
+    // answer price lives in it by construction.
+    val tgt = cumB.join(broadcast(tot), Seq("l_returnflag"))
+      .filter(col("cum") * 2 >= col("tot") &&
+        (col("cum") - col("bw")) * 2 < col("tot"))
+      .select(col("l_returnflag"), col("bucket"),
+        (col("cum") - col("bw")).as("base"), col("tot"))
+    val wIn = Window.partitionBy(col("l_returnflag"), col("bucket"))
+      .orderBy(col("l_extendedprice"))
+    pw.join(broadcast(tgt), Seq("l_returnflag", "bucket"))
+      .withColumn("cum", col("base") + sum(col("pq")).over(wIn))
+      .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        min(when(col("cum") * 2 >= col("tot"), col("l_extendedprice")))
-          .as("wmedian"),
+      .agg(min(col("l_extendedprice")).as("wmedian"),
         max(col("tot")).cast("string").cast("double").as("total_weight"))
       .orderBy(col("l_returnflag"))
   }

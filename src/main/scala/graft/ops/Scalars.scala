@@ -414,7 +414,10 @@ object Scalars extends QueryModule {
     * frameless ranking window, first/nth/last on the full-partition
     * frame. The ORDER BY (price DESC, key) is total, so nth_value is
     * deterministic. Same SQL runs on DuckDB (oracle adds only a rank
-    * type cast). */
+    * type cast). Scale posture: like win_ranks, the per-priority
+    * partitions grow with the corpus — inherent to the per-row analytic
+    * output this syntax demo exists to show; the scalable order-statistic
+    * forms are the bucket-localized agg_* twins. */
   def sqlNamedWindow(s: SparkSession, d: String): DataFrame = {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     s.sql(

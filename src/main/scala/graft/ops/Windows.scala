@@ -51,7 +51,15 @@ object Windows extends QueryModule {
       .orderBy(col("event_id"))
   }
 
-  /** rank / dense_rank / ntile over parts within brand. */
+  /** rank / dense_rank / ntile over parts within brand — the §2.6 ranking
+    * battery demo. Scale posture: per-brand partitions grow with the
+    * corpus (corpus/|brands| rows sort in one task — GroupScan-flagged),
+    * which is inherent to full per-row rank OUTPUT over a low-cardinality
+    * key; the corpus-sized result, not the sort, is the real cost. When
+    * the 100-TB ask is ranks, it is almost always top-k (agg_topk_heap —
+    * bounded-heap, shuffle k·|keys|) or an order statistic
+    * (agg_median_2pass / agg_percentile_disc — bucket-localized); this
+    * query stays the window-function demonstration. */
   def ranks(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("p_brand")).orderBy(col("p_size"), col("p_partkey"))
     val wTile = Window.partitionBy(col("p_brand"))

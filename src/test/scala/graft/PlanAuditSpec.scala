@@ -282,12 +282,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"nearest as-of must not plan a join:\n$p")
   }
 
-  test("agg_percentile_disc: the groupBy reuses the window's partitioning — one hash exchange total") {
+  test("agg_percentile_disc: two-pass — grids broadcast back, no collect, no cume_dist") {
+    // Round 15 replaced the one-exchange cume_dist form (whose window
+    // sorted corpus/|priorities| rows in ONE task per group) with the
+    // median2Pass bucket plan: more exchanges, all of them grid-sized; the
+    // only row-level sort is the target bucket's row_number (asserted
+    // bucket-partitioned in the companion test below).
     val p = plan("agg_percentile_disc")
-    val hashEx = "hashpartitioning".r.findAllMatchIn(p).size
-    assert(hashEx == 1,
-      s"cume_dist window and the min-over-threshold agg share one exchange, got $hashEx:\n$p")
     assert(!p.contains("collect_list"), s"discrete percentile must not collect:\n$p")
+    assert(!p.contains("cume_dist"),
+      s"the raw-row cume_dist window must not come back:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-threshold and target-bucket tables must broadcast:\n$p")
   }
 
   test("text_quality_classifier: the collect_list fold is bounded by the " +
@@ -367,6 +373,18 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("agg_mann_whitney: the value-grid cumsum partitions on the price bucket") {
     assertBucketLocalized("agg_mann_whitney", "v", "bucket")
+  }
+
+  test("agg_percentile_disc: the order-statistic window partitions on (grp, bucket)") {
+    // Round 15: was a cume_dist window over corpus/|priorities| raw rows
+    // per group — every row-level window must now stay bucket-local.
+    assertBucketLocalized("agg_percentile_disc", "v", "bucket")
+  }
+
+  test("agg_weighted_median: the running-weight window partitions on (flag, bucket)") {
+    // Round 15: was a RANGE-frame running sum over corpus/|flags| raw rows
+    // per group — the cum window now reads only the target bucket's grid.
+    assertBucketLocalized("agg_weighted_median", "l_extendedprice", "bucket")
   }
 
   test("layout_vacuum: snapshot replay semi-joins a broadcast live set — data never shuffles for metadata") {
