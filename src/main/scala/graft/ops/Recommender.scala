@@ -32,21 +32,31 @@ import graft.{QueryModule, Tables}
 object Recommender extends QueryModule {
 
   /** Distinct (basket, item) pairs — the implicit-feedback interaction
-    * table. Basket = order; item = product family. */
+    * table. Basket = order; item = product family. The no-op null filters
+    * (both columns derive from non-null lineitem keys) pre-empt the
+    * isnotnull predicates each JOIN consumer would otherwise push into
+    * its own clone of this subtree — with them here, every consumer's
+    * exchange is byte-identical and AQE plans ONE lineitem scan + ONE
+    * distinct shuffle for the whole recommender pipeline (the final plan
+    * previously scanned lineitem 5× in rec_coverage; the round-15
+    * weighted-median reuse lesson). */
   private def basketItems(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"),
         expr("l_partkey div 10").as("item"))
+      .filter(col("ok").isNotNull && col("item").isNotNull)
       .distinct()
 
-  /** Distinct (user, item) ownership — orders joined to their customer. */
+  /** Distinct (user, item) ownership — orders joined to their customer.
+    * Consumes [[basketItems]] (distinct (ok, item)) rather than raw
+    * lineitem: u is determined by ok, so the distinct-before-join is
+    * set-identical AND the join input shrinks to the deduped pairs —
+    * and the shared basketItems exchange is reused here too. */
   private def userItems(s: SparkSession, d: String, orders: DataFrame): DataFrame =
     orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("u"))
-      .join(Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"),
-            expr("l_partkey div 10").as("item")),
-        Seq("ok"))
+      .join(basketItems(s, d), Seq("ok"))
       .select(col("u"), col("item"))
+      .filter(col("u").isNotNull && col("item").isNotNull)
       .distinct()
 
   /** Micro-frozen cosine: floor(1e6·c / sqrt(n_i·n_j)). Each double op
