@@ -862,7 +862,9 @@ object Aggs extends QueryModule {
       .select(col("bucket"), col("base"))
     val wIn = Window.partitionBy(col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val a = vc.join(broadcast(base), Seq("bucket"))
+    // base is one row per value bucket — the price spread widens with the
+    // corpus, so unhinted: AQE broadcasts while small (r12 growth rule).
+    val a = vc.join(base, Seq("bucket"))
       .withColumn("cb",
         col("base") + coalesce(sum(col("c")).over(wIn), lit(0L)))
       .withColumn("ar2", lit(2L) * col("cb") + col("c") + 1L)
@@ -1061,7 +1063,9 @@ object Aggs extends QueryModule {
       .select(col("seg"), col("bucket"), col("base"))
     val wIn = Window.partitionBy(col("seg"), col("bucket")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    grid.join(broadcast(base), Seq("seg", "bucket"))
+    // base is one row per (seg, value-bucket) — the balance spread widens
+    // with the corpus, so unhinted: AQE broadcasts while small.
+    grid.join(base, Seq("seg", "bucket"))
       .withColumn("cb",
         col("base") + coalesce(sum(col("cnt")).over(wIn), lit(0L)))
       .groupBy(col("seg"))

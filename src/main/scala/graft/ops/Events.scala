@@ -138,7 +138,9 @@ object Events extends QueryModule {
       .select(col("event_type"), col("bucket"), col("base"))
     val wCum = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("gap_s")).rowsBetween(Window.unboundedPreceding, 0)
-    val cum = grid.join(broadcast(base), Seq("event_type", "bucket"))
+    // base is one row per (type, hour-bucket) — the gap range widens with
+    // the corpus, so unhinted: AQE broadcasts while small.
+    val cum = grid.join(base, Seq("event_type", "bucket"))
       .withColumn("cum", col("base") + sum(col("c")).over(wCum))
     val ns = grid.groupBy(col("event_type"))
       .agg(sum(col("c")).as("n"),
@@ -304,7 +306,9 @@ object Events extends QueryModule {
       .select(col("nb"), col("nbase"))
     val wG = Window.partitionBy(col("nb")).orderBy(col("n").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val gBase = grid.join(broadcast(nbase), Seq("nb"))
+    // nbase is one row per count-bucket (activity range widens with the
+    // corpus) — unhinted, AQE decides.
+    val gBase = grid.join(nbase, Seq("nb"))
       .withColumn("cb", col("nbase") + coalesce(sum(col("c")).over(wG), lit(0L)))
       .select(col("n"), col("cb"))
     // pass 2: tie-break rank among equal counts, localized on a user_id
@@ -319,7 +323,9 @@ object Events extends QueryModule {
       .select(col("n"), col("ub"), col("ubase"))
     val wIn = Window.partitionBy(col("n"), col("ub")).orderBy(col("user_id"))
     val ranked = ucb
-      .join(broadcast(gBase), Seq("n"))
+      // gBase is one row per distinct activity count (corpus-widening) —
+      // unhinted, AQE decides.
+      .join(gBase, Seq("n"))
       .join(ubase, Seq("n", "ub"))
       .crossJoin(broadcast(tot))
       .withColumn("rk", col("cb") + col("ubase") + row_number().over(wIn))

@@ -124,9 +124,13 @@ object Geo extends QueryModule {
     val certified = ringTop
       .filter(size(col("top")) === 3 &&
         expr(s"-element_at(top, 3).value <= $R2"))
+    // certified grows with the supplier dimension (at dense fixtures it
+    // is ALL suppliers) — unhinted, AQE broadcasts while it fits. The
+    // uncertified remainder below keeps its hint: it is the author's
+    // asserted-small boundary set (measured ≤64 by the theta audit) and
+    // SHRINKS with density (9 → 0 across the fixture sfs).
     val uncertified = sup
-      .join(broadcast(certified.select(col("s_suppkey"))),
-        Seq("s_suppkey"), "left_anti")
+      .join(certified.select(col("s_suppkey")), Seq("s_suppkey"), "left_anti")
     val bruteTop = pts.crossJoin(broadcast(uncertified))
       .select(col("s_suppkey"), col("c_custkey"),
         d2(col("x"), col("y"), col("sx"), col("sy")).as("d2"))

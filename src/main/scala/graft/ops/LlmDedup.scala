@@ -450,8 +450,10 @@ object LlmDedup extends QueryModule {
     val mins = (0 until 16).map { i =>
       array_min(transform(sh, x => md5hash32(x, i))).as(s"mh$i")
     }
+    // ids grows with the true-pair corpus — no broadcast hint; AQE
+    // measures the persisted side and picks broadcast only while it fits.
     val sig = Tables.documents(s, d)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .join(ids, Seq("doc_id"), "left_semi")
       .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id") +: mins: _*)
       .select(col("doc_id") +: (0 until 4).map { b =>
@@ -707,14 +709,16 @@ object LlmDedup extends QueryModule {
     * `a_g ≠ b_g ∨ (ci,cj) = (g,g)` filter keeps only the diagonal one.
     * The output pair set is therefore IDENTICAL to the naive blocked
     * self-join (gate hashes untouched); only the shuffle-key granularity
-    * changes. The block-count side is an aggregate on the same key and
-    * broadcasts back (listing-scale: one row per distinct blocking key).
+    * changes. The block-count side is an aggregate on the same key (one
+    * row per distinct blocking key — which GROWS with the corpus, so the
+    * join is unhinted: AQE broadcasts it while it fits and falls back to
+    * the co-partitioned key shuffle past the ceiling).
     * Returns blockCols ++ (a_g, b_g, ci, cj) ++ a_/b_-prefixed key+attrs,
     * already filtered to a_key < b_key. */
   private[graft] def trianglePairs(p: DataFrame, blockCols: Seq[String],
       key: String, attrs: Seq[String], subBlock: Long): DataFrame = {
     val bc = p.groupBy(blockCols.map(col): _*).agg(count(lit(1)).as("bc"))
-    val rep = p.join(broadcast(bc), blockCols)
+    val rep = p.join(bc, blockCols)
       .withColumn("gn", expr(s"CAST((bc + ${subBlock - 1}) div $subBlock AS INT)"))
       .withColumn("g", pmod(xxhash64(col(key)), col("gn")).cast("int"))
       .withColumn("t", explode(sequence(lit(0), col("gn") - 1)))

@@ -69,8 +69,11 @@ object Recommender extends QueryModule {
 
   /** Symmetric i<j co-occurrence pair table with per-item basket counts
     * and the micro-frozen cosine. One per-basket self-join (bounded
-    * fan-out) + one hash agg + two broadcast joins against the item-count
-    * dim. */
+    * fan-out) + one hash agg + two joins against the item-count dim —
+    * UNHINTED: the dim is catalog-sized (grows with the item space), so
+    * the broadcast decision belongs to AQE's measured size, not a forced
+    * hint that would OOM once the catalog outgrows the ceiling (round-12
+    * growth-audit rule; at fixture scale AQE still picks broadcast). */
   private def cooccurPairs(s: SparkSession, d: String,
                            items: DataFrame): DataFrame = {
     val a = items.select(col("ok"), col("item").as("i"))
@@ -81,8 +84,8 @@ object Recommender extends QueryModule {
       .agg(count(lit(1)).as("c"))
     val n = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
     pairs
-      .join(broadcast(n.select(col("item").as("i"), col("n").as("n_i"))), Seq("i"))
-      .join(broadcast(n.select(col("item").as("j"), col("n").as("n_j"))), Seq("j"))
+      .join(n.select(col("item").as("i"), col("n").as("n_i")), Seq("i"))
+      .join(n.select(col("item").as("j"), col("n").as("n_j")), Seq("j"))
       .withColumn("sim_micro", simMicro(col("c"), col("n_i"), col("n_j")))
   }
 
@@ -121,12 +124,16 @@ object Recommender extends QueryModule {
     * the candidate, candidates already in `owned` anti-joined away, top-3
     * per user by (score desc, cand). The ownership frame is the ONLY
     * parameter (full history vs leave-last-order-out training history).
-    * The model is catalog×M-sized by construction — broadcast, so scoring
-    * is a map-side join against the user baskets; exact BIGINT sums →
-    * window ranking partitioned BY USER (per-user state only — scales to
-    * any user count). */
+    * The model is catalog×M-sized by construction — small enough that AQE
+    * broadcasts it at any fixture scale, making scoring a map-side join
+    * against the user baskets; the hint is deliberately OMITTED because
+    * catalog×M still grows with the item space, and past the broadcast
+    * ceiling the correct plan is a key shuffle, which only an unhinted
+    * join lets AQE fall back to. Exact BIGINT sums → window ranking
+    * partitioned BY USER (per-user state only — scales to any user
+    * count). */
   private def scoreTop3(owned: DataFrame, model: DataFrame): DataFrame = {
-    val scored = owned.join(broadcast(model), Seq("item"))
+    val scored = owned.join(model, Seq("item"))
       .select(col("u"), col("nbr").as("cand"), col("sim_micro"))
       .groupBy(col("u"), col("cand"))
       .agg(sum(col("sim_micro")).as("score_micro"),
@@ -163,8 +170,7 @@ object Recommender extends QueryModule {
     val cat = pop.agg(count(lit(1)).as("n_catalog"),
       sum(col("n")).as("pop_cat"))
     val recs = top3PerUser(s, d)
-      .join(broadcast(pop.select(col("item").as("cand"), col("n"))),
-        Seq("cand"))
+      .join(pop.select(col("item").as("cand"), col("n")), Seq("cand"))
     recs.agg(count(lit(1)).as("total_recs"),
         countDistinct(col("cand")).as("n_recommended"),
         sum(col("n")).as("pop_rec"))

@@ -560,7 +560,9 @@ object Relational extends QueryModule {
       .select(col("dim"), col("qb"), col("base"))
     val wIn = Window.partitionBy(col("dim"), col("qb")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = grid.join(broadcast(bbase), Seq("dim", "qb"))
+    // bbase is one row per (dim, value-bucket) — value-range-growing, so
+    // unhinted (AQE broadcasts while small; r12 growth-audit rule).
+    val cum = grid.join(bbase, Seq("dim", "qb"))
       .withColumn("cum", col("base") + sum(col("c")).over(wIn))
     val ks = grid.groupBy(col("dim")).agg(sum(col("c")).as("n"))
       .select(col("dim"), explode(array((1 to 4).map(i =>
@@ -780,13 +782,16 @@ object Relational extends QueryModule {
     val wIn = Window.partitionBy(col("bucket")).orderBy(col("x").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val minL = lit(Long.MinValue)
-    val sky = xm.join(broadcast(base), Seq("bucket"))
+    // base is one row per x-bucket (value-range-growing) — unhinted.
+    val sky = xm.join(base, Seq("bucket"))
       .withColumn("m", greatest(
         coalesce(max(col("ymx")).over(wIn), minL),
         coalesce(col("above"), minL)))
       .filter(col("ymx") > col("m"))
       .select(col("x").as("sx"), col("ymx").as("sy"))
-    pts.join(broadcast(sky), col("x") === col("sx") && col("y") === col("sy"))
+    // sky is the skyline itself — O(log-ish) in the corpus but still
+    // data-grown, so unhinted (AQE broadcasts the dozens of rows).
+    pts.join(sky, col("x") === col("sx") && col("y") === col("sy"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
       .orderBy(col("x"))
   }

@@ -546,6 +546,34 @@ class PlanAuditSpec extends AnyFunSuite {
       name -> fn(spark, TestSpark.sf).queryExecution.optimizedPlan
     }
 
+  /** Round-12 bounded-subtree walk (r11 advice): a side counts as
+    * structurally bounded ONLY when the bounding node is reached through
+    * cardinality-non-increasing operators (project / filter / sort /
+    * dedup / sample / repartition / window / alias / hint / local limit).
+    * The previous collectFirst over the WHOLE subtree classified a
+    * corpus-scale fact that merely CONTAINED a deep aggregate (e.g. fact
+    * JOIN tiny-agg) as bounded; here any intervening Join / Union /
+    * Generate — the cardinality-expanding nodes — makes the side
+    * unbounded. `groupedAggBounds` selects the audit's semantics: the
+    * theta audits accept any Aggregate as a bound (group count is
+    * knob-bounded by documented grids), while the growth audit only
+    * accepts the ungrouped (≤1-row) form and MEASURES grouped ones. */
+  private def boundedWalk(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      groupedAggBounds: Boolean): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case a: Aggregate => groupedAggBounds || a.groupingExpressions.isEmpty
+      case _: GlobalLimit | _: LocalRelation | _: Range | _: OneRowRelation =>
+        true
+      case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
+           _: ResolvedHint | _: Repartition | _: RepartitionByExpression |
+           _: Deduplicate | _: Sample | _: Window | _: LocalLimit =>
+        boundedWalk(p.children.head, groupedAggBounds)
+      case _ => false
+    }
+  }
+
   /** THE global scale invariant (round 10, scoped per query in round 11):
     * across the ENTIRE registered catalog, no unpartitioned window may read
     * an input that grows with the corpus. Mechanically: every logical
@@ -638,10 +666,7 @@ class PlanAuditSpec extends AnyFunSuite {
       case other => Seq(other)
     }
     def structurallyBounded(p: LogicalPlan): Boolean =
-      p.collectFirst {
-        case l: GlobalLimit => l; case a: Aggregate => a
-        case l: LocalRelation => l; case r: LRange => r
-      }.nonEmpty ||
+      boundedWalk(p, groupedAggBounds = true) ||
         p.collectLeaves().forall { leaf =>
           val out = leaf.output.map(_.name).toSet
           out.contains("r_regionkey") || out.contains("n_nationkey")
@@ -684,10 +709,7 @@ class PlanAuditSpec extends AnyFunSuite {
       case other => Seq(other)
     }
     def structurallyBounded(p: LogicalPlan): Boolean =
-      p.collectFirst {
-        case l: GlobalLimit => l; case a: Aggregate => a
-        case l: LocalRelation => l; case r: LRange => r
-      }.nonEmpty
+      boundedWalk(p, groupedAggBounds = true)
     val exempt = Set("ev_attribution_markov")
     val tooBig = catalogPlans.filterNot(p => exempt(p._1)).flatMap {
       case (name, lp) =>
@@ -734,14 +756,36 @@ class PlanAuditSpec extends AnyFunSuite {
     *    log/manifest tables (listing-scale metadata, bounded by
     *    checkpointing and the fixed maintenance unit in production). */
   test("catalog-wide: no broadcast-hinted join side grows with the corpus") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalRelation, LogicalPlan, BROADCAST, Range => LRange}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, BROADCAST}
+    // Each allowlisted query's hinted side is LISTING-SCALE METADATA (a
+    // file list, commit log, or maintenance batch), not corpus data: in
+    // production these are bounded by checkpointing and the fixed
+    // maintenance unit per run, while the fixture necessarily derives
+    // them as a corpus fraction — so the two-sf growth check would flag
+    // a side that is corpus-independent in real deployments. Reasons:
+    //  - join_pit / rel_scd2_merge: the MERGE update batch's key set
+    //    (ingest-bounded per batch);
+    //  - layout_cdf / layout_history: commit-log version rows;
+    //  - layout_vacuum / layout_deletion_vectors / layout_stats_skipping /
+    //    layout_bloom_skipping: per-file manifest/stats rows;
+    //  - layout_merge_exec / layout_mv_incremental / layout_scd2_exec:
+    //    the touched-file-bucket set of one maintenance batch;
+    //  - layout_partition_evolution / layout_zorder_exec: the candidate
+    //    file set of one rewrite unit.
     val allow = Set("join_pit", "rel_scd2_merge",
-      "layout_cdf", "layout_vacuum", "layout_deletion_vectors")
+      "layout_cdf", "layout_vacuum", "layout_deletion_vectors",
+      "layout_history", "layout_stats_skipping", "layout_bloom_skipping",
+      "layout_merge_exec", "layout_mv_incremental", "layout_scd2_exec",
+      "layout_partition_evolution", "layout_zorder_exec")
+    // Round 12 closed the Aggregate loophole (r11 verdict top item): only
+    // the UNGROUPED (≤1-row) aggregate and limit/literal subtrees are
+    // structurally exempt now — a GROUPED aggregate's cardinality is its
+    // group count, which can perfectly well grow with the corpus (vocab
+    // dims, item-count dims), so hinted grouped-agg sides are MEASURED at
+    // two sfs exactly like raw-data sides. The walk itself is the shallow
+    // cardinality-preserving one (boundedWalk), per the same advice.
     def bounded(p: LogicalPlan): Boolean =
-      p.collectFirst {
-        case l: GlobalLimit => l; case a: Aggregate => a
-        case l: LocalRelation => l; case r: LRange => r
-      }.nonEmpty
+      boundedWalk(p, groupedAggBounds = false)
     def hintedSides(lp: LogicalPlan): Seq[LogicalPlan] =
       lp.collect { case j: Join => j }.flatMap { j =>
         def isB(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
@@ -752,6 +796,14 @@ class PlanAuditSpec extends AnyFunSuite {
         ).flatten
       }
     val sfB = "/root/testdata/sf0.01"
+    // Many queries hint the same dim subtree (the shared quantile bases,
+    // stats scalars): count each distinct side once per sf, keyed by the
+    // canonicalized plan.
+    val memo = scala.collection.mutable.HashMap
+      .empty[LogicalPlan, Long]
+    def countRows(side: LogicalPlan): Long =
+      memo.getOrElseUpdate(side.canonicalized,
+        org.apache.spark.sql.GraftBridge.ofRows(spark, side).count())
     val offenders = catalogPlans.filterNot(p => allow(p._1)).flatMap {
       case (name, lpA) =>
         val sidesA = hintedSides(lpA)
@@ -759,9 +811,16 @@ class PlanAuditSpec extends AnyFunSuite {
         else {
           val sidesB = hintedSides(
             SparkEntry.queries(name)(spark, sfB).queryExecution.optimizedPlan)
-          sidesA.zip(sidesB).zipWithIndex.flatMap { case ((sa, sb), i) =>
-            val na = org.apache.spark.sql.GraftBridge.ofRows(spark, sa).count()
-            val nb = org.apache.spark.sql.GraftBridge.ofRows(spark, sb).count()
+          // r11 advice: a positional zip silently misaligns if the
+          // optimizer shapes the two plans differently — that is itself a
+          // finding, so fail loudly instead of comparing wrong subtrees.
+          if (sidesA.size != sidesB.size)
+            Seq(s"$name: hinted-side count differs across sf " +
+              s"(${sidesA.size} at sf0.001 vs ${sidesB.size} at sf0.01) — " +
+              "plans shaped differently; audit cannot align sides")
+          else sidesA.zip(sidesB).zipWithIndex.flatMap { case ((sa, sb), i) =>
+            val na = countRows(sa)
+            val nb = countRows(sb)
             if (nb <= 2 * math.max(na, 1L)) None
             else Some(s"$name side#$i: broadcast-hinted side grew $na -> $nb across sf")
           }

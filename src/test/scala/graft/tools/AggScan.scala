@@ -38,18 +38,27 @@ object AggScan {
         val a = aggs(sfA)
         if (a.nonEmpty) {
           val b = aggs(sfB)
-          a.zip(b).zipWithIndex.foreach { case (((ka, ca), (_, cb)), i) =>
-            def mx(keys: Seq[String], child: LogicalPlan): Long = {
-              val df = GraftBridge.ofRows(spark, child)
-              if (keys.isEmpty) df.count()
-              else df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-                .agg(max(col("c"))).head.getLong(0)
-            }
-            val ma = mx(ka, ca)
-            val mb = mx(ka, cb)
-            val grows = if (mb > 4 * math.max(ma, 1L)) "GROWS" else "const"
-            println(s"AGG\t$name\t#$i\t[${ka.mkString(",")}]\t$ma\t$mb\t$grows")
+          def mx(keys: Seq[String], child: LogicalPlan): Long = {
+            val df = GraftBridge.ofRows(spark, child)
+            if (keys.isEmpty) df.count()
+            else df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+              .agg(max(col("c"))).head.getLong(0)
           }
+          // zipAll with a marker row (r11 advice: zip silently truncated,
+          // so a GROWS offender present only at the larger sf was dropped).
+          a.map(Some(_)).zipAll(b.map(Some(_)), None, None).zipWithIndex
+            .foreach {
+              case ((Some((ka, ca)), Some((kb, cb))), i) if ka == kb =>
+                val ma = mx(ka, ca)
+                val mb = mx(ka, cb)
+                val grows = if (mb > 4 * math.max(ma, 1L)) "GROWS" else "const"
+                println(s"AGG\t$name\t#$i\t[${ka.mkString(",")}]\t$ma\t$mb\t$grows")
+              case ((wa, wb), i) =>
+                def show(w: Option[(Seq[String], LogicalPlan)]) =
+                  w.map(_._1.mkString(",")).getOrElse("<absent>")
+                println(s"AGG\t$name\t#$i\tMISMATCH[${show(wa)}|${show(wb)}]" +
+                  "\t-\t-\tCHECK")
+            }
         }
       } catch {
         case e: Throwable =>
