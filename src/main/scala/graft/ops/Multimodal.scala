@@ -1122,7 +1122,355 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // --- JPEG: the entropy-coding + transform rung of the codec ladder ---
+
+  /** Zigzag index k → natural (row-major v*8+u) coefficient index, per
+    * ITU-T T.81 Figure A.6. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Standard luminance Huffman tables (ITU-T T.81 Annex K.3.3): the
+    * (bits-per-length, values) pairs every baseline encoder ships. */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman code assignment (T.81 Annex C): value → (code,
+    * length), codes counted up within a length, doubled across lengths. */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len - 1)) {
+        out += vals(vi) -> (code, len); code += 1; vi += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Cosine/scale tables for the 8×8 DCT basis, StrictMath for cross-JVM
+    * determinism. */
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16))
+  private val CFac: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0)
+
+  /** JPEG asset table with REAL baseline JPEGs — the final rung of the
+    * codec ladder (PNG proved DEFLATE + filters; GIF proved LZW; JPEG
+    * adds ENTROPY CODING + the transform): each payload is a complete
+    * spec-correct grayscale baseline JFIF stream — DQT (flat q=16 table),
+    * SOF0, the two standard Annex-K luminance Huffman tables via DHT,
+    * SOS, an entropy-coded segment with byte stuffing, EOI. Pixels are
+    * flat 8×8 blocks whose values derive from the document text rounded
+    * DOWN TO EVEN — chosen so the quantized DC roundtrip
+    * (D = 8·(v−128)/16 exact for even v, F′ = 16·D, pixel = F′/8 + 128)
+    * reconstructs the source EXACTLY through real quantization: the
+    * decode is bit-predictable (the closed-form oracle) while still
+    * crossing real Huffman tables, DC-difference categories, stuffed
+    * bytes, dequantization, and a full 64-coefficient IDCT. JpegSpec
+    * proves interop both directions against ImageIO's stock codec. */
+  def jpegAssets(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        ((pmod(col("doc_id"), lit(2)) + 1) * 8).cast("int").as("w"),
+        ((pmod(col("doc_id"), lit(3)) + 1) * 8).cast("int").as("h"))
+      .as[(Long, String, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text, w, h) => (id, encodeJpeg(text, w, h)) }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Minimal-but-real baseline encoder used only by [[jpegAssets]]: flat
+    * blocks mean every AC is zero, but the DC stream exercises the full
+    * difference/category/sign-extension machinery and the bit writer
+    * performs real 0xFF byte stuffing. */
+  private def encodeJpeg(text: String, w: Int, h: Int): Array[Byte] = {
+    val wb = w / 8; val hb = h / 8; val nb = wb * hb
+    val txt = text.getBytes("UTF-8")
+    // Block value: text byte rounded down to even (see scaladoc above).
+    def bv(k: Int): Int = {
+      val c = if (k < txt.length) txt(k) & 0xff else ' '.toInt
+      c - (c % 2)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(67); u8(0x00) // DQT: 8-bit table 0
+    for (_ <- 0 until 64) u8(16)
+    marker(0xc0); u16(11); u8(8); u16(h); u16(w); u8(1) // SOF0, 1 comp
+    u8(1); u8(0x11); u8(0) // comp id 1, 1x1 sampling, qtable 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(cls << 4)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, DcBits, DcVals); dht(1, AcBits, AcVals)
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0) // SOS
+    val dcCode = huffCodes(DcBits, DcVals)
+    val acCode = huffCodes(AcBits, AcVals)
+    var acc = 0; var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1 << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = (acc >> (nbits - 8)) & 0xff
+        u8(b); if (b == 0xff) u8(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    var pred = 0
+    for (k <- 0 until nb) {
+      val dc = (8 * (bv(k) - 128)) / 16 // exact: bv is even
+      val diff = dc - pred; pred = dc
+      val mag = math.abs(diff)
+      val cat = 32 - Integer.numberOfLeadingZeros(mag) // 0 for diff == 0
+      val (c, l) = dcCode(cat); put(c, l)
+      if (cat > 0) put(if (diff > 0) diff else diff + (1 << cat) - 1, cat)
+      val (ec, el) = acCode(0x00); put(ec, el) // EOB: all ACs zero
+    }
+    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** REAL baseline JPEG decode (grayscale, 1 component, 1×1 sampling):
+    * walk the marker stream (skipping APPn/COM), parse DQT (8-bit
+    * precision, multiple tables per segment), build canonical Huffman
+    * decoders from DHT exactly per T.81 Annex C, reject anything but an
+    * 8-bit single-component SOF0, then entropy-decode the scan — stuffed
+    * 0xFF00 bytes, RSTn handling (predictor reset + byte alignment), DC
+    * difference sign-extension, the GENERAL AC run-length loop (EOB /
+    * ZRL / (run,size) pairs — not just the EOB our own encoder emits),
+    * dequantization through the zigzag map, and a full 64-coefficient
+    * floating IDCT with level shift and clamp. Returns None on any
+    * malformation. */
+  private def decodeJpegImage(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    val quant = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    // (class, id) → (maxLen-keyed canonical decode map)
+    val huff = scala.collection.mutable.Map.empty[(Int, Int), Map[(Int, Int), Int]]
+    var w = -1; var h = -1; var qId = -1
+    var dcT = -1; var acT = -1
+    var scanAt = -1
+    def u16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+    while (scanAt < 0) {
+      if (off + 4 > bytes.length) return None
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val m = bytes(off + 1) & 0xff
+      val len = u16(off + 2)
+      if (off + 2 + len > bytes.length) return None
+      m match {
+        case 0xdb =>
+          var p = off + 4
+          while (p < off + 2 + len) {
+            val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
+            if (pq != 0 || p + 65 > off + 2 + len) return None
+            quant(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
+            p += 65
+          }
+        case 0xc4 =>
+          var p = off + 4
+          while (p < off + 2 + len) {
+            val tc = (bytes(p) & 0xff) >> 4; val th = bytes(p) & 0x0f
+            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+            val n = bits.sum
+            if (p + 17 + n > off + 2 + len) return None
+            val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xff)
+            // (length, code) → value, canonical assignment as in encode
+            huff((tc, th)) = huffCodes(bits, vals).map {
+              case (v, (code, l)) => (l, code) -> v
+            }
+            p += 17 + n
+          }
+        case 0xc0 =>
+          if ((bytes(off + 4) & 0xff) != 8) return None
+          h = u16(off + 5); w = u16(off + 7)
+          if ((bytes(off + 9) & 0xff) != 1) return None // 1 component only
+          if ((bytes(off + 11) & 0xff) != 0x11) return None // 1x1 sampling
+          qId = bytes(off + 12) & 0x0f
+        case 0xc2 => return None // progressive unsupported
+        case 0xda =>
+          if ((bytes(off + 4) & 0xff) != 1) return None
+          dcT = (bytes(off + 6) & 0xff) >> 4; acT = bytes(off + 6) & 0x0f
+          scanAt = off + 2 + len
+        case _ => () // APPn / COM / DRI(ignored: no-restart streams) skip
+      }
+      if (scanAt < 0) off += 2 + len
+    }
+    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+    val q = quant.getOrElse(qId, return None)
+    val dcMap = huff.getOrElse((0, dcT), return None)
+    val acMap = huff.getOrElse((1, acT), return None)
+    // Entropy-coded bit reader with un-stuffing and marker detection.
+    var p = scanAt; var acc = 0; var nbits = 0; var hitEnd = false
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (hitEnd || p >= bytes.length) return -1
+        val b = bytes(p) & 0xff; p += 1
+        if (b == 0xff) {
+          val nx = if (p < bytes.length) bytes(p) & 0xff else -1
+          if (nx == 0x00) p += 1 // stuffed data byte
+          else { hitEnd = true; return -1 } // a real marker ends the scan
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1; (acc >> nbits) & 1
+    }
+    def decodeSym(tbl: Map[(Int, Int), Int]): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val b = readBit(); if (b < 0) return -1
+        code = (code << 1) | b; l += 1
+        tbl.get((l, code)) match {
+          case Some(v) => return v
+          case None => ()
+        }
+      }
+      -1
+    }
+    def receiveExtend(s: Int): Int = {
+      var v = 0
+      for (_ <- 0 until s) { val b = readBit(); if (b < 0) return Int.MinValue; v = (v << 1) | b }
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    val wb = w / 8; val hb = h / 8
+    val px = new Array[Int](w * h)
+    val coef = new Array[Double](64)
+    var pred = 0
+    var k = 0
+    while (k < wb * hb) {
+      // RSTn between restart intervals: discard the pad bits (byte
+      // align), consume the marker, reset the DC predictor.
+      if (!hitEnd && p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff) {
+        val nx = bytes(p + 1) & 0xff
+        if (nx >= 0xd0 && nx <= 0xd7) { p += 2; pred = 0; nbits = 0 }
+      }
+      java.util.Arrays.fill(coef, 0.0)
+      val t = decodeSym(dcMap); if (t < 0 || t > 11) return None
+      val diff = receiveExtend(t); if (diff == Int.MinValue) return None
+      pred += diff
+      coef(0) = pred.toDouble * q(0)
+      var i = 1
+      var eob = false
+      while (i < 64 && !eob) {
+        val rs = decodeSym(acMap); if (rs < 0) return None
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (rs == 0xf0) i += 16 // ZRL: 16 zeros
+          else eob = true // EOB
+        } else {
+          i += r
+          if (i > 63) return None
+          val v = receiveExtend(s); if (v == Int.MinValue) return None
+          coef(Zigzag(i)) = v.toDouble * q(i)
+          i += 1
+        }
+      }
+      // Full 2D IDCT + level shift + clamp into the block's pixels.
+      val by = k / wb; val bx = k % wb
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var sum = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val c = coef(v * 8 + u)
+              if (c != 0.0)
+                sum += CFac(v) * CFac(u) * c * CosT(y)(v) * CosT(x)(u)
+              u += 1
+            }
+            v += 1
+          }
+          val pix = StrictMath.floor(sum / 4.0 + 128.5).toInt
+          px((by * 8 + y) * w + bx * 8 + x) =
+            if (pix < 0) 0 else if (pix > 255) 255 else pix
+          x += 1
+        }
+        y += 1
+      }
+      k += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Test hook: JpegSpec feeds [[decodeJpegImage]] ImageIO-written and
+    * malformed streams. */
+  private[ops] def decodeJpegForTest(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodeJpegImage(bytes)
+  private[ops] def jpegAssetsForTest(s: SparkSession, d: String): DataFrame =
+    jpegAssets(s, d)
+
+  /** Pixel statistics over genuinely decoded baseline JPEGs — same output
+    * contract as [[pngPixelStats]] (channel always 0: grayscale), same
+    * closed-form oracle family: the even-rounding synthesis makes the
+    * lossy-codec roundtrip exactly predictable, so DuckDB re-derives the
+    * decoded pixels character-arithmetically and a hash match proves the
+    * Huffman stream, the stuffing, the dequantization and the IDCT at
+    * the byte level (position-weighted sums catch any block-order or
+    * in-block slip). */
+  def jpegPixelStats(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    jpegAssets(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(64).flatMap(_.iterator.flatMap { case (id, bytes) =>
+          decodeJpegImage(bytes).toSeq.map { case (w, h, px) =>
+            var sum = 0L; var wsum = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var i = 0
+            while (i < px.length) {
+              val v = px(i).toLong
+              sum += v; wsum += i.toLong * v
+              if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            (id, 0, w.toLong * h, sum, wsum, mn, mx)
+          }
+        })
+      }
+      .toDF("doc_id", "channel", "n_px", "sum_v", "wsum_v", "min_v", "max_v")
+      .select(col("doc_id"), col("channel").cast("int").as("channel"),
+        col("n_px"), col("sum_v"), col("wsum_v"), col("min_v"), col("max_v"),
+        (col("sum_v").cast("double") / col("n_px").cast("double"))
+          .as("mean_v"))
+      .orderBy(col("doc_id"), col("channel"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_jpeg_pixels" -> (jpegPixelStats _),
     "mm_gif_pixels"  -> (gifPixelStats _),
     "mm_phash_recall" -> (phashRecall _),
     "mm_sniff_route" -> (sniffRoute _),
@@ -1138,6 +1486,38 @@ object Multimodal extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Closed-form from the jpegAssets synthesis: the even-rounded block
+    // value survives the quantized DCT roundtrip exactly, so the decoded
+    // pixel grid is block value v(k) replicated over each 8x8 block,
+    // blocks row-major k = (y//8)*(w//8) + x//8.
+    "mm_jpeg_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CAST((doc_id % 2 + 1) * 8 AS INT) AS w,
+        |    CAST((doc_id % 3 + 1) * 8 AS INT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    rpad(text, (w // 8) * (h // 8), ' ') AS s
+        |  FROM p),
+        |v AS (
+        |  SELECT doc_id, w, h, i.i AS i,
+        |    ord(substr(s,
+        |      CAST((i.i // w // 8) * (w // 8) + ((i.i % w) // 8) + 1 AS INT),
+        |      1)) AS o
+        |  FROM px
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(w AS BIGINT) * h - 1)) AS i) i)
+        |SELECT doc_id, CAST(0 AS INT) AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  CAST(SUM(o - (o % 2)) AS BIGINT) AS sum_v,
+        |  CAST(SUM(i * (o - (o % 2))) AS BIGINT) AS wsum_v,
+        |  CAST(MIN(o - (o % 2)) AS BIGINT) AS min_v,
+        |  CAST(MAX(o - (o % 2)) AS BIGINT) AS max_v,
+        |  CAST(SUM(o - (o % 2)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_v
+        |FROM v GROUP BY doc_id
+        |ORDER BY doc_id, channel""".stripMargin,
     "mm_phash_recall" ->
       """WITH s AS (
         |  SELECT doc_id, lang, source,
