@@ -560,17 +560,25 @@ class PlanAuditSpec extends AnyFunSuite {
     * accepts the ungrouped (≤1-row) form and MEASURES grouped ones. */
   private def boundedWalk(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      groupedAggBounds: Boolean): Boolean = {
+      groupedAggBounds: Boolean): Boolean =
+    boundKind(p).exists(k => groupedAggBounds || k != "grouped-agg")
+
+  /** The KIND of bound the walk reached, if any: "grouped-agg" (group
+    * count — corpus-dependent in general), "scalar-agg" (≤1 row),
+    * "limit", or "literal" (LocalRelation / Range / OneRowRelation). */
+  private def boundKind(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
-      case a: Aggregate => groupedAggBounds || a.groupingExpressions.isEmpty
-      case _: GlobalLimit | _: LocalRelation | _: Range | _: OneRowRelation =>
-        true
+      case a: Aggregate =>
+        Some(if (a.groupingExpressions.isEmpty) "scalar-agg" else "grouped-agg")
+      case _: GlobalLimit => Some("limit")
+      case _: LocalRelation | _: Range | _: OneRowRelation => Some("literal")
       case _: Project | _: Filter | _: Sort | _: SubqueryAlias |
            _: ResolvedHint | _: Repartition | _: RepartitionByExpression |
            _: Deduplicate | _: Sample | _: Window | _: LocalLimit =>
-        boundedWalk(p.children.head, groupedAggBounds)
-      case _ => false
+        boundKind(p.children.head)
+      case _ => None
     }
   }
 
@@ -735,6 +743,82 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(tooBig.isEmpty,
       s"broadcast-hinted theta sides that are not actually small:\n${tooBig.mkString("\n")}")
+  }
+
+  /** Round 12 closed the growth audit's Aggregate loophole for HINTED
+    * sides; this is the SYMMETRIC closure for the theta audit, which
+    * accepts any Aggregate as a structural bound (the knob-bounded-grid
+    * rationale). A grouped aggregate's cardinality is its group count —
+    * corpus-dependent in general — so every non-equi join side whose ONLY
+    * bound is a GROUPED aggregate is now EXECUTED at two scale factors:
+    * within 2× means the grid really is knob/alphabet-bounded; growth
+    * means the theta fan-out scales with the corpus and fails here. */
+  test("catalog-wide: every grouped-aggregate-bounded theta-join side is corpus-independent") {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // Only the LOAD-BEARING bound matters: a corpus-scale side streaming
+    // against a scalar/literal/limit/hinted/geo-dim side is the intended
+    // shape. A join lands here only when grouped aggregates are its SOLE
+    // bounds — then at least one of them must be corpus-independent.
+    def strongBound(s: LogicalPlan,
+        hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]): Boolean =
+      boundKind(s).exists(_ != "grouped-agg") ||
+        hint.exists(_.strategy.nonEmpty) || // measured ≤64 by the audit above
+        s.collectLeaves().forall { leaf =>
+          val out = leaf.output.map(_.name).toSet
+          out.contains("r_regionkey") || out.contains("n_nationkey")
+        }
+    def groupedOnlyJoins(lp: LogicalPlan): Seq[Seq[LogicalPlan]] =
+      lp.collect {
+        case j: Join if Seq(Inner, Cross, FullOuter, LeftOuter, RightOuter)
+          .contains(j.joinType) => j
+      }.flatMap { j =>
+        val hasEqui = j.condition.exists(c => conjuncts(c).exists {
+          case _: EqualTo | _: EqualNullSafe => true
+          case _ => false
+        })
+        if (hasEqui ||
+          strongBound(j.left, j.hint.leftHint) ||
+          strongBound(j.right, j.hint.rightHint)) None
+        else Some(Seq(j.left, j.right)
+          .filter(s => boundKind(s).contains("grouped-agg")))
+      }
+    val exempt = Set("ev_attribution_markov")
+    val memo = scala.collection.mutable.HashMap.empty[LogicalPlan, Long]
+    def countRows(side: LogicalPlan): Long =
+      memo.getOrElseUpdate(side.canonicalized,
+        org.apache.spark.sql.GraftBridge.ofRows(spark, side).count())
+    val sfB = "/root/testdata/sf0.01"
+    val offenders = catalogPlans.filterNot(p => exempt(p._1)).flatMap {
+      case (name, lpA) =>
+        val joinsA = groupedOnlyJoins(lpA)
+        if (joinsA.isEmpty) Nil
+        else {
+          val joinsB = groupedOnlyJoins(
+            SparkEntry.queries(name)(spark, sfB).queryExecution.optimizedPlan)
+          if (joinsA.size != joinsB.size ||
+            joinsA.map(_.size) != joinsB.map(_.size))
+            Seq(s"$name: grouped-agg-bounded theta joins differ across sf; " +
+              "audit cannot align sides")
+          else joinsA.zip(joinsB).zipWithIndex.flatMap {
+            case ((sidesA, sidesB), ji) =>
+              val growth = sidesA.zip(sidesB).map { case (sa, sb) =>
+                (countRows(sa), countRows(sb))
+              }
+              if (growth.exists { case (na, nb) => nb <= 2 * math.max(na, 1L) })
+                None // at least one bound is corpus-independent
+              else Some(s"$name join#$ji: every grouped-agg bound grows " +
+                growth.map { case (a, b) => s"$a->$b" }.mkString(", "))
+          }
+        }
+    }
+    assert(offenders.isEmpty,
+      s"theta joins whose only bounds all grow with the corpus:\n${offenders.mkString("\n")}")
   }
 
   /** The third broadcast discipline (round 15): an explicit broadcast()
