@@ -43,3 +43,7 @@ class TopKAggregator(k: Int)
 }
 
 object TopK3 extends TopKAggregator(3)
+
+/** The per-block eval-sample cut (dd_lsh_recall): 64 smallest portable
+  * hashes per (lang, source) block via value = −hash. */
+object TopK64 extends TopKAggregator(64)
