@@ -72,6 +72,10 @@ object Aggs extends QueryModule {
   /** Order-insensitive collect: sort_array(collect_list) → joined string
     * (raw collect_list order is partition-dependent — never emit it). */
   def collectSorted(s: SparkSession, d: String): DataFrame =
+    // Scale posture: AggScan flags the per-status INPUT as corpus-growing,
+    // but collect_set's partial state dedups map-side to the ≤5-value
+    // priority alphabet — the buffered group is alphabet-bounded, not
+    // corpus-bounded; unbounded-payload collects belong to agg_topk_heap.
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
