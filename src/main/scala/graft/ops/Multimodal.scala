@@ -1126,7 +1126,7 @@ object Multimodal extends QueryModule {
 
   /** Zigzag index k → natural (row-major v*8+u) coefficient index, per
     * ITU-T T.81 Figure A.6. */
-  private val Zigzag: Array[Int] = Array(
+  private[ops] val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10,
     17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34,
@@ -1138,10 +1138,10 @@ object Multimodal extends QueryModule {
 
   /** Standard luminance Huffman tables (ITU-T T.81 Annex K.3.3): the
     * (bits-per-length, values) pairs every baseline encoder ships. */
-  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-  private val DcVals: Array[Int] = (0 to 11).toArray
-  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
-  private val AcVals: Array[Int] = Array(
+  private[ops] val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private[ops] val DcVals: Array[Int] = (0 to 11).toArray
+  private[ops] val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private[ops] val AcVals: Array[Int] = Array(
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
     0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
@@ -1159,7 +1159,7 @@ object Multimodal extends QueryModule {
 
   /** Canonical Huffman code assignment (T.81 Annex C): value → (code,
     * length), codes counted up within a length, doubled across lengths. */
-  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+  private[ops] def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
     var code = 0; var vi = 0
     val out = Map.newBuilder[Int, (Int, Int)]
     for (len <- 1 to 16) {

@@ -83,4 +83,29 @@ class PropertySpec extends AnyFunSuite {
     val agree = sig(sa).zip(sig(sb)).count { case (x, y) => x == y }.toDouble / k
     assert(math.abs(agree - trueJ) < 0.15, s"agree=$agree trueJ=$trueJ")
   }
+
+  test("TopK64 is partition-invariant: any split + merge order = global sort cut") {
+    // dd_lsh_recall's per-block sample determinism rests on this: the
+    // bounded-heap aggregate must yield the identical 64 entries no
+    // matter how Spark partitions the input or orders the partial
+    // merges (ties included — value collisions resolve by id).
+    import graft.functions.{TopK64, TopKEntry}
+    val entries = Gen.listOf(for {
+      v <- Gen.choose(-50, 50) // narrow range forces value ties
+      id <- Gen.choose(0L, 5000L)
+    } yield TopKEntry(v.toDouble, id)).map(_.distinct)
+    forAll2(entries, Gen.choose(1, 7), n = 60) { (es, parts) =>
+      val expected = es.sortWith((a, b) =>
+        a.value > b.value || (a.value == b.value && a.id < b.id)).take(64)
+      // deal round-robin into `parts` partitions, reduce each, then merge
+      // in a rotated (non-left-to-right) order
+      val bufs = (0 until parts).map(p =>
+        es.zipWithIndex.collect { case (e, i) if i % parts == p => e }
+          .foldLeft(TopK64.zero)(TopK64.reduce))
+      val rotated = bufs.drop(parts / 2) ++ bufs.take(parts / 2)
+      val merged = rotated.foldLeft(TopK64.zero)(TopK64.merge)
+      assert(TopK64.finish(merged) == expected,
+        s"split/merge diverged for n=${es.length}, parts=$parts")
+    }
+  }
 }

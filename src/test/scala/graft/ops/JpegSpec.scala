@@ -75,6 +75,68 @@ class JpegSpec extends AnyFunSuite {
       s"cross-decoder pixel drift $maxDiff > 1 (IDCT/zigzag/dequant slip)")
   }
 
+  test("decodeJpegImage: hand-built stream drives the ZRL and (run,size) AC paths") {
+    // Our own encoder only ever emits EOB, so the general AC run-length
+    // machinery (ZRL = 16 zeros, nonzero coefficient after a run, zigzag
+    // placement, dequantization of an AC slot) is pinned here with a
+    // synthetic single-block stream: DC cat 0, ZRL, (run=2, size=3,
+    // value +5), EOB → exactly one nonzero coefficient at zigzag index
+    // 1+16+2 = 19 (natural index Zigzag(19)), dequantized to 5·16 = 80.
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8)
+    marker(0xdb); u16(67); u8(0x00); (0 until 64).foreach(_ => u8(16))
+    marker(0xc0); u16(11); u8(8); u16(8); u16(8); u8(1); u8(1); u8(0x11); u8(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(cls << 4)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0, Multimodal.DcBits, Multimodal.DcVals)
+    dht(1, Multimodal.AcBits, Multimodal.AcVals)
+    marker(0xda); u16(8); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    val dcC = Multimodal.huffCodes(Multimodal.DcBits, Multimodal.DcVals)
+    val acC = Multimodal.huffCodes(Multimodal.AcBits, Multimodal.AcVals)
+    var acc = 0; var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1 << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = (acc >> (nbits - 8)) & 0xff
+        u8(b); if (b == 0xff) u8(0x00)
+        nbits -= 8
+      }
+    }
+    val (dc0, dl0) = dcC(0); put(dc0, dl0)       // DC diff = 0
+    val (zrl, zl) = acC(0xf0); put(zrl, zl)      // 16 zeros
+    val (rs, rl) = acC(0x23); put(rs, rl)        // run 2, size 3
+    put(5, 3)                                    // amplitude +5
+    val (eob, el) = acC(0x00); put(eob, el)      // rest zero
+    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+    marker(0xd9)
+    val dec = Multimodal.decodeJpegForTest(out.toByteArray)
+    assert(dec.isDefined, "decoder must accept the synthetic stream")
+    val (w, h, px) = dec.get
+    assert(w == 8 && h == 8)
+    // Independent expectation: IDCT of the single dequantized coefficient.
+    val nat = Multimodal.Zigzag(19)
+    val v0 = nat / 8; val u0 = nat % 8
+    def cf(i: Int) = if (i == 0) 1.0 / math.sqrt(2.0) else 1.0
+    val exp = Array.tabulate(64) { i =>
+      val y = i / 8; val x = i % 8
+      val s = 0.25 * cf(v0) * cf(u0) * 80.0 *
+        math.cos((2 * y + 1) * v0 * math.Pi / 16) *
+        math.cos((2 * x + 1) * u0 * math.Pi / 16)
+      val p = math.floor(s + 128.5).toInt
+      if (p < 0) 0 else if (p > 255) 255 else p
+    }
+    val maxDiff = (0 until 64).map(i => math.abs(px(i) - exp(i))).max
+    assert(maxDiff <= 1,
+      s"AC run-length/zigzag/dequant mismatch: max pixel diff $maxDiff")
+    assert(exp.distinct.length > 4 && px.distinct.length > 4,
+      "the expected pattern must be non-flat (a flat decode hides slips)")
+  }
+
   test("decodeJpegImage rejects malformed streams instead of crashing") {
     val good = Multimodal.jpegAssetsForTest(spark, TestSpark.sf)
       .orderBy("doc_id").limit(1).collect()(0).getAs[Array[Byte]]("payload")
