@@ -449,8 +449,10 @@ object LlmDedup extends QueryModule {
         col("doc_id")).as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.id").as("doc_id"))
+    // text rides along on the ≤64/block sample so the signature branch
+    // below reads docs instead of a third full-corpus documents scan
     val docs = eligible.join(sampleIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
         graft.functions.TextFunctions.shingles3(col("text")).as("hs"))
     val inter = graft.functions.GraftFunctions
       .sortedIntersect(col("a_hs"), col("b_hs"))
@@ -474,9 +476,10 @@ object LlmDedup extends QueryModule {
     }
     // ids grows with the true-pair corpus — no broadcast hint; AQE
     // measures the persisted side and picks broadcast only while it fits.
-    val sig = Tables.documents(s, d)
+    // Reads the sampled docs (already eligibility-filtered), never a
+    // fresh corpus scan.
+    val sig = docs
       .join(ids, Seq("doc_id"), "left_semi")
-      .filter(size(toks(col("text"))) >= 3)
       .select(col("doc_id") +: mins: _*)
       .select(col("doc_id") +: (0 until 4).map { b =>
         md5(concat_ws(",",

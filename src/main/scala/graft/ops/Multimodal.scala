@@ -1299,6 +1299,9 @@ object Multimodal extends QueryModule {
         case 0xc4 =>
           var p = off + 4
           while (p < off + 2 + len) {
+            // bounds BEFORE the reads: a declared len too short for even
+            // the 16 bits-bytes must reject, not index past the segment
+            if (p + 17 > off + 2 + len) return None
             val tc = (bytes(p) & 0xff) >> 4; val th = bytes(p) & 0x0f
             val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
             val n = bits.sum
@@ -1311,6 +1314,7 @@ object Multimodal extends QueryModule {
             p += 17 + n
           }
         case 0xc0 =>
+          if (len < 11) return None
           if ((bytes(off + 4) & 0xff) != 8) return None
           h = u16(off + 5); w = u16(off + 7)
           if ((bytes(off + 9) & 0xff) != 1) return None // 1 component only
@@ -1318,6 +1322,7 @@ object Multimodal extends QueryModule {
           qId = bytes(off + 12) & 0x0f
         case 0xc2 => return None // progressive unsupported
         case 0xda =>
+          if (len < 8) return None
           if ((bytes(off + 4) & 0xff) != 1) return None
           dcT = (bytes(off + 6) & 0xff) >> 4; acT = bytes(off + 6) & 0x0f
           scanAt = off + 2 + len
@@ -1325,7 +1330,7 @@ object Multimodal extends QueryModule {
       }
       if (scanAt < 0) off += 2 + len
     }
-    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+    if (w <= 0 || h <= 0) return None
     val q = quant.getOrElse(qId, return None)
     val dcMap = huff.getOrElse((0, dcT), return None)
     val acMap = huff.getOrElse((1, acT), return None)
@@ -1361,7 +1366,9 @@ object Multimodal extends QueryModule {
       for (_ <- 0 until s) { val b = readBit(); if (b < 0) return Int.MinValue; v = (v << 1) | b }
       if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     }
-    val wb = w / 8; val hb = h / 8
+    // ceil-divide: arbitrary dimensions are legal — edge MCUs carry
+    // padding samples that are decoded and then clipped on write-out
+    val wb = (w + 7) / 8; val hb = (h + 7) / 8
     val px = new Array[Int](w * h)
     val coef = new Array[Double](64)
     var pred = 0
@@ -1413,8 +1420,10 @@ object Multimodal extends QueryModule {
             v += 1
           }
           val pix = StrictMath.floor(sum / 4.0 + 128.5).toInt
-          px((by * 8 + y) * w + bx * 8 + x) =
-            if (pix < 0) 0 else if (pix > 255) 255 else pix
+          val py = by * 8 + y; val pxx = bx * 8 + x
+          if (py < h && pxx < w) // edge-MCU padding clips away
+            px(py * w + pxx) =
+              if (pix < 0) 0 else if (pix > 255) 255 else pix
           x += 1
         }
         y += 1

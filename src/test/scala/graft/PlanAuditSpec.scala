@@ -764,11 +764,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // Only the LOAD-BEARING bound matters: a corpus-scale side streaming
     // against a scalar/literal/limit/hinted/geo-dim side is the intended
     // shape. A join lands here only when grouped aggregates are its SOLE
-    // bounds — then at least one of them must be corpus-independent.
+    // bounds — then at least one of them must be corpus-independent. A
+    // broadcast() hint is a strong bound ONLY on a non-grouped-agg side
+    // (those the ≤64 theta audit above executes); a hinted GROUPED
+    // aggregate is structurally bounded there and so would escape every
+    // absolute measurement — it must land in this test's measured branch
+    // like an unhinted one (round-12 review finding).
     def strongBound(s: LogicalPlan,
         hint: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]): Boolean =
       boundKind(s).exists(_ != "grouped-agg") ||
-        hint.exists(_.strategy.nonEmpty) || // measured ≤64 by the audit above
+        (hint.exists(_.strategy.nonEmpty) &&
+          !boundKind(s).contains("grouped-agg")) ||
         s.collectLeaves().forall { leaf =>
           val out = leaf.output.map(_.name).toSet
           out.contains("r_regionkey") || out.contains("n_nationkey")
@@ -782,11 +788,14 @@ class PlanAuditSpec extends AnyFunSuite {
           case _: EqualTo | _: EqualNullSafe => true
           case _ => false
         })
-        if (hasEqui ||
+        val grouped = Seq(j.left, j.right)
+          .filter(s => boundKind(s).contains("grouped-agg"))
+        // joins with NO grouped-agg bound at all are the first theta
+        // audit's finding, not this one's — don't double-report
+        if (hasEqui || grouped.isEmpty ||
           strongBound(j.left, j.hint.leftHint) ||
           strongBound(j.right, j.hint.rightHint)) None
-        else Some(Seq(j.left, j.right)
-          .filter(s => boundKind(s).contains("grouped-agg")))
+        else Some(grouped)
       }
     val exempt = Set("ev_attribution_markov")
     val memo = scala.collection.mutable.HashMap.empty[LogicalPlan, Long]
@@ -810,9 +819,15 @@ class PlanAuditSpec extends AnyFunSuite {
               val growth = sidesA.zip(sidesB).map { case (sa, sb) =>
                 (countRows(sa), countRows(sb))
               }
-              if (growth.exists { case (na, nb) => nb <= 2 * math.max(na, 1L) })
-                None // at least one bound is corpus-independent
-              else Some(s"$name join#$ji: every grouped-agg bound grows " +
+              // the load-bearing bound must be corpus-independent AND a
+              // grid-sized broadcast candidate — a constant-but-huge
+              // grouped dim (e.g. a hinted 1M-group table) is still a
+              // forced-OOM theta side even though it never grows
+              if (growth.exists { case (na, nb) =>
+                nb <= 2 * math.max(na, 1L) && nb <= 65536L })
+                None
+              else Some(s"$name join#$ji: no corpus-independent grid-sized " +
+                "grouped-agg bound; measured " +
                 growth.map { case (a, b) => s"$a->$b" }.mkString(", "))
           }
         }

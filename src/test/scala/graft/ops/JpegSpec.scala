@@ -150,5 +150,34 @@ class JpegSpec extends AnyFunSuite {
     // PNG bytes through the JPEG decoder must reject cleanly.
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
     assert(Multimodal.decodeJpegForTest(png).isEmpty, "foreign container")
+    // A DHT whose declared length is too short for even the 16 bits-bytes
+    // must return None, never index past the segment (r12 review: the
+    // pre-fix code read the bits array before the length check).
+    val shortDht = Array(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x05, 0x00, 0x01,
+      0x02).map(_.toByte)
+    assert(Multimodal.decodeJpegForTest(shortDht).isEmpty, "short DHT")
+  }
+
+  test("decodeJpegImage handles arbitrary (non-multiple-of-8) dimensions") {
+    // Real-world JPEGs pad edge MCUs; the decoder must decode the padded
+    // blocks and clip on write-out. 30x20 forces a ragged right column
+    // and bottom row of MCUs.
+    val w = 30; val h = 20
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 11) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val bytes = bos.toByteArray
+    val dec = Multimodal.decodeJpegForTest(bytes)
+    assert(dec.isDefined, "arbitrary dims must decode")
+    val (dw, dh, px) = dec.get
+    assert(dw == w && dh == h && px.length == w * h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val maxDiff = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs((ref.getRaster.getSample(x, y, 0)) - px(y * w + x))).max
+    assert(maxDiff <= 1, s"ragged-edge decode drift $maxDiff > 1")
   }
 }

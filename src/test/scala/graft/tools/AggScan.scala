@@ -44,21 +44,21 @@ object AggScan {
             else df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
               .agg(max(col("c"))).head.getLong(0)
           }
-          // zipAll with a marker row (r11 advice: zip silently truncated,
-          // so a GROWS offender present only at the larger sf was dropped).
-          a.map(Some(_)).zipAll(b.map(Some(_)), None, None).zipWithIndex
-            .foreach {
-              case ((Some((ka, ca)), Some((kb, cb))), i) if ka == kb =>
-                val ma = mx(ka, ca)
-                val mb = mx(ka, cb)
-                val grows = if (mb > 4 * math.max(ma, 1L)) "GROWS" else "const"
-                println(s"AGG\t$name\t#$i\t[${ka.mkString(",")}]\t$ma\t$mb\t$grows")
-              case ((wa, wb), i) =>
-                def show(w: Option[(Seq[String], LogicalPlan)]) =
-                  w.map(_._1.mkString(",")).getOrElse("<absent>")
-                println(s"AGG\t$name\t#$i\tMISMATCH[${show(wa)}|${show(wb)}]" +
-                  "\t-\t-\tCHECK")
+          // Pairwise only when the key SEQUENCES agree — a positional
+          // zip after an inserted/removed aggregate shifts later pairs
+          // and can compare wrong subtrees with coincidentally equal
+          // keys (r12 review). Whole-query marker on any divergence.
+          if (a.map(_._1) == b.map(_._1))
+            a.zip(b).zipWithIndex.foreach { case (((ka, ca), (_, cb)), i) =>
+              val ma = mx(ka, ca)
+              val mb = mx(ka, cb)
+              val grows = if (mb > 4 * math.max(ma, 1L)) "GROWS" else "const"
+              println(s"AGG\t$name\t#$i\t[${ka.mkString(",")}]\t$ma\t$mb\t$grows")
             }
+          else
+            println(s"AGG\t$name\t-\tMISMATCH[" +
+              s"${a.map(_._1.mkString(",")).mkString(";")}|" +
+              s"${b.map(_._1.mkString(",")).mkString(";")}]\t-\t-\tCHECK")
         }
       } catch {
         case e: Throwable =>

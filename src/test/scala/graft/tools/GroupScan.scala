@@ -40,22 +40,22 @@ object GroupScan {
         val a = wins(sfA)
         if (a.nonEmpty) {
           val b = wins(sfB)
-          // zipAll + explicit key-mismatch marker (r11 advice: the old
-          // guard was tautological and a length mismatch dropped windows
-          // silently — a GROWS offender present only at one sf vanished).
-          a.map(Some(_)).zipAll(b.map(Some(_)), None, None).zipWithIndex
-            .foreach {
-              case ((Some((ka, ca)), Some((kb, cb))), i) if ka == kb =>
-                val ma = maxPerGroup(ka, ca)
-                val mb = maxPerGroup(kb, cb)
-                val grows = if (mb > 4 * math.max(ma, 1L)) "GROWS" else "const"
-                println(s"WIN\t$name\t#$i\t[${ka.mkString(",")}]\t$ma\t$mb\t$grows")
-              case ((wa, wb), i) =>
-                def show(w: Option[(Seq[String], LogicalPlan)]) =
-                  w.map(_._1.mkString(",")).getOrElse("<absent>")
-                println(s"WIN\t$name\t#$i\tMISMATCH[${show(wa)}|${show(wb)}]" +
-                  "\t-\t-\tCHECK")
+          // Pairwise comparison is only sound when the two plans list the
+          // SAME window keys in the SAME order — one inserted/removed
+          // window at one sf shifts every later pair, and a shifted pair
+          // with coincidentally equal keys would print a plausible wrong
+          // row (r12 review). Whole-query marker on any divergence.
+          if (a.map(_._1) == b.map(_._1))
+            a.zip(b).zipWithIndex.foreach { case (((ka, ca), (_, cb)), i) =>
+              val ma = maxPerGroup(ka, ca)
+              val mb = maxPerGroup(ka, cb)
+              val grows = if (mb > 4 * math.max(ma, 1L)) "GROWS" else "const"
+              println(s"WIN\t$name\t#$i\t[${ka.mkString(",")}]\t$ma\t$mb\t$grows")
             }
+          else
+            println(s"WIN\t$name\t-\tMISMATCH[" +
+              s"${a.map(_._1.mkString(",")).mkString(";")}|" +
+              s"${b.map(_._1.mkString(",")).mkString(";")}]\t-\t-\tCHECK")
         }
       } catch {
         case e: Throwable =>
