@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line on stdout, plus the same JSON at target/bench.json
-  * (belt-and-braces for log-frame-mangled stdout).
+  * (belt-and-braces for log-frame-mangled stdout). Per-query numbers are
+  * the MIN of two back-to-back runs ("timing":"min_of_2") so single-run
+  * load noise can't masquerade as a regression.
   *
   * Failures are LOUD: a query that throws is recorded as -1 sec and listed
   * in the "failed" array — a regression can never masquerade as a speedup
@@ -34,30 +36,53 @@ object Bench {
     // on identical code — BENCH_NOTES r13 5-run study). The timed loop
     // below then measures steady-state query cost, which is the number
     // that actually predicts cluster behavior.
+    // (4) the typed-Aggregator / ObjectHashAggregate path and the
+    // window/grid family pay first-JIT too — the r12 driver run's only
+    // >2× movers were the code-untouched early-alphabet block
+    // (agg_gini_wealth…agg_mann_whitney), i.e. cold cost landing on the
+    // head of the sorted roster. One representative per path warms the
+    // class for the whole catalog.
     val warmup = SparkEntry.queries.keys.filter(_.startsWith("layout_"))
       .toSeq.sorted ++ Seq("ev_stream_tumbling", "rec_item_cooccur",
       "rec_user_topn", "rec_eval_mrr", "rec_coverage",
-      "dd_embed_neardup_ann", "dd_er_score", "rel_rfm")
+      "dd_embed_neardup_ann", "dd_er_score", "rel_rfm",
+      "agg_heavy_hitters", "agg_gini_wealth", "agg_listagg",
+      "ev_interarrival")
     warmup.foreach { n =>
       try { SparkEntry.queries(n)(spark, sfDir).count() }
       catch { case _: Throwable => () }
       CacheHygiene.clear(spark)
     }
+    // Each query is timed TWICE back-to-back and the MIN is reported
+    // (r12 verdict directive: single-run reads made every verdict
+    // re-litigate load noise — e.g. ev_interarrival 1.97→4.11 s on
+    // untouched code). The min of two runs is the steady-state cost that
+    // predicts cluster behavior; a real plan regression moves both runs.
+    // The FIRST attempt alone decides pass/fail, so a flaky second run
+    // can neither hide a failure nor turn a success into one.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first =
+        try { Some(once()) }
         catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-            false
+            None
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
       // Outside the timed region: drop blocks a query persisted for its own
       // action so they can't tax every later query (measured ~+0.25 s/query
       // of drag over a 140-query run before this).
       CacheHygiene.clear(spark)
-      (name, if (ok) elapsed else -1.0)
+      val best = first.map { t1 =>
+        val t2 = try { once() } catch { case _: Throwable => t1 }
+        CacheHygiene.clear(spark)
+        math.min(t1, t2)
+      }
+      (name, best.getOrElse(-1.0))
     }
     val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -66,8 +91,8 @@ object Bench {
     // Failed queries are excluded from the total (they'd otherwise subtract).
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2",""" +
+        s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver archives only the TAIL of stdout, which truncates the
     // per-query line above on large catalogs — emit a second, SHORT

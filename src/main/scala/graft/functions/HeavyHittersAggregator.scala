@@ -8,26 +8,35 @@ import org.apache.spark.sql.expressions.Aggregator
   * §2.5): at most `k` counters regardless of stream length, mergeable via
   * the Agarwal-et-al. "subtract the (k+1)-th largest count" rule — so
   * Catalyst plans it partial+final like any built-in and the state is
-  * O(k) per group at any scale. Guarantees (order- and partition-free):
-  *   - every item with true frequency > n/(k+1) survives in the sketch;
-  *   - each surviving estimate underestimates by at most n/(k+1).
-  * Estimates (not membership) depend on merge order, so consuming queries
-  * are rows-only gated; the guarantees are property-tested in Round3Spec.
+  * O(k) per group at any scale.
   *
-  * A production implementation would use a mutable open-addressing counter
-  * table; the persistent Map keeps this reference implementation compact. */
+  * Input is WEIGHTED `(item, count)` — callers pre-count items in a
+  * codegen'd hash aggregate and feed one update per distinct item, so the
+  * ObjectHashAggregate path pays |vocab| UDAF calls instead of |tokens|
+  * (the same shape as [[CountMin]] / `Aggs.cmsTokens`). A weighted update
+  * is exactly a merge with the singleton sketch {item → w}, so the MG
+  * guarantees carry over unchanged (order- and partition-free):
+  *   - every item with true weight > n/(k+1) survives in the sketch;
+  *   - each surviving estimate underestimates by at most n/(k+1)
+  * (each overflow subtracts the (k+1)-th largest count t from ≥ k+1
+  * counters, removing ≥ (k+1)·t of total weight n, so the cumulative
+  * subtraction per item is ≤ n/(k+1)).
+  * Estimates (not membership) depend on merge order, so consuming queries
+  * are rows-only gated; the guarantees are property-tested in Round3Spec. */
 class HeavyHitters(k: Int)
-    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    extends Aggregator[(String, Long), Map[String, Long], Seq[(String, Long)]] {
 
   override def zero: Map[String, Long] = Map.empty
 
-  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
-    buf.get(item) match {
-      case Some(c) => buf.updated(item, c + 1L)
-      case None if buf.size < k => buf.updated(item, 1L)
-      case None => // decrement-all step: drop counters reaching zero
-        buf.flatMap { case (s, c) => if (c > 1L) Some(s -> (c - 1L)) else None }
+  override def reduce(buf: Map[String, Long], in: (String, Long)): Map[String, Long] = {
+    val (item, w) = in
+    if (w <= 0L) buf
+    else buf.get(item) match {
+      case Some(c) => buf.updated(item, c + w)
+      case None if buf.size < k => buf.updated(item, w)
+      case None => merge(buf, Map(item -> w)) // overflow: the merge rule
     }
+  }
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
     val sum = (a.keySet ++ b.keySet).iterator

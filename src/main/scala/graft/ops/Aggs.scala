@@ -157,13 +157,19 @@ object Aggs extends QueryModule {
     * in Round3Spec. */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     val mg = udaf(new graft.functions.HeavyHitters(32),
-      org.apache.spark.sql.Encoders.STRING)
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
     Tables.documents(s, d)
       .select(col("lang"),
         explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
           .as("token"))
+      // exact codegen'd pre-count, then weighted sketch updates — identical
+      // guarantees (a weighted update IS the MG merge rule), |vocab| UDAF
+      // calls instead of |tokens| (same shape as cmsTokens below)
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
-      .agg(mg(col("token")).as("hh"))
+      .agg(mg(col("token"), col("c")).as("hh"))
       .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "e")))
       .select(col("lang"), col("pos"), col("e._1").as("token"),
         col("e._2").as("est"))

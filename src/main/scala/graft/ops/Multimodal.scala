@@ -1184,8 +1184,11 @@ object Multimodal extends QueryModule {
     * spec-correct grayscale baseline JFIF stream — DQT (flat q=16 table),
     * SOF0, the two standard Annex-K luminance Huffman tables via DHT,
     * SOS, an entropy-coded segment with byte stuffing, EOI. Pixels are
-    * flat 8×8 blocks whose values derive from the document text rounded
-    * DOWN TO EVEN — chosen so the quantized DC roundtrip
+    * flat 8×8 blocks whose values derive from the document text's
+    * CODEPOINTS clamped to 7-bit (non-ASCII → 127; mirrored in the oracle
+    * as least(ord, 127) so both sides stay aligned and in-range on any
+    * fixture) then rounded DOWN TO EVEN — chosen so the quantized DC
+    * roundtrip
     * (D = 8·(v−128)/16 exact for even v, F′ = 16·D, pixel = F′/8 + 128)
     * reconstructs the source EXACTLY through real quantization: the
     * decode is bit-predictable (the closed-form oracle) while still
@@ -1212,10 +1215,14 @@ object Multimodal extends QueryModule {
     * performs real 0xFF byte stuffing. */
   private def encodeJpeg(text: String, w: Int, h: Int): Array[Byte] = {
     val wb = w / 8; val hb = h / 8; val nb = wb * hb
-    val txt = text.getBytes("UTF-8")
-    // Block value: text byte rounded down to even (see scaladoc above).
+    // CODEPOINTS, not UTF-8 bytes: the oracle indexes characters
+    // (substr/ord), so byte-indexing would desync on any non-ASCII text.
+    // Clamp to 7-bit — mirrored as least(ord(..), 127) in the oracle SQL —
+    // so the synthesis is ASCII-stable by construction, not by fixture luck.
+    val txt = text.codePoints().toArray
+    // Block value: clamped codepoint rounded down to even (scaladoc above).
     def bv(k: Int): Int = {
-      val c = if (k < txt.length) txt(k) & 0xff else ' '.toInt
+      val c = if (k < txt.length) math.min(txt(k), 127) else ' '.toInt
       c - (c % 2)
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -1282,53 +1289,64 @@ object Multimodal extends QueryModule {
     var scanAt = -1
     def u16(i: Int): Int = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
     while (scanAt < 0) {
-      if (off + 4 > bytes.length) return None
+      if (off + 2 > bytes.length) return None
       if ((bytes(off) & 0xff) != 0xff) return None
       val m = bytes(off + 1) & 0xff
-      val len = u16(off + 2)
-      if (off + 2 + len > bytes.length) return None
-      m match {
-        case 0xdb =>
-          var p = off + 4
-          while (p < off + 2 + len) {
-            val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
-            if (pq != 0 || p + 65 > off + 2 + len) return None
-            quant(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
-            p += 65
-          }
-        case 0xc4 =>
-          var p = off + 4
-          while (p < off + 2 + len) {
-            // bounds BEFORE the reads: a declared len too short for even
-            // the 16 bits-bytes must reject, not index past the segment
-            if (p + 17 > off + 2 + len) return None
-            val tc = (bytes(p) & 0xff) >> 4; val th = bytes(p) & 0x0f
-            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
-            val n = bits.sum
-            if (p + 17 + n > off + 2 + len) return None
-            val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xff)
-            // (length, code) → value, canonical assignment as in encode
-            huff((tc, th)) = huffCodes(bits, vals).map {
-              case (v, (code, l)) => (l, code) -> v
+      // Length-less markers first — reading a u16 "length" from what
+      // follows them would mis-skip real data: 0xff is a legal fill byte
+      // before any marker (T.81 B.1.1.2); TEM (0x01) is standalone and
+      // skippable; RSTn/EOI (0xd0–0xd9) carry no length and are illegal
+      // before the scan, so the stream is malformed, not mis-parsed.
+      if (m == 0xff) { off += 1 }
+      else if (m == 0x01) { off += 2 }
+      else if (m >= 0xd0 && m <= 0xd9) return None
+      else {
+        if (off + 4 > bytes.length) return None
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > bytes.length) return None
+        m match {
+          case 0xdb =>
+            var p = off + 4
+            while (p < off + 2 + len) {
+              val pq = (bytes(p) & 0xff) >> 4; val tq = bytes(p) & 0x0f
+              if (pq != 0 || p + 65 > off + 2 + len) return None
+              quant(tq) = Array.tabulate(64)(i => bytes(p + 1 + i) & 0xff)
+              p += 65
             }
-            p += 17 + n
-          }
-        case 0xc0 =>
-          if (len < 11) return None
-          if ((bytes(off + 4) & 0xff) != 8) return None
-          h = u16(off + 5); w = u16(off + 7)
-          if ((bytes(off + 9) & 0xff) != 1) return None // 1 component only
-          if ((bytes(off + 11) & 0xff) != 0x11) return None // 1x1 sampling
-          qId = bytes(off + 12) & 0x0f
-        case 0xc2 => return None // progressive unsupported
-        case 0xda =>
-          if (len < 8) return None
-          if ((bytes(off + 4) & 0xff) != 1) return None
-          dcT = (bytes(off + 6) & 0xff) >> 4; acT = bytes(off + 6) & 0x0f
-          scanAt = off + 2 + len
-        case _ => () // APPn / COM / DRI(ignored: no-restart streams) skip
+          case 0xc4 =>
+            var p = off + 4
+            while (p < off + 2 + len) {
+              // bounds BEFORE the reads: a declared len too short for even
+              // the 16 bits-bytes must reject, not index past the segment
+              if (p + 17 > off + 2 + len) return None
+              val tc = (bytes(p) & 0xff) >> 4; val th = bytes(p) & 0x0f
+              val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+              val n = bits.sum
+              if (p + 17 + n > off + 2 + len) return None
+              val vals = Array.tabulate(n)(i => bytes(p + 17 + i) & 0xff)
+              // (length, code) → value, canonical assignment as in encode
+              huff((tc, th)) = huffCodes(bits, vals).map {
+                case (v, (code, l)) => (l, code) -> v
+              }
+              p += 17 + n
+            }
+          case 0xc0 =>
+            if (len < 11) return None
+            if ((bytes(off + 4) & 0xff) != 8) return None
+            h = u16(off + 5); w = u16(off + 7)
+            if ((bytes(off + 9) & 0xff) != 1) return None // 1 component only
+            if ((bytes(off + 11) & 0xff) != 0x11) return None // 1x1 sampling
+            qId = bytes(off + 12) & 0x0f
+          case 0xc2 => return None // progressive unsupported
+          case 0xda =>
+            if (len < 8) return None
+            if ((bytes(off + 4) & 0xff) != 1) return None
+            dcT = (bytes(off + 6) & 0xff) >> 4; acT = bytes(off + 6) & 0x0f
+            scanAt = off + 2 + len
+          case _ => () // APPn / COM / DRI(ignored: no-restart streams) skip
+        }
+        if (scanAt < 0) off += 2 + len
       }
-      if (scanAt < 0) off += 2 + len
     }
     if (w <= 0 || h <= 0) return None
     val q = quant.getOrElse(qId, return None)
@@ -1437,6 +1455,8 @@ object Multimodal extends QueryModule {
     * malformed streams. */
   private[ops] def decodeJpegForTest(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodeJpegImage(bytes)
+  private[ops] def encodeJpegForTest(text: String, w: Int, h: Int): Array[Byte] =
+    encodeJpeg(text, w, h)
   private[ops] def jpegAssetsForTest(s: SparkSession, d: String): DataFrame =
     jpegAssets(s, d)
 
@@ -1511,9 +1531,9 @@ object Multimodal extends QueryModule {
         |  FROM p),
         |v AS (
         |  SELECT doc_id, w, h, i.i AS i,
-        |    ord(substr(s,
+        |    least(ord(substr(s,
         |      CAST((i.i // w // 8) * (w // 8) + ((i.i % w) // 8) + 1 AS INT),
-        |      1)) AS o
+        |      1)), 127) AS o
         |  FROM px
         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
         |    CAST(w AS BIGINT) * h - 1)) AS i) i)

@@ -22,6 +22,21 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("fixture invariant: documents.text is 7-bit ASCII (ord-based oracles)") {
+    // Several oracles index documents.text characterwise via ord/substr
+    // (mm_jpeg_pixels, mm_phash_recall, ...). mm_jpeg_pixels is now
+    // clamped on BOTH sides so it survives any fixture; the rest rely on
+    // this invariant — if the driver ever regenerates fixtures with
+    // non-ASCII text (langs include zh), fail HERE with a named cause
+    // instead of as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    val nonAscii = Tables.documents(spark, TestSpark.sf)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text; ord-based oracles " +
+        "(e.g. mm_phash_recall) assume codepoint==byte — re-audit them")
+  }
+
   test("every query runs at sf0.001 and returns a deterministic row count") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n1 = fn(spark, TestSpark.sf).count()

@@ -158,6 +158,54 @@ class JpegSpec extends AnyFunSuite {
     assert(Multimodal.decodeJpegForTest(shortDht).isEmpty, "short DHT")
   }
 
+  test("header walk: fill bytes and TEM skip; RSTn/EOI before the scan reject") {
+    val good = Multimodal.jpegAssetsForTest(spark, TestSpark.sf)
+      .orderBy("doc_id").limit(1).collect()(0).getAs[Array[Byte]]("payload")
+    val base = Multimodal.decodeJpegForTest(good)
+    assert(base.isDefined)
+    // Array equality is referential — compare decoded content.
+    def key(o: Option[(Int, Int, Array[Int])]): Option[(Int, Int, Seq[Int])] =
+      o.map { case (w, h, px) => (w, h, px.toSeq) }
+    def insertAfterSoi(extra: Array[Byte]): Array[Byte] =
+      good.slice(0, 2) ++ extra ++ good.drop(2)
+    // T.81 B.1.1.2: any number of 0xff fill bytes may precede a marker.
+    val filled = insertAfterSoi(Array(0xff.toByte, 0xff.toByte))
+    assert(key(Multimodal.decodeJpegForTest(filled)) == key(base), "fill bytes")
+    // TEM (0xff 0x01) is standalone — a length-less marker that the
+    // pre-fix walk would have mis-read a u16 "length" after.
+    val tem = insertAfterSoi(Array(0xff.toByte, 0x01.toByte))
+    assert(key(Multimodal.decodeJpegForTest(tem)) == key(base), "TEM skip")
+    // RSTn and EOI are length-less AND illegal before the scan: the
+    // stream must reject, never parse bytes after them as a segment.
+    val rst = insertAfterSoi(Array(0xff.toByte, 0xd0.toByte))
+    assert(Multimodal.decodeJpegForTest(rst).isEmpty, "pre-scan RST0")
+    val eoi = insertAfterSoi(Array(0xff.toByte, 0xd9.toByte))
+    assert(Multimodal.decodeJpegForTest(eoi).isEmpty, "pre-scan EOI")
+    // A zero segment length can never loop or self-alias.
+    val zeroLen = insertAfterSoi(Array(0xff.toByte, 0xfe.toByte, 0x00, 0x00))
+    assert(Multimodal.decodeJpegForTest(zeroLen).isEmpty, "len < 2")
+  }
+
+  test("encodeJpeg is codepoint-aligned and 7-bit-clamped on non-ASCII text") {
+    // 'é' is 2 UTF-8 bytes, '中' is 3, U+1F600 is 4 (and a surrogate PAIR
+    // in UTF-16) — byte- or char-indexed synthesis would desync the block
+    // values; the contract is one CODEPOINT per block, clamped to 127
+    // exactly as the oracle's least(ord(..), 127).
+    val text = "aé中😀b"
+    val cps = text.codePoints().toArray
+    assert(cps.length == 5)
+    val expected = cps.map(c => math.min(c, 127)).map(c => c - (c % 2))
+    assert(expected.toSeq == Seq(96, 126, 126, 126, 98))
+    val bytes = Multimodal.encodeJpegForTest(text, 40, 8) // 5 blocks across
+    val dec = Multimodal.decodeJpegForTest(bytes)
+    assert(dec.isDefined, "non-ASCII synthesis must decode")
+    val (w, h, px) = dec.get
+    assert(w == 40 && h == 8)
+    for (k <- 0 until 5; y <- 0 until 8; x <- 0 until 8)
+      assert(px(y * w + k * 8 + x) == expected(k),
+        s"block $k pixel ($x,$y): ${px(y * w + k * 8 + x)} != ${expected(k)}")
+  }
+
   test("decodeJpegImage handles arbitrary (non-multiple-of-8) dimensions") {
     // Real-world JPEGs pad edge MCUs; the decoder must decode the padded
     // blocks and clip on write-out. 30x20 forces a ragged right column
