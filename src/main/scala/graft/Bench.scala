@@ -78,7 +78,17 @@ object Bench {
       // of drag over a 140-query run before this).
       CacheHygiene.clear(spark)
       val best = first.map { t1 =>
-        val t2 = try { once() } catch { case _: Throwable => t1 }
+        // A rerun-only failure keeps t1 as the timing but must still be
+        // LOUD on stderr — it is the signature of a non-idempotent query
+        // (state the hygiene clear doesn't cover), invisible otherwise.
+        val t2 =
+          try { once() }
+          catch {
+            case e: Throwable =>
+              System.err.println(
+                s"BENCH RERUN FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+              t1
+          }
         CacheHygiene.clear(spark)
         math.min(t1, t2)
       }

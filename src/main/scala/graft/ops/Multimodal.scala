@@ -1297,7 +1297,11 @@ object Multimodal extends QueryModule {
       // before any marker (T.81 B.1.1.2); TEM (0x01) is standalone and
       // skippable; RSTn/EOI (0xd0–0xd9) carry no length and are illegal
       // before the scan, so the stream is malformed, not mis-parsed.
+      // FF 00 is NOT a marker at all (the 00 is an escape only inside
+      // entropy-coded data) — parsing a "length" after it would let a
+      // crafted stream swallow real header segments; reject instead.
       if (m == 0xff) { off += 1 }
+      else if (m == 0x00) return None
       else if (m == 0x01) { off += 2 }
       else if (m >= 0xd0 && m <= 0xd9) return None
       else {

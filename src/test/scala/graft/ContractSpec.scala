@@ -28,13 +28,20 @@ class ContractSpec extends AnyFunSuite {
     // clamped on BOTH sides so it survives any fixture; the rest rely on
     // this invariant — if the driver ever regenerates fixtures with
     // non-ASCII text (langs include zh), fail HERE with a named cause
-    // instead of as an opaque oracle hash mismatch.
+    // instead of as an opaque oracle hash mismatch. ALL fixture dirs are
+    // scanned, not just the unit-test sf: the driver gates at sf0.01 and
+    // benches at sf0.1, and fixtures regenerate per-sf.
     import org.apache.spark.sql.functions._
-    val nonAscii = Tables.documents(spark, TestSpark.sf)
-      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
-    assert(nonAscii == 0,
-      s"$nonAscii documents contain non-ASCII text; ord-based oracles " +
-        "(e.g. mm_phash_recall) assume codepoint==byte — re-audit them")
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+    assert(dirs.nonEmpty, "no fixture directories found")
+    dirs.foreach { d =>
+      val nonAscii = Tables.documents(spark, d)
+        .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+      assert(nonAscii == 0,
+        s"$nonAscii documents in $d contain non-ASCII text; ord-based " +
+          "oracles (e.g. mm_phash_recall) assume codepoint==byte — re-audit")
+    }
   }
 
   test("every query runs at sf0.001 and returns a deterministic row count") {

@@ -184,6 +184,11 @@ class JpegSpec extends AnyFunSuite {
     // A zero segment length can never loop or self-alias.
     val zeroLen = insertAfterSoi(Array(0xff.toByte, 0xfe.toByte, 0x00, 0x00))
     assert(Multimodal.decodeJpegForTest(zeroLen).isEmpty, "len < 2")
+    // FF 00 is not a marker outside entropy-coded data — a walk that
+    // parsed a "length" after it could be steered to swallow real header
+    // segments (review finding, round 13): must reject, not mis-accept.
+    val ff00 = insertAfterSoi(Array(0xff.toByte, 0x00.toByte, 0x00, 0x02))
+    assert(Multimodal.decodeJpegForTest(ff00).isEmpty, "FF 00 in header")
   }
 
   test("encodeJpeg is codepoint-aligned and 7-bit-clamped on non-ASCII text") {
