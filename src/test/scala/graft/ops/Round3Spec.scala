@@ -91,6 +91,60 @@ class Round3Spec extends AnyFunSuite {
     }
   }
 
+  test("weighted Misra-Gries: guarantees hold on adversarial streams and merge trees") {
+    // Direct unit-level pin for the WEIGHTED update path (the query-level
+    // test above only exercises one corpus through one partitioning):
+    // random weighted streams, arbitrary partition splits, random merge
+    // orders — the sketch must keep ≤ k counters, retain every item above
+    // n/(k+1), and never overestimate, regardless of order.
+    val k = 8
+    val rng = new scala.util.Random(20260816L)
+    for (trial <- 1 to 50) {
+      val nItems = 1 + rng.nextInt(40)
+      val stream = Seq.fill(30 + rng.nextInt(200)) {
+        (s"t${rng.nextInt(nItems)}", 1L + rng.nextInt(100).toLong)
+      }
+      // include a guaranteed-heavy item on some trials
+      val heavy =
+        if (trial % 3 == 0) Seq(("whale", stream.map(_._2).sum)) else Seq.empty
+      val input = rng.shuffle(stream ++ heavy)
+      val truth = input.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val n = truth.values.sum
+      val agg = new graft.functions.HeavyHitters(k)
+      // random partition split, then a random (left-leaning) merge order
+      val parts = input.grouped(1 + rng.nextInt(7)).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val sketch = rng.shuffle(parts).reduce(agg.merge)
+      assert(sketch.size <= k, s"trial $trial: ${sketch.size} counters > k")
+      truth.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+        assert(sketch.contains(t), s"trial $trial: heavy '$t' missing " +
+          s"(true ${truth(t)}, n=$n, bound ${n / (k + 1)})")
+      }
+      sketch.foreach { case (t, est) =>
+        assert(est <= truth.getOrElse(t, 0L), s"trial $trial: '$t' over")
+        assert(est >= truth.getOrElse(t, 0L) - n / (k + 1),
+          s"trial $trial: '$t' under by more than n/(k+1)")
+      }
+      // zero/negative weights are no-ops, not corruption
+      val z = agg.reduce(agg.reduce(sketch, ("x", 0L)), ("y", -5L))
+      assert(z == sketch, "non-positive weights must be identity")
+    }
+  }
+
+  test("agg_heavy_hitters plan: codegen'd pre-count feeds the object aggregate") {
+    // Plan-shape pin for the round-13 fix: the UDAF must consume a
+    // (lang, token) HashAggregate pre-count (|vocab| calls), never the
+    // raw exploded token stream (|tokens| calls — 26x slower measured).
+    val plan = Aggs.heavyHitters(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "typed Aggregator should plan as ObjectHashAggregate")
+    val precount = "(?s)ObjectHashAggregate.*HashAggregate.*keys=\\[lang.*token".r
+    assert(precount.findFirstIn(plan).nonEmpty,
+      s"expected a HashAggregate(lang, token) pre-count below the " +
+        s"ObjectHashAggregate; plan:\n$plan")
+  }
+
   test("set_stratified_sample: deterministic, per-stratum fractions in band") {
     val a = SetOps.stratifiedSample(spark, TestSpark.sf).collect()
     val b = SetOps.stratifiedSample(spark, TestSpark.sf).collect()
