@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
   * similarity over features reuses the LlmSimilarity operators. */
 object Multimodal extends QueryModule {
 
+  /** Per-record decode budget (pixels). A container header can DEMAND an
+    * arbitrary allocation before one data byte is validated — a corrupt
+    * or hostile 100-byte payload declaring 65535×65535 must not OOM (or
+    * NegativeArraySizeException via w*h Int overflow) an executor task.
+    * Every pixel decoder checks w·h against this in Long space and
+    * returns empty above it — the same contract as any other
+    * malformation. 2^24 px = 64 MiB of Int, far above any fixture and a
+    * sane per-record bound for a fleet codec. */
+  private val MaxDecodePixels = 1L << 24
+
   /** Synthesized asset table: binary payload + metadata struct. */
   def assets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -115,6 +125,10 @@ object Multimodal extends QueryModule {
       (c, sr, n.toLong, sum, sq, peak)
     }
   }
+
+  /** Test hook: CodecFuzzSpec feeds [[decodePcm]] corrupted containers. */
+  private[ops] def decodePcmForTest(bytes: Array[Byte]): Seq[(Int, Int, Long, Long, Long, Long)] =
+    decodePcm(bytes)
 
   /** Feature extraction over binary media — a GENUINE decode, not a
     * byte-block stand-in: every [[audioAssets]] payload (a complete
@@ -444,9 +458,15 @@ object Multimodal extends QueryModule {
     val compression = bb.getInt(30)
     if (dataOff < 54 || w <= 0 || h <= 0 || bpp != 24 || compression != 0)
       return Seq.empty
-    val rowBytes = w * 3
-    val stride = (rowBytes + 3) / 4 * 4
-    if (dataOff.toLong + stride.toLong * h > bytes.length) return Seq.empty
+    // Budget first (w.toLong * h cannot overflow Long for Int32 dims),
+    // THEN Long stride math: a corrupted huge w overflows w*3 in Int to
+    // a small/negative stride, and near-2^31 w AND h overflow even
+    // strideL*h in Long — both slip PAST a naive bounds guard and out of
+    // bounds in the pixel walk (both found by CodecFuzzSpec trials).
+    if (w.toLong * h > MaxDecodePixels) return Seq.empty
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (dataOff.toLong + strideL * h > bytes.length) return Seq.empty
+    val stride = strideL.toInt // fits: dataOff + stride*h ≤ length ≤ 2^31
     (0 until 3).map { c =>
       var sum = 0L; var wsum = 0L
       var mn = Long.MaxValue; var mx = Long.MinValue
@@ -631,6 +651,9 @@ object Multimodal extends QueryModule {
       }
     }
     if (!ok || !sawEnd || w <= 0 || h <= 0 || idat.size == 0) return Seq.empty
+    // Budget BEFORE any allocation: also keeps every product below
+    // (stride, h*(1+stride), h*stride) inside Int range.
+    if (w.toLong * h > MaxDecodePixels) return Seq.empty
     val stride = w * 3
     val raw = new Array[Byte](h * (1 + stride))
     try {
@@ -1035,6 +1058,9 @@ object Multimodal extends QueryModule {
     val w = u16(off + 5); val h = u16(off + 7)
     val ipacked = bytes(off + 9) & 0xff
     if (w <= 0 || h <= 0 || (ipacked & 0x80) != 0) return Seq.empty
+    // Budget before lzwDecode's output allocation (u16×u16 can overflow
+    // the Int pixel count AND demand a 16 GiB table otherwise).
+    if (w.toLong * h > MaxDecodePixels) return Seq.empty
     // Interlaced images store rows in the spec's four passes
     // (0,8,16… then 4,12… then 2,6… then 1,3,5…): rowOf maps the
     // stream row to its logical row so position weights stay honest.
@@ -1353,6 +1379,10 @@ object Multimodal extends QueryModule {
       }
     }
     if (w <= 0 || h <= 0) return None
+    // Budget before the pixel allocation: u16×u16 dims can overflow the
+    // Int w*h (NegativeArraySizeException) or demand gigabytes on a
+    // header nothing has validated yet.
+    if (w.toLong * h > MaxDecodePixels) return None
     val q = quant.getOrElse(qId, return None)
     val dcMap = huff.getOrElse((0, dcT), return None)
     val acMap = huff.getOrElse((1, acT), return None)
