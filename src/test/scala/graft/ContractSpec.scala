@@ -44,6 +44,46 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture invariant: documented dims and alphabets hold (FIXTURES.md)") {
+    // Query families hard-assume these: SRP hyperplanes / PQ codebooks
+    // assume 64-dim embeddings; stratified sampling and language scoring
+    // assume the 5-lang set; retention/winsorize enumerate the 5 event
+    // types; agg_collect's bounded-alphabet posture rests on ≤5 order
+    // priorities. A regenerated fixture that drifts must fail HERE with
+    // a named cause, not as a garbage similarity score or an opaque
+    // oracle hash mismatch. All three sf dirs are scanned (cheap tables).
+    import org.apache.spark.sql.functions._
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+    dirs.foreach { d =>
+      val dims = Tables.embeddings(spark, d)
+        .select(min(size(col("embedding"))).as("lo"),
+          max(size(col("embedding"))).as("hi"),
+          min(col("label")).as("lbLo"), max(col("label")).as("lbHi")).head
+      assert(dims.getInt(0) == 64 && dims.getInt(1) == 64,
+        s"$d: embedding dims ${dims.getInt(0)}..${dims.getInt(1)} != 64 — " +
+          "SRP/PQ/Matryoshka operators assume 64")
+      assert(dims.getInt(2) >= 0 && dims.getInt(3) <= 9,
+        s"$d: embedding labels outside 0..9")
+      val langs = Tables.documents(spark, d)
+        .select(collect_set(col("lang"))).head.getSeq[String](0).toSet
+      assert(langs == Set("en", "zh", "fr", "es", "de"),
+        s"$d: documents.lang alphabet drifted: $langs")
+      val ids = Tables.documents(spark, d)
+        .select(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("u")).head
+      assert(ids.getLong(0) == ids.getLong(1), s"$d: doc_id not unique")
+      val types = Tables.events(spark, d)
+        .select(collect_set(col("event_type"))).head.getSeq[String](0).toSet
+      assert(types == Set("signup", "click", "error", "view", "purchase"),
+        s"$d: events.event_type alphabet drifted: $types")
+      val prios = Tables.orders(spark, d)
+        .select(countDistinct(col("o_orderpriority"))).head.getLong(0)
+      assert(prios <= 5,
+        s"$d: $prios order priorities — agg_collect's bounded-alphabet " +
+          "posture assumes ≤5")
+    }
+  }
+
   test("every query runs at sf0.001 and returns a deterministic row count") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n1 = fn(spark, TestSpark.sf).count()
