@@ -656,8 +656,12 @@ object Multimodal extends QueryModule {
     if (w.toLong * h > MaxDecodePixels) return Seq.empty
     val stride = w * 3
     val raw = new Array[Byte](h * (1 + stride))
+    // finally, not success-path end(): every early return above leaked
+    // the NATIVE zlib buffer — under a partition of malformed payloads
+    // (the exact load the fuzz battery models) that accumulates off-heap
+    // until GC, invisible to heap sizing.
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var got = 0
       while (got < raw.length && !inf.finished()) {
@@ -665,9 +669,9 @@ object Multimodal extends QueryModule {
         if (k == 0 && inf.needsInput()) return Seq.empty // truncated stream
         got += k
       }
-      inf.end()
       if (got != raw.length) return Seq.empty
     } catch { case _: java.util.zip.DataFormatException => return Seq.empty }
+    finally inf.end()
     // Unfilter in place into the pixel array.
     val px = new Array[Int](h * stride)
     var y = 0

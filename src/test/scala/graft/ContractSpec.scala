@@ -6,6 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** All driver fixture tiers — the invariant tests scan every one so a
+    * drift at ANY gated sf fails loudly here. Asserted non-empty at use:
+    * a missing fixture root must fail the invariants, not vacuously pass
+    * them. */
+  private lazy val fixtureDirs: Seq[String] = {
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
+    assert(dirs.nonEmpty, "no fixture directories found under /root/testdata")
+    dirs
+  }
+
   test("query names are globally unique across modules") {
     val all = SparkEntry.modules.flatMap(_.queries.keys)
     assert(all.size == all.distinct.size,
@@ -32,10 +43,7 @@ class ContractSpec extends AnyFunSuite {
     // scanned, not just the unit-test sf: the driver gates at sf0.01 and
     // benches at sf0.1, and fixtures regenerate per-sf.
     import org.apache.spark.sql.functions._
-    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
-    assert(dirs.nonEmpty, "no fixture directories found")
-    dirs.foreach { d =>
+    fixtureDirs.foreach { d =>
       val nonAscii = Tables.documents(spark, d)
         .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
       assert(nonAscii == 0,
@@ -53,9 +61,7 @@ class ContractSpec extends AnyFunSuite {
     // a named cause, not as a garbage similarity score or an opaque
     // oracle hash mismatch. All three sf dirs are scanned (cheap tables).
     import org.apache.spark.sql.functions._
-    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1").filter(d => new java.io.File(d).isDirectory)
-    dirs.foreach { d =>
+    fixtureDirs.foreach { d =>
       val dims = Tables.embeddings(spark, d)
         .select(min(size(col("embedding"))).as("lo"),
           max(size(col("embedding"))).as("hi"),
