@@ -666,7 +666,13 @@ object Multimodal extends QueryModule {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val k = inf.inflate(raw, got, raw.length - got)
-        if (k == 0 && inf.needsInput()) return Seq.empty // truncated stream
+        // Zero progress on an unfinished stream is malformed, full stop:
+        // needsInput() covers truncation, but inflate also returns 0 when
+        // needsDictionary() is true (zlib header with FDICT set and a
+        // valid FCHECK, e.g. bytes 78 20) with needsInput()=false — a
+        // CRC-valid hostile payload would otherwise spin this loop
+        // forever and hang the executor task.
+        if (k == 0 && !inf.finished()) return Seq.empty
         got += k
       }
       if (got != raw.length) return Seq.empty

@@ -38,13 +38,36 @@ class CodecFuzzSpec extends AnyFunSuite {
         (b: Array[Byte]) => Multimodal.decodeJpegForTest(b).size))
   }
 
-  private def mustReturn(codec: String, what: String, bytes: Array[Byte],
-      decode: Array[Byte] => Int): Unit =
-    try { decode(bytes); () }
-    catch {
-      case e: Throwable =>
-        fail(s"$codec decoder threw on $what: ${e.getClass.getName}: ${e.getMessage}")
+  // The battery's contract is "the decoder RETURNS" — so non-termination
+  // (e.g. a zero-progress inflate loop on an FDICT zlib header) must fail
+  // with the codec/mutation/offset named, not stall the suite. Each decode
+  // runs on a daemon worker with a hard deadline; thread interrupts can't
+  // stop a CPU-bound loop, so on timeout the worker is abandoned (daemon,
+  // won't block JVM exit) and a fresh one takes over for later calls.
+  private val DecodeDeadlineSec = 30L
+  private def newWorker() =
+    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "codec-fuzz-worker"); t.setDaemon(true); t
     }
+  private var worker = newWorker()
+
+  private def mustReturn(codec: String, what: String, bytes: Array[Byte],
+      decode: Array[Byte] => Int): Unit = {
+    val fut = worker.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = decode(bytes)
+    })
+    try { fut.get(DecodeDeadlineSec, java.util.concurrent.TimeUnit.SECONDS); () }
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true)
+        worker.shutdownNow()
+        worker = newWorker()
+        fail(s"$codec decoder HUNG (>${DecodeDeadlineSec}s) on $what")
+      case e: java.util.concurrent.ExecutionException =>
+        val c = e.getCause
+        fail(s"$codec decoder threw on $what: ${c.getClass.getName}: ${c.getMessage}")
+    }
+  }
 
   test("every truncation of a valid payload decodes without throwing") {
     codecs.foreach { case (name, payload, decode) =>

@@ -144,6 +144,54 @@ class Round10Spec extends AnyFunSuite {
       "a truncated chunk stream must reject cleanly")
   }
 
+  test("decodePng rejects a CRC-valid FDICT zlib stream instead of hanging") {
+    // Inflater.inflate returns 0 with needsDictionary()=true (not
+    // needsInput()) for a zlib header with FDICT set and valid FCHECK
+    // (bytes 78 20) — a naive "k==0 && needsInput" truncation guard spins
+    // forever. Every chunk here is CRC-valid, so the container gate that
+    // stops random fuzz from reaching the inflate loop does NOT fire:
+    // this is exactly the crafted-hostile payload class. The decoder must
+    // return empty, not hang the task.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length)
+      bb.put(typ.getBytes("US-ASCII"))
+      bb.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2) // 2x2, well under the decode budget
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    // 78 20: CMF=0x78, FLG=0x20 (FDICT bit set; 0x7820 % 31 == 0), then
+    // the 4-byte DICTID and filler the inflater will never consume.
+    val idat = Array(0x78, 0x20, 0xde, 0xad, 0xbe, 0xef, 1, 2, 3, 4, 5, 6, 7, 8)
+      .map(_.toByte)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.empty[Byte])
+    // Run on a daemon thread with a hard deadline: a regression here is
+    // non-termination, which a plain assert would report as a suite stall
+    // rather than a named failure (and thread interrupts don't stop a
+    // zero-progress inflate loop).
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "png-fdict-probe"); t.setDaemon(true); t
+    }
+    val fut = exec.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = Multimodal.decodePngForTest(png).size
+    })
+    try {
+      val n = fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(n == 0, "an FDICT stream is undecodable without the dictionary")
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fail("decodePng HUNG (>30s) on a CRC-valid FDICT zlib stream")
+    } finally exec.shutdownNow()
+  }
+
   test("layout_merge_exec: copy-on-write prunes — untouched buckets never rewrite") {
     val rows = SparkEntry.queries("layout_merge_exec")(spark, TestSpark.sf)
       .collect()
