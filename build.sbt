@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The JDK-17 default code cache (240 MB) overflows under the bench's
+  // two full-roster sweeps (~800 query executions of Janino-generated
+  // classes), so the sweeper flushes pass-1's C2-compiled code before
+  // pass 2 re-executes it — re-paying JIT warm-up on a plan the JVM had
+  // already compiled. A long-lived executor keeps its compiled plans;
+  // the bench should too.
+  "-XX:ReservedCodeCacheSize=1g",
 )
