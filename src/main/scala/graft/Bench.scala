@@ -86,15 +86,19 @@ object Bench {
     // failure keeps the pass-1 timing but is LOUD on stderr — it is the
     // signature of a non-idempotent query (state the hygiene clear
     // doesn't cover), invisible otherwise.
+    // Resolve the query map ONCE: SparkEntry.queries is a def that
+    // rebuilds the full catalog map from every module, and nothing that
+    // isn't the query itself belongs inside the timed window.
     val roster = SparkEntry.queries.toSeq.sortBy(_._1)
-    def timeOnce(name: String): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1: Seq[(String, Option[Double])] = roster.map { case (name, _) =>
+    val pass1: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame, Option[Double])] =
+      roster.map { case (name, fn) =>
       val t =
-        try { Some(timeOnce(name)) }
+        try { Some(timeOnce(fn)) }
         catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
@@ -104,13 +108,13 @@ object Bench {
       // action so they can't tax every later query (measured ~+0.25 s/query
       // of drag over a 140-query run before this).
       CacheHygiene.clear(spark)
-      (name, t)
+      (name, fn, t)
     }
     val results = pass1.map {
-      case (name, None) => (name, -1.0)
-      case (name, Some(t1)) =>
+      case (name, _, None) => (name, -1.0)
+      case (name, fn, Some(t1)) =>
         val t2 =
-          try { timeOnce(name) }
+          try { timeOnce(fn) }
           catch {
             case e: Throwable =>
               System.err.println(

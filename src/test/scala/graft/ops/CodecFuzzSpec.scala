@@ -51,12 +51,18 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   private var worker = newWorker()
 
-  private def mustReturn(codec: String, what: String, bytes: Array[Byte],
-      decode: Array[Byte] => Int): Unit = {
+  /** Runs one decode under the deadline and returns its size; fails the
+    * test (named) on hang or throw. EVERY decode in this suite — including
+    * the fixture-validity checks on unmutated payloads — must go through
+    * here, or a non-termination regression on that path stalls the suite
+    * instead of reporting.
+    */
+  private def boundedDecode(codec: String, what: String, bytes: Array[Byte],
+      decode: Array[Byte] => Int): Int = {
     val fut = worker.submit(new java.util.concurrent.Callable[Int] {
       def call(): Int = decode(bytes)
     })
-    try { fut.get(DecodeDeadlineSec, java.util.concurrent.TimeUnit.SECONDS); () }
+    try fut.get(DecodeDeadlineSec, java.util.concurrent.TimeUnit.SECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
         fut.cancel(true)
@@ -69,9 +75,15 @@ class CodecFuzzSpec extends AnyFunSuite {
     }
   }
 
+  private def mustReturn(codec: String, what: String, bytes: Array[Byte],
+      decode: Array[Byte] => Int): Unit = {
+    boundedDecode(codec, what, bytes, decode); ()
+  }
+
   test("every truncation of a valid payload decodes without throwing") {
     codecs.foreach { case (name, payload, decode) =>
-      assert(decode(payload) > 0, s"$name: fixture payload must decode")
+      assert(boundedDecode(name, "the unmutated fixture payload", payload,
+        decode) > 0, s"$name: fixture payload must decode")
       (0 to payload.length).foreach { n =>
         mustReturn(name, s"truncation to $n bytes", payload.take(n), decode)
       }
