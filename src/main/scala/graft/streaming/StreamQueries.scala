@@ -72,9 +72,14 @@ object StreamQueries extends QueryModule {
   private def drain(s: SparkSession, streamed: DataFrame, mode: OutputMode,
       tag: String): DataFrame = {
     val name = sinkName(tag)
-    val q = streamed.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    q.processAllAvailable(); q.stop()
+    // Streaming conf (state partitions, no empty batches) applies from
+    // start() — the engine snapshots the session conf when the query
+    // starts — and is restored before the caller's batch tail runs.
+    withStreamSizing(s) {
+      val q = streamed.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+    }
     s.table(name)
   }
 
@@ -89,6 +94,55 @@ object StreamQueries extends QueryModule {
     finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
+    }
+  }
+
+  /** Streaming-scoped execution sizing, applied around each streaming
+    * run and restored after (the [[withRocksDb]] pattern):
+    *
+    *  - `spark.sql.shuffle.partitions` → the STATE partition count. A
+    *    streaming query pins its state sharding per checkpoint at plan
+    *    time from this conf, and every micro-batch then pays one
+    *    state-store instance open + commit PER PARTITION regardless of
+    *    data volume. The batch default (cluster width) is the wrong
+    *    driver for that choice: state partitioning should track expected
+    *    LIVE-STATE VOLUME (target ~100-200 MB per partition, the same
+    *    sizing rule as shuffle partitions in the optimization guide §2.2),
+    *    because it is checkpoint-pinned — it cannot follow the cluster up
+    *    or down anyway. Default 8 here (fixture state is KB-scale; 8 keeps
+    *    the drain multi-core without paying 32 store commits per batch —
+    *    measured 22.9 s → see OPTIMIZATION_r14.md for the family numbers);
+    *    production sizing is live-state bytes / 128 MB via
+    *    `spark.graft.stream.statePartitions` (e.g. ~1 TB of join/session
+    *    state → 8192). Results are partition-count-invariant: every
+    *    registered streaming query emits keyed aggregates / per-key state
+    *    emissions that the oracle gates hash-exact.
+    *
+    *  - `spark.sql.streaming.noDataMicroBatches.enabled` → false. The
+    *    engine's extra empty batch exists to advance the watermark for
+    *    state EVICTION and watermark-gated FINAL emissions; every query
+    *    here drains a finite backlog and reads the sink once, so the
+    *    empty batch buys nothing (Complete/Update sinks re-emit state
+    *    anyway; the Append-mode dedup/join/score emit rows on arrival,
+    *    not on watermark) — it only adds one full micro-batch round of
+    *    per-partition store opens/commits per query. Correctness is
+    *    oracle-gated per query at every sf.
+    */
+  private def withStreamSizing[T](s: SparkSession)(body: => T): T = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = s.conf.get(pKey)
+    val prevN = s.conf.getOption(nKey)
+    s.conf.set(pKey, s.conf.getOption("spark.graft.stream.statePartitions")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS")).getOrElse("8"))
+    s.conf.set(nKey, "false")
+    try body
+    finally {
+      s.conf.set(pKey, prevP)
+      prevN match {
+        case Some(v) => s.conf.set(nKey, v)
+        case None => s.conf.unset(nKey)
+      }
     }
   }
 
@@ -134,12 +188,18 @@ object StreamQueries extends QueryModule {
   def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val out = s"$scratchRoot/ssj_${seq.incrementAndGet()}"
     val ckpt = s"$out-ckpt"
-    val clicks = streamEvents(s, d)
+    // ONE streaming source, self-joined: both join sides filter the same
+    // relation instance, so the engine tracks one file source and each
+    // micro-batch lists/scans the backlog once instead of twice (the two-
+    // source form read the identical parquet through two independent
+    // sources). Join semantics are unchanged — same rows on both sides.
+    val ev = streamEvents(s, d)
+    val clicks = ev
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
       .withWatermark("c_ts", "30 minutes")
-    val views = streamEvents(s, d)
+    val views = ev
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("v_id"))
@@ -149,13 +209,15 @@ object StreamQueries extends QueryModule {
         col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
         col("v_ts") <= col("c_ts"))
       .select(col("c_id"), col("v_id"))
-    val q = joined.writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, epoch: Long) =>
-        df.write.mode("overwrite").parquet(s"$out/epoch=$epoch")
-      }
-      .start()
-    q.awaitTermination()
+    withStreamSizing(s) {
+      val q = joined.writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, epoch: Long) =>
+          df.write.mode("overwrite").parquet(s"$out/epoch=$epoch")
+        }
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(out).select(col("c_id"), col("v_id"))
       .orderBy(col("c_id"), col("v_id"))
   }
@@ -259,22 +321,24 @@ object StreamQueries extends QueryModule {
     val dataDir = s"$run/data"
     val logDir = s"$run/log"
     val ckpt = s"$run/ckpt"
-    val q = streamEvents(s, d)
-      .select(col("event_id"), col("event_type"),
-        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
-      .writeStream.trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, epoch: Long) =>
-        val dir = s"$dataDir/epoch=$epoch"
-        df.write.mode("overwrite").parquet(dir)
-        // Commit point: log version = the file list of this epoch.
-        df.sparkSession.read.parquet(dir)
-          .select(col("_metadata.file_path").as("path")).distinct()
-          .select(col("path"), lit("add").as("action"))
-          .write.mode("overwrite").parquet(s"$logDir/v=$epoch")
-      }
-      .start()
-    q.awaitTermination()
+    withStreamSizing(s) {
+      val q = streamEvents(s, d)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, epoch: Long) =>
+          val dir = s"$dataDir/epoch=$epoch"
+          df.write.mode("overwrite").parquet(dir)
+          // Commit point: log version = the file list of this epoch.
+          df.sparkSession.read.parquet(dir)
+            .select(col("_metadata.file_path").as("path")).distinct()
+            .select(col("path"), lit("add").as("action"))
+            .write.mode("overwrite").parquet(s"$logDir/v=$epoch")
+        }
+        .start()
+      q.awaitTermination()
+    }
     val log = s.read.option("basePath", logDir).parquet(logDir)
       .select(col("path"))
     s.read.option("basePath", dataDir).parquet(dataDir)
