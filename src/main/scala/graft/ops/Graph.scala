@@ -16,6 +16,50 @@ import org.apache.spark.sql.functions._
   * iteration. Nothing driver-side except the fixed iteration count. */
 object Graph extends QueryModule {
 
+  /** Part co-purchase pair support — the shared edge derivation under
+    * [[triangles]], [[linkPrediction]], [[kcorePeel]], [[clusteringCoeff]],
+    * [[assortativity]], [[lpEdgesLabels]] and
+    * [[Relational.basketRules]]: support(u, v) = number of orders whose
+    * baskets contain both parts (u < v).
+    *
+    * Shape (optimization round 14, guide §2.4 "remove shuffles outright"):
+    * one groupBy(order) collecting the sorted DISTINCT item array, then the
+    * C(|basket|, 2) pairs explode map-side from each array and aggregate by
+    * pair. The previous form (distinct (o, p) → per-basket self-join on o →
+    * pair agg) paid an extra full exchange + sort-merge join on the order
+    * key for the identical bounded fan-out: 3 exchanges → 2, SortMergeJoin
+    * → none (measured ~1.6× on this derivation; plans/r14). Fan-out is
+    * unchanged — Σ C(|basket|, 2), linear in lineitems for bounded basket
+    * size — and per-group state is one ≤|basket|-item set, so the plan
+    * carries to 100 TB exactly as before. Pair identity: the array is the
+    * basket's distinct part set sorted ascending, and slice(i + 2, …)
+    * enumerates strictly-later elements, so (u, v) ranges over exactly the
+    * u < v distinct pairs the self-join produced, once per order each. */
+  private[ops] def coBaskets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+
+  private[ops] def pairSupportFrom(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+
+  private[ops] def coPairSupport(s: SparkSession, d: String): DataFrame =
+    pairSupportFrom(coBaskets(s, d))
+
+  /** The support-thresholded co-purchase edge list (u < v). */
+  private[ops] def coEdges(s: SparkSession, d: String,
+                           minSupport: Long): DataFrame =
+    coPairSupport(s, d).filter(col("support") >= minSupport)
+      .select(col("u"), col("v"))
+
   /** PageRank (d = 0.85, 3 fixed iterations) on the international trade
     * graph: nation A → nation B iff some customer in A bought from a
     * supplier in B (distinct pairs, self-loops dropped). Fixed iteration
@@ -79,17 +123,9 @@ object Graph extends QueryModule {
     * repeated pairs stay sparse — the support threshold is the density
     * knob that keeps the wedge join linear-ish at 100 TB. */
   def triangles(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = coEdges(s, d, 2)
       // three consumers (deg, orientation join, the edge count) chain off
-      // the expensive self-join -> materialize once (lazy checkpoint)
+      // the expensive pair derivation -> materialize once (lazy checkpoint)
       .localCheckpoint(false)
     val deg = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id")))
@@ -156,15 +192,7 @@ object Graph extends QueryModule {
     * exact ints. Keyed joins only; |candidates| ≤ |wedges|, never
     * |V|². */
   def linkPrediction(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = coEdges(s, d, 2)
       .localCheckpoint(false) // read by adj twice + the anti-join
     val adj = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(false) // read by deg and both sides of the wedge join
@@ -232,15 +260,7 @@ object Graph extends QueryModule {
     * the Pregel-free dataflow form that shards by vertex id at any scale.
     */
   def kcorePeel(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = coEdges(s, d, 2)
     // Each round's edge set is lazily checkpointed: it has THREE consumers
     // (next round's degree table, the vertex count, the edge count) and
     // chains off the expensive co-purchase self-join — without the cut,
@@ -280,15 +300,7 @@ object Graph extends QueryModule {
     * shared by [[labelProp]] and [[modularity]]. Both frames are lazily
     * checkpointed (multiple consumers each). */
   private def lpEdgesLabels(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("u"), col("v"))
+    val edges = coEdges(s, d, 2)
       .localCheckpoint(false)
     val verts = edges.select(col("u").as("id"))
       .unionByName(edges.select(col("v").as("id"))).distinct()
@@ -358,15 +370,7 @@ object Graph extends QueryModule {
     * closed form Σ d(d−1)/2 over the degree table (never a path join).
     * Both counts exact BIGINT; C is one division. */
   def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = coEdges(s, d, 2)
       .localCheckpoint(false) // degree table + orientation join + count
     val deg = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id")))
@@ -401,15 +405,7 @@ object Graph extends QueryModule {
     * so the readout is the single correctly-rounded expression both
     * engines share. */
   def assortativity(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select(col("u"), col("v"))
+    val e0 = coEdges(s, d, 2)
       .localCheckpoint(false)
     val deg = e0.select(col("u").as("id"))
       .unionByName(e0.select(col("v").as("id")))

@@ -343,9 +343,17 @@ object LlmText extends QueryModule {
         regexp_replace(regexp_replace(lower(col("text")), "[^a-z ]", ""),
           " +", " ").as("ntext"))
       .filter(length(col("ntext")) >= 2)
+    // Overlapping bigrams in ONE linear regex pass (lookahead captures the
+    // 2-char window at every position): the previous
+    // transform(sequence…substr(ntext, i, 2)) form re-scanned the string
+    // from its head on every substr call (UTF8String char indexing is
+    // O(position)), i.e. O(len²) per document — measurable at 300-char
+    // fixture docs and quadratic-doc-length poison at corpus scale
+    // (optimization round 14, guide step 4: per-task work). ntext is
+    // [a-z ]-normalized, so `.` never meets a newline and the match set is
+    // exactly positions 1..len-1.
     val bi = norm.select(col("doc_id"),
-      explode(expr(
-        "transform(sequence(1, length(ntext) - 1), i -> substr(ntext, i, 2))"))
+      explode(regexp_extract_all(col("ntext"), lit("(?=(..))"), lit(1)))
         .as("bg"))
     // one explode feeds everything: corpus counts roll up from the per-doc
     // partial counts instead of re-exploding the text

@@ -805,16 +805,17 @@ object Relational extends QueryModule {
     * single divisions of exact integer products. Top-20 by lift via a
     * distributed TakeOrdered merge. */
   def basketRules(s: SparkSession, d: String): DataFrame = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val nOrders = op.select(col("o")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val itemCnt = op.groupBy(col("p")).agg(count(lit(1)).as("cp"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("cuv"))
+    // ONE per-order basket aggregation feeds all three ingredients (pair
+    // supports, per-item order counts, the order total) — the previous
+    // distinct-(o,p)-then-self-join form paid an extra exchange + sort-
+    // merge join on the order key for the same bounded pair fan-out
+    // (Graph.coPairSupport, optimization round 14, guide §2.4).
+    val baskets = Graph.coBaskets(s, d)
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val itemCnt = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    val pairs = Graph.pairSupportFrom(baskets)
+      .select(col("u"), col("v"), col("support").as("cuv"))
       .filter(col("cuv") >= 3)
     val rules = pairs
       .select(col("u").as("ante"), col("v").as("cons"), col("cuv"))
