@@ -15,7 +15,13 @@ object TimeMany {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    // NonFatal only (r14 advice): swallowing OOM/linkage errors here would
+    // let timing proceed against a broken session and report garbage.
+    try { SparkEntry.entry(spark).count() }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"TIMEMANY warmup failed: $e")
+    }
     var total = 0.0
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

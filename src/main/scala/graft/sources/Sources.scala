@@ -44,6 +44,30 @@ object Sources extends QueryModule {
   private[sources] def freshRun(tag: String): String =
     s"$runRoot/${tag}_${runSeq.incrementAndGet()}"
 
+  /** Hash-repartition by the write-bucket columns at the session's shuffle
+    * parallelism, for the maintenance writes. A bare `repartition(col)` is
+    * AQE-coalescible, and these writes move only KB–MB of rows, so AQE
+    * folds the exchange into ONE task — which then writes every bucket
+    * file of a 100–256-dir maintenance unit serially (~20 ms per parquet
+    * open+footer+commit; measured 4.0 s of layout_cdf's 8.0 s as a single
+    * 1-task write stage). An explicit numPartitions is user-pinned — AQE
+    * honors it — so the write runs wide again. The knob stays the session
+    * conf (the same scale-adaptive setting the bench/driver control), not
+    * a constant. File layout is UNCHANGED either way: one bucket's rows
+    * hash to exactly one task, so each bucket dir still gets exactly one
+    * file and every n_files_* output column is identical. */
+  private[sources] def writeParts(s: SparkSession, df: DataFrame,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(s.sessionState.conf.numShufflePartitions, cols: _*)
+
+  // NB round 15: a §2.6 thread-pool helper overlapping the independent
+  // commit legs of vacuum/cdf/timeTravel (v0 log ∥ epoch rewrite, v1 log ∥
+  // pre-delete listing) was built and MEASURED NET-SLOWER at sf0.1
+  // (vacuum 4.08→4.63 s, time_travel 1.84→2.12 s, cdf 3.76→3.37 s,
+  // min-of-5): with writeParts restoring 32-task-wide writes there is no
+  // idle tail to back-fill, and concurrently planned jobs contend on the
+  // driver. Removed; the sequential legs stand.
+
   private val nationSchema = StructType(Seq(
     StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
     StructField("n_regionkey", IntegerType)))
@@ -298,7 +322,7 @@ object Sources extends QueryModule {
       Tables.documents(s, d).filter(col("doc_id") < 2048)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
           expr("doc_id div 16").as("file_id"))
-        .repartition(col("lang"), col("file_id"))
+        .transform(df => writeParts(s, df, col("lang"), col("file_id")))
         .write.mode("overwrite").partitionBy("lang", "file_id").parquet(frag)
     val contentH = conv(substring(md5(concat(col("doc_id").cast("string"),
       lit(":"), col("text"))), 1, 8), 16, 10).cast("long")
@@ -318,7 +342,7 @@ object Sources extends QueryModule {
     before.join(broadcast(plan), Seq("lang", "file_id"))
       .select(col("doc_id"), col("n_chars"), col("text"), col("lang"),
         col("group_id"))
-      .repartition(col("lang"), col("group_id"))
+      .transform(df => writeParts(s, df, col("lang"), col("group_id")))
       .write.mode("overwrite").partitionBy("lang", "group_id").parquet(epochDir)
     val after = s.read.option("basePath", epochDir).parquet(epochDir)
       .select(col("doc_id"), col("lang"), col("text"),
@@ -367,7 +391,7 @@ object Sources extends QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
           expr("o_orderkey div 256").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val baseDf = s.read.option("basePath", base).parquet(base)
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
@@ -407,7 +431,7 @@ object Sources extends QueryModule {
         coalesce(col("new_cents"), col("cents")).as("cents"), col("fb"))
       .unionByName(ins)
     val epochDir = s"${freshRun("merge")}/epoch=2"
-    applied.repartition(col("fb"))
+    applied.transform(df => writeParts(s, df, col("fb")))
       .write.mode("overwrite").partitionBy("fb").parquet(epochDir)
     val rewritten = s.read.option("basePath", epochDir).parquet(epochDir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
@@ -450,7 +474,7 @@ object Sources extends QueryModule {
           lit("2200-01-01").as("valid_to"),
           lit(1).cast("int").as("is_current"),
           expr("c_custkey div 64").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val cols = Seq("c_custkey", "c_mktsegment", "bal_cents",
       "valid_from", "valid_to", "is_current")
@@ -484,7 +508,7 @@ object Sources extends QueryModule {
       col("fb"))
     val epochDir = s"${freshRun("scd2")}/epoch=2"
     inAffected.unionByName(opened)
-      .repartition(col("fb"))
+      .transform(df => writeParts(s, df, col("fb")))
       .write.mode("overwrite").partitionBy("fb").parquet(epochDir)
     val rewritten = s.read.option("basePath", epochDir).parquet(epochDir)
       .select(cols.map(col) :+ col("_metadata.file_path").as("path"): _*)
@@ -531,7 +555,7 @@ object Sources extends QueryModule {
         .select(col("o_orderkey"), col("o_orderstatus"),
           floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"),
           expr("o_orderkey div 512").as("fb"))
-        .repartition(col("fb"))
+        .transform(df => writeParts(s, df, col("fb")))
         .write.mode("overwrite").partitionBy("fb").parquet(base)
     val baseDf = s.read.option("basePath", base).parquet(base)
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
@@ -550,7 +574,7 @@ object Sources extends QueryModule {
     affected.filter(col("o_orderkey") % 640 =!= 0)
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
         expr("fb div 2").as("gb"))
-      .repartition(col("gb"))
+      .transform(df => writeParts(s, df, col("gb")))
       .write.mode("overwrite").partitionBy("gb").parquet(e1)
     val e1Df = s.read.option("basePath", e1).parquet(e1)
       .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),

@@ -68,7 +68,16 @@ object StreamQueries extends QueryModule {
   }
 
   /** Drain a streaming DataFrame into a memory sink and return the sink
-    * table (Complete for aggregates, Update for stateful emissions). */
+    * table (Complete for aggregates, Update for stateful emissions).
+    *
+    * CONSTRAINT (r14 advice): [[withStreamSizing]] disables
+    * noDataMicroBatches for every query drained through here, which is
+    * only safe because no registered stream has a WATERMARK-GATED FINAL
+    * EMISSION — Complete/Update sinks re-emit state each batch, and the
+    * Append-mode paths (dedup / interval join / score) emit on arrival.
+    * An Append-mode watermark-finalized aggregation drained through this
+    * helper would silently lose its final windows: route such a query
+    * through its own drain with empty batches enabled. */
   private def drain(s: SparkSession, streamed: DataFrame, mode: OutputMode,
       tag: String): DataFrame = {
     val name = sinkName(tag)
@@ -129,6 +138,11 @@ object StreamQueries extends QueryModule {
     *    oracle-gated per query at every sf.
     */
   private def withStreamSizing[T](s: SparkSession)(body: => T): T = {
+    // SINGLE-THREADED-DRIVER ASSUMPTION (r14 advice, matching withRocksDb):
+    // this mutates session-global conf with try/finally restore. Fine for
+    // the sequential Verify/Bench harness; a concurrent multi-query session
+    // would need a cloned session (s.newSession()) per streaming run so the
+    // 8-partition window can't leak into a concurrently planned query.
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevP = s.conf.get(pKey)

@@ -90,12 +90,50 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  /** ONE catalog sweep per shuffle-partition setting, feeding BOTH
+    * invariants below (row counts for every query, full collected rows for
+    * the oracle-gated set). The determinism and partition-stability tests
+    * previously each ran their own pair of full catalog sweeps (~4×398
+    * query executions — the dominant term of the whole suite's wall-clock,
+    * and the reason the driver's test gate timed out in round 14); sharing
+    * two sweeps keeps every assertion and halves the catalog executions. */
+  private def sweep(parts: String): (Map[String, Seq[String]], Map[String, Long]) = {
+    val gated = SparkEntry.oracleSql.keySet
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      val rows = Map.newBuilder[String, Seq[String]]
+      val counts = Map.newBuilder[String, Long]
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val df = fn(spark, TestSpark.sf)
+        if (gated(name)) {
+          val r = df.collect().map(_.toString).toSeq
+          rows += name -> r
+          counts += name -> r.size.toLong
+        } else counts += name -> df.count()
+      }
+      (rows.result(), counts.result())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+  private lazy val sweepAt1 = sweep("1")
+  private lazy val sweepAt7 = sweep("7")
+
   test("every query runs at sf0.001 and returns a deterministic row count") {
+    val gated = SparkEntry.oracleSql.keySet
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n1 = fn(spark, TestSpark.sf).count()
-      val n2 = fn(spark, TestSpark.sf).count()
-      assert(n1 == n2, s"$name nondeterministic count")
-      assert(n1 > 0, s"$name returned no rows at sf0.001")
+      assert(sweepAt1._2(name) > 0, s"$name returned no rows at sf0.001")
+      if (gated(name))
+        // cross-partitioning count equality (strictly stronger than the
+        // previous same-config double run for the gated set)
+        assert(sweepAt1._2(name) == sweepAt7._2(name),
+          s"$name nondeterministic count")
+      else {
+        // rows-only queries keep the original same-config double run:
+        // their row counts are not asserted partition-count-invariant
+        // (dd_minhash_pairs' top-100 cut is order-sensitive at the margin)
+        val n1 = fn(spark, TestSpark.sf).count()
+        val n2 = fn(spark, TestSpark.sf).count()
+        assert(n1 == n2, s"$name nondeterministic count")
+      }
     }
   }
 
@@ -103,17 +141,8 @@ class ContractSpec extends AnyFunSuite {
     // rows-only queries excluded: dd_minhash_pairs emits candidate pairs
     // whose jaccard ties make the top-100 cut partition-order-sensitive
     // at the margin; the oracle-gated set must be bitwise stable.
-    val gated = SparkEntry.oracleSql.keySet
-    def runAll(parts: String): Map[String, Seq[String]] = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      try SparkEntry.queries.filter(q => gated(q._1)).map { case (name, fn) =>
-        name -> fn(spark, TestSpark.sf).collect()
-          .map(_.toString).toSeq
-      }.toMap
-      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
-    }
-    val a = runAll("1")
-    val b = runAll("7")
+    val a = sweepAt1._1
+    val b = sweepAt7._1
     a.keys.foreach { k =>
       assert(a(k) == b(k), s"$k differs across shuffle partition counts")
     }

@@ -22,12 +22,21 @@ def main():
                                     if r["queries"].get(n, -1) >= 0]), 4)
         for n in sorted(names)
     }
+    # Per-query sample counts (r14 advice): a 1-of-3 flaky query's median
+    # must not look as trustworthy as a 3-of-3 one. Only queries with
+    # fewer samples than n_runs are listed, so the common case stays small.
+    short = {
+        n: sum(1 for r in runs if r["queries"].get(n, -1) >= 0)
+        for n in sorted(names)
+    }
+    short = {n: c for n, c in short.items() if c < len(runs)}
     doc = {
         "metric": "per_query_median",
         "unit": "sec",
         "sf": runs[0].get("sf"),
         "n_runs": len(runs),
         "runs_total_sec": [round(r["value"], 1) for r in runs],
+        "queries_with_fewer_samples": short,
         "note": note,
         "queries": med,
     }
